@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated synthetic tables (TESTDATA.md).
+  *
+  * Every table is a single parquet file under `sfDir`. Reads go through
+  * `spark.read.parquet` so Catalyst gets a columnar vectorized scan with
+  * filter pushdown + column pruning for free — the engine never caches or
+  * collects these; at 100 TB the same code path streams from object
+  * storage partitions.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    // raw long (nanosAsLong, set in Verify/Bench/tests); surface it as a
+    // proper TimestampType (microsecond truncation) for the engine.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact integer µs
+    else df
+  }
+
+  /** Register all tables as temp views (SURVEY §2.1 S6). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
+
+/** One engine capability = one named query + optionally one DuckDB oracle.
+  *
+  * The oracle SQL must produce the *identical* result set (same column
+  * names, hash-stable values) when run by DuckDB over the same parquet
+  * tables. Determinism rules used throughout the catalog:
+  *   - money/double sums go through integer cents
+  *     (`CAST(ROUND(x*100) AS BIGINT)`) so accumulation order can't change
+  *     the result; plain double sums are not reproducible across engines.
+  *   - year()/month()/size() results are cast to BIGINT on both sides
+  *     (DuckDB extracts are int64, Spark's are int32).
+  *   - result sets are unique rows (ties kept by rank(), or broken by an
+  *     explicit key) so row order never matters.
+  */
+final case class QuerySpec(
+    name: String,
+    oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame)

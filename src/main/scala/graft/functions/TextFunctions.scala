@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale corpus pipelines.
+  *
+  * Everything here is composed from codegen'd Spark built-ins (or
+  * higher-order array functions) — no Scala UDFs — so the expressions
+  * stay inside Catalyst, get pushed into whole-stage codegen where
+  * possible, and scale linearly with partitions. The reference's only
+  * text ops are LIKE/regexp cleaning (SURVEY.md §2.2–2.3); the corpus
+  * analytics here (token stats, quality, lang-id, shingles/minhash
+  * plumbing) are the training-data-pipeline extensions.
+  */
+object TextFunctions {
+
+  /** Lowercase, trim, collapse runs of whitespace — canonical text form
+    * used by dedup so cosmetic differences don't defeat hashing. */
+  def normalizeText(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text (empty text → empty array,
+    * not array("")). */
+  def tokens(c: Column): Column =
+    when(length(normalizeText(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(normalizeText(c), " "))
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish subword segmentation proxy: counts word pieces produced by
+    * splitting on whitespace AND punctuation/digit boundaries — a cheap,
+    * deterministic stand-in for a real tokenizer's token count. */
+  def subwordCount(c: Column): Column =
+    size(filter(
+      split(lower(c), "[^a-z0-9]+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"),
+      t => length(t) > 0)).cast("long")
+
+  /** Word n-gram shingles over the token array: a column of
+    * `array<string>` where each element is n consecutive tokens joined by
+    * a space. Fewer than n tokens → single shingle of the whole text. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** 64-bit hashes of each shingle (xxhash64, seed-stable) — the input
+    * to minhash signatures. */
+  def shingleHashes(c: Column, n: Int): Column =
+    transform(array_distinct(shingles(c, n)), s => xxhash64(s))
+
+  /** MinHash signature: for k seeded hash functions, the minimum over
+    * all shingles of xxhash64(seed_i, shingle). Output array<long> of
+    * length k. One pass per seed over a per-row array — no shuffle. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingleCol, s => xxhash64(seed, s))))
+
+  /** Band hashes for LSH: split a length-k signature into `bands` bands
+    * of k/bands values each and hash each band. Two texts whose
+    * signatures agree on any whole band land in the same LSH bucket. */
+  def bandHashes(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, concat_ws(",", slice(sig, b * rows + 1, lit(rows)))))
+  }
+
+  /** Exact Jaccard similarity of two string arrays (distinct elements). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+
+  // --- language identification (marker n-gram heuristic) ---------------
+
+  /** Per-language marker n-grams/words. Tiny profiles: the goal is a
+    * deterministic, shuffle-free heuristic, not model-grade accuracy. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " to ", "ing "),
+    "de" -> Seq(" der ", " die ", " und ", " ist ", " nicht ", "sch"),
+    "fr" -> Seq(" le ", " la ", " les ", " est ", " et ", " une "),
+    "es" -> Seq(" el ", " los ", " es ", " y ", " una ", "ción"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+
+  /** Count of non-overlapping occurrences of `marker` in the text —
+    * `(len(x) - len(replace(x, m, ''))) / len(m)`, all built-ins. */
+  private def occurrences(c: Column, marker: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(marker), ""))) /
+      lit(marker.length)).cast("long")
+
+  /** Predicted language: argmax of marker-occurrence score; ties broken
+    * by language code (via max over (score, lang) structs) so the result
+    * is deterministic. Unscored text falls back to "und". */
+  def langId(c: Column): Column = {
+    val padded = concat(lit(" "), normalizeText(c), lit(" "))
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val score = markers.map(m => occurrences(padded, m)).reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  // --- quality scoring --------------------------------------------------
+
+  /** Heuristic quality metrics (Gopher/C4-style length & symbol rules):
+    * returns a struct of n_chars, n_tokens, avg_token_len, alpha_ratio,
+    * punct_ratio, stopword_ratio, and a composite [0,1] quality score.
+    * All per-row arithmetic — deterministic, no accumulation. */
+  def qualityMetrics(c: Column): Column = {
+    val norm = normalizeText(c)
+    val nChars = length(norm).cast("double")
+    val toks = tokens(c)
+    val nToks = size(toks).cast("double")
+    val alpha = length(regexp_replace(norm, "[^a-z]", "")).cast("double")
+    val punct = length(regexp_replace(norm, "[^.,;:!?'\"()]", "")).cast("double")
+    val stop = Seq(" the ", " a ", " and ", " of ", " to ", " in ", " is ")
+      .map(m => occurrences(concat(lit(" "), norm, lit(" ")), m))
+      .reduce(_ + _).cast("double")
+    val safeChars = greatest(nChars, lit(1.0))
+    val safeToks = greatest(nToks, lit(1.0))
+    val avgTokLen = (nChars - (nToks - 1)) / safeToks
+    val alphaRatio = alpha / safeChars
+    val punctRatio = punct / safeChars
+    val stopRatio = stop / safeToks
+    // score: reward sane token lengths, alphabetic content, some stopwords
+    val lenOk = when(nToks.between(5, 100000) && avgTokLen.between(2, 12), 1.0).otherwise(0.0)
+    val score = (lenOk * 0.4) + (alphaRatio * 0.3) +
+      (least(stopRatio * 5, lit(1.0)) * 0.2) + ((lit(1.0) - least(punctRatio * 5, lit(1.0))) * 0.1)
+    struct(
+      nChars.cast("long").as("n_chars"),
+      nToks.cast("long").as("n_tokens"),
+      avgTokLen.as("avg_token_len"),
+      alphaRatio.as("alpha_ratio"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      score.as("quality_score"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => V}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design: the query set is assumed small (broadcastable); the
+  * corpus is the 100 TB side and is only ever scanned once per search.
+  * Top-k uses a two-phase reduction (per-input-partition top-k, then
+  * global top-k) so the shuffle carries at most `k × partitions × |Q|`
+  * rows instead of `|corpus| × |Q|`.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k per query vector.
+    *
+    * @param corpus  (corpusId, vecCol) big side
+    * @param queries (queryId, vecCol) small side — broadcast
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String,
+      queries: DataFrame, queryId: String,
+      vecCol: String, k: Int): DataFrame = {
+    val scored = corpus.select(col(corpusId), col(vecCol).as("_cvec"))
+      .crossJoin(broadcast(queries.select(col(queryId), col(vecCol).as("_qvec"))))
+      .filter(col(corpusId) =!= col(queryId))
+      .select(
+        col(queryId), col(corpusId),
+        V.cosine(col("_cvec"), col("_qvec")).as("cosine"))
+    topKPerQuery(scored, queryId, corpusId, k)
+  }
+
+  /** LSH-accelerated cosine top-k: a `planes`-bit hyperplane signature is
+    * computed once per corpus row; the expensive cosine only runs on
+    * candidates whose signature is within `maxHamming` bits of the
+    * query's (signature Hamming distance approximates angle). Recall is
+    * tunable via planes/maxHamming; exactness is traded for a ~
+    * candidate-fraction cut of the cosine work. */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String,
+      queries: DataFrame, queryId: String,
+      vecCol: String, k: Int,
+      planes: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val csig = corpus.select(
+      col(corpusId), col(vecCol).as("_cvec"),
+      V.hyperplaneSignature(col(vecCol), planes).as("_csig"))
+    val qsig = queries.select(
+      col(queryId), col(vecCol).as("_qvec"),
+      V.hyperplaneSignature(col(vecCol), planes).as("_qsig"))
+    val scored = csig
+      .crossJoin(broadcast(qsig))
+      .filter(col(corpusId) =!= col(queryId))
+      // cheap long-vs-long prefilter, then exact cosine on survivors only
+      .filter(V.hammingDistance(col("_csig"), col("_qsig")) <= maxHamming)
+      .select(
+        col(queryId), col(corpusId),
+        V.cosine(col("_cvec"), col("_qvec")).as("cosine"))
+    topKPerQuery(scored, queryId, corpusId, k)
+  }
+
+  /** Two-phase deterministic top-k: local top-k inside each input
+    * partition, then global top-k — ties broken by corpus id so results
+    * are reproducible across partitionings. */
+  private def topKPerQuery(
+      scored: DataFrame, queryId: String, corpusId: String, k: Int): DataFrame = {
+    val local = Window
+      .partitionBy(col("_part"), col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId))
+    val global = Window
+      .partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId))
+    scored
+      .withColumn("_part", spark_partition_id())
+      .withColumn("_lr", row_number().over(local))
+      .filter(col("_lr") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
+  /** Near-duplicate embeddings: pairs with cosine ≥ threshold, candidates
+    * from exact equality of two independent hyperplane-signature bands
+    * (either band matching promotes the pair), then cosine-verified. */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planesPerBand: Int = 12): DataFrame = {
+    val sigs = df.select(
+      col(idCol), col(vecCol).as("_vec"),
+      V.hyperplaneSignature(col(vecCol), planesPerBand).as("_s0"),
+      // second, independent plane family: offset the plane index space
+      V.hyperplaneSignature(col(vecCol), 2 * planesPerBand)
+        .bitwiseAND(lit((1L << planesPerBand) - 1)).as("_s1x"))
+    val banded = sigs.select(
+      col(idCol), col("_vec"),
+      posexplode(array(col("_s0"), col("_s1x"))))
+      .select(col(idCol), col("_vec"), col("pos").as("band"), col("col").as("bv"))
+    val a = banded.select(col("band"), col("bv"), col(idCol).as("id_a"), col("_vec").as("vec_a"))
+    val b = banded.select(col("band"), col("bv"), col(idCol).as("id_b"), col("_vec").as("vec_b"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), V.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+}

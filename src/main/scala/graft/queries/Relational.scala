@@ -1,0 +1,378 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query catalog — the reference's analytical surface
+  * (Tasks 4–11 of `BatchProcessingFinal.ipynb`, see SURVEY.md §2.4–§2.7)
+  * re-expressed over the synthetic star schema.
+  *
+  * Shapes covered, with the reference operator IDs from SURVEY.md §2:
+  *   - groupBy+count / sum aggregations (A1–A5) — q01, q02, q04, q16
+  *   - inner equi-joins, 2-way and 3-way chains (J1–J4) — q02, q05
+  *   - RANK() top-1-per-group + DISTINCT (W1–W3, A8) — q03, q05, q07
+  *   - global top-1 via ORDER BY ... LIMIT 1 (A6, O3) — q06
+  *   - median-by-group (A7/W4; exact percentile here, approx variant
+  *     asserted equal in tests) — q08, q10, q11
+  *   - CASE-based banding (F4) — q07, q08, q11
+  *   - EXTRACT(YEAR)/BETWEEN predicates (F9, F13, P10) — q04, q09
+  *   - running-sum window frame (W5) — q18
+  *   - ROW_NUMBER change-data dedup (keep-latest) — q19
+  *   - semi/anti joins (beyond the reference's surface) — q14, q15
+  *
+  * All money/double aggregations run over integer cents (exact, engine-
+  * order-independent); see [[graft.QuerySpec]] determinism rules.
+  */
+object Relational {
+
+  /** `CAST(ROUND(x*100) AS BIGINT)` — exact cents for sum-stability. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Account-balance banding — the reference's 4-bucket CASE age banding
+    * (`BatchProcessingFinal.ipynb:5947-5954`) over c_acctbal. */
+  private def acctBand(c: Column): Column =
+    when(c < 0, "negative")
+      .when(c < 3000, "low")
+      .when(c < 7000, "mid")
+      .otherwise("high")
+
+  private val acctBandSql =
+    """CASE WHEN c_acctbal < 0 THEN 'negative'
+      |     WHEN c_acctbal < 3000 THEN 'low'
+      |     WHEN c_acctbal < 7000 THEN 'mid'
+      |     ELSE 'high' END""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- q01: pricing summary (TPC-H Q1 shape; A1/A2, O2, pushdown) ----
+    QuerySpec(
+      "q01_pricing_summary",
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+               SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+        GROUP BY l_returnflag, l_linestatus"""),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        li.filter(col("l_shipdate") <= lit("2000-12-31 00:00:00").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+            sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+            sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+            count(lit(1)).as("count_order"))
+      }),
+
+    // ---- q02: Task-4 CTE shape — 3-way join + group count (J1/J2, A2) ----
+    QuerySpec(
+      "q02_orders_by_nation_priority",
+      Some("""
+        SELECT n_name, o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_orderpriority"""),
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val customer = Tables.load(s, dir, "customer")
+        val nation = Tables.load(s, dir, "nation")
+        // customer/nation are dims: broadcast both sides of the chain so
+        // the fact table never shuffles (SURVEY §2.4 — reference relies on
+        // Catalyst auto-broadcast; we make it explicit for 100 TB safety).
+        orders
+          .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      }),
+
+    // ---- q03: Task 4 — top priority per nation: RANK()=1 + DISTINCT ----
+    QuerySpec(
+      "q03_top_priority_per_nation",
+      Some("""
+        WITH counts AS (
+          SELECT n_name, o_orderpriority, COUNT(*) AS order_count
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name, o_orderpriority
+        ), ranked AS (
+          SELECT *, RANK() OVER (PARTITION BY n_name ORDER BY order_count DESC) AS cat_rank
+          FROM counts
+        )
+        SELECT DISTINCT n_name, o_orderpriority, order_count
+        FROM ranked WHERE cat_rank = 1"""),
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val customer = Tables.load(s, dir, "customer")
+        val nation = Tables.load(s, dir, "nation")
+        val counts = orders
+          .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+        val w = Window.partitionBy(col("n_name")).orderBy(col("order_count").desc)
+        counts
+          .withColumn("cat_rank", rank().over(w))
+          .filter(col("cat_rank") === 1)
+          .select("n_name", "o_orderpriority", "order_count")
+          .distinct()
+      }),
+
+    // ---- q04: Task 5 — posts per year, YEAR BETWEEN filter (F9/F13/P10) ----
+    QuerySpec(
+      "q04_orders_per_year_status",
+      Some("""
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
+               COUNT(*) AS order_count
+        FROM orders
+        WHERE YEAR(o_orderdate) BETWEEN 1996 AND 1999
+        GROUP BY 1, 2"""),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .filter(year(col("o_orderdate")).between(1996, 1999))
+          .groupBy(
+            year(col("o_orderdate")).cast("long").as("order_year"),
+            col("o_orderstatus"))
+          .agg(count(lit(1)).as("order_count"))),
+
+    // ---- q05: Task 6.1 — top customer per nation via 3-way chain + RANK ----
+    QuerySpec(
+      "q05_top_customer_per_nation",
+      Some("""
+        WITH joined AS (
+          SELECT r_name, n_name, c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        ), ranked AS (
+          SELECT *, RANK() OVER (PARTITION BY n_name ORDER BY acctbal_cents DESC) AS rank_order
+          FROM joined
+        )
+        SELECT DISTINCT r_name, n_name, c_name, acctbal_cents
+        FROM ranked WHERE rank_order = 1"""),
+      (s, dir) => {
+        val customer = Tables.load(s, dir, "customer")
+        val nation = Tables.load(s, dir, "nation")
+        val region = Tables.load(s, dir, "region")
+        val joined = customer
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .select(
+            col("r_name"), col("n_name"), col("c_name"),
+            cents(col("c_acctbal")).as("acctbal_cents"))
+        val w = Window.partitionBy(col("n_name")).orderBy(col("acctbal_cents").desc)
+        joined
+          .withColumn("rank_order", rank().over(w))
+          .filter(col("rank_order") === 1)
+          .select("r_name", "n_name", "c_name", "acctbal_cents")
+          .distinct()
+      }),
+
+    // ---- q06: Task 6.2 — global top-1 (TakeOrderedAndProject; A6/O3).
+    // Deterministic tiebreak on c_name (SURVEY §7.4: the reference's own
+    // LIMIT 1 under a tie is order-dependent — we pin it). ----
+    QuerySpec(
+      "q06_top_customer_global",
+      Some("""
+        SELECT c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
+        FROM customer
+        ORDER BY acctbal_cents DESC, c_name
+        LIMIT 1"""),
+      (s, dir) =>
+        Tables.load(s, dir, "customer")
+          .select(col("c_name"), cents(col("c_acctbal")).as("acctbal_cents"))
+          .orderBy(col("acctbal_cents").desc, col("c_name"))
+          .limit(1)),
+
+    // ---- q07: Task 7 — top segment per balance band (F4 + W3) ----
+    QuerySpec(
+      "q07_top_segment_per_band",
+      Some(s"""
+        WITH banded AS (
+          SELECT $acctBandSql AS band, c_mktsegment,
+                 COUNT(*) AS segment_count
+          FROM customer
+          GROUP BY 1, 2
+        ), ranked AS (
+          SELECT *, RANK() OVER (PARTITION BY band ORDER BY segment_count DESC) AS rnk
+          FROM banded
+        )
+        SELECT DISTINCT band, c_mktsegment, segment_count
+        FROM ranked WHERE rnk = 1"""),
+      (s, dir) => {
+        val banded = Tables.load(s, dir, "customer")
+          .groupBy(acctBand(col("c_acctbal")).as("band"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("segment_count"))
+        val w = Window.partitionBy(col("band")).orderBy(col("segment_count").desc)
+        banded
+          .withColumn("rnk", rank().over(w))
+          .filter(col("rnk") === 1)
+          .select("band", "c_mktsegment", "segment_count")
+          .distinct()
+      }),
+
+    // ---- q08: Task 8 — median per band (A7; exact percentile over ints,
+    // which both engines interpolate identically) ----
+    QuerySpec(
+      "q08_median_acctbal_by_band",
+      Some(s"""
+        SELECT $acctBandSql AS band,
+               QUANTILE_CONT(CAST(ROUND(c_acctbal*100) AS BIGINT), 0.5) AS median_cents,
+               COUNT(*) AS n
+        FROM customer
+        GROUP BY 1"""),
+      (s, dir) =>
+        Tables.load(s, dir, "customer")
+          .groupBy(acctBand(col("c_acctbal")).as("band"))
+          .agg(
+            expr("percentile(CAST(ROUND(c_acctbal*100) AS BIGINT), 0.5)").as("median_cents"),
+            count(lit(1)).as("n"))),
+
+    // ---- q09: Task 9 — signups per month (F9 on event-time) ----
+    QuerySpec(
+      "q09_signups_per_month",
+      Some("""
+        SELECT CAST(MONTH(ts) AS BIGINT) AS month, COUNT(*) AS signup_count
+        FROM events
+        WHERE event_type = 'signup'
+        GROUP BY 1"""),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .filter(col("event_type") === "signup")
+          .groupBy(month(col("ts")).cast("long").as("month"))
+          .agg(count(lit(1)).as("signup_count"))),
+
+    // ---- q10: Task 10 — median event value per type ----
+    QuerySpec(
+      "q10_median_value_by_type",
+      Some("""
+        SELECT event_type,
+               QUANTILE_CONT(CAST(ROUND(value*100) AS BIGINT), 0.5) AS median_value_cents
+        FROM events
+        GROUP BY event_type"""),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(expr("percentile(CAST(ROUND(value*100) AS BIGINT), 0.5)")
+            .as("median_value_cents"))),
+
+    // ---- q11: Task 11 — median per (month, type): two-key grouping ----
+    QuerySpec(
+      "q11_median_value_by_month_type",
+      Some("""
+        SELECT CAST(MONTH(ts) AS BIGINT) AS month, event_type,
+               QUANTILE_CONT(CAST(ROUND(value*100) AS BIGINT), 0.5) AS median_value_cents
+        FROM events
+        WHERE MONTH(ts) BETWEEN 1 AND 6
+        GROUP BY 1, 2"""),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .filter(month(col("ts")).between(1, 6))
+          .groupBy(month(col("ts")).cast("long").as("month"), col("event_type"))
+          .agg(expr("percentile(CAST(ROUND(value*100) AS BIGINT), 0.5)")
+            .as("median_value_cents"))),
+
+    // ---- q16: A1 value-frequency profiling ----
+    QuerySpec(
+      "q16_value_frequency_profile",
+      Some("""
+        SELECT lang, source, COUNT(*) AS n
+        FROM documents GROUP BY lang, source"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"))),
+
+    // ---- q17: A9 distinct/cardinality profiling ----
+    QuerySpec(
+      "q17_distinct_profile",
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT event_type) AS n_types,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events"""),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("event_type")).as("n_types"),
+            countDistinct(col("user_id")).as("n_users"))),
+
+    // ---- q18: W5 running-sum frame (UNBOUNDED PRECEDING..CURRENT ROW) ----
+    QuerySpec(
+      "q18_running_value_per_user",
+      Some("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS running_cents
+        FROM events
+        WHERE user_id < 50"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .select(
+            col("event_id"), col("user_id"),
+            sum(cents(col("value"))).over(w).as("running_cents"))
+      }),
+
+    // ---- q19: keep-latest dedup by key via ROW_NUMBER ----
+    QuerySpec(
+      "q19_dedup_keep_latest",
+      Some("""
+        WITH numbered AS (
+          SELECT user_id, event_type, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY event_id DESC) AS rn
+          FROM events
+        )
+        SELECT user_id, event_type, event_id AS latest_event_id
+        FROM numbered WHERE rn = 1"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("event_id").desc)
+        Tables.load(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id").as("latest_event_id"))
+      }),
+
+    // ---- q14: anti join — customers with no orders (NOT EXISTS) ----
+    QuerySpec(
+      "q14_customers_without_orders",
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""),
+      (s, dir) => {
+        val customer = Tables.load(s, dir, "customer")
+        val orders = Tables.load(s, dir, "orders")
+        customer
+          .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+      }),
+
+    // ---- q15: semi join — suppliers with any lineitem (EXISTS) ----
+    QuerySpec(
+      "q15_suppliers_with_sales",
+      Some("""
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)"""),
+      (s, dir) => {
+        val supplier = Tables.load(s, dir, "supplier")
+        val lineitem = Tables.load(s, dir, "lineitem")
+        supplier
+          .join(lineitem, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name")
+      })
+  )
+}

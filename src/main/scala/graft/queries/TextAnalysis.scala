@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.functions.{GraftFunctions, TextFunctions => T}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` and
+  * `embeddings` tables: dedup (exact, MinHash-LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine), ANN search, text analysis (lang-id,
+  * quality, token counts, fingerprinting). SQL-expressible ops carry a
+  * DuckDB oracle; signature/LSH ops are Spark-only (rows-only check) and
+  * are instead verified against brute-force ground truth in ScalaTest.
+  */
+object TextAnalysis {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- q30: exact dedup by content hash ----
+    QuerySpec(
+      "q30_dedup_exact",
+      Some("""
+        SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n
+        FROM documents GROUP BY 1"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .groupBy(md5(col("text")).as("content_md5"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))),
+
+    // ---- q31: exact dedup on normalized text ----
+    QuerySpec(
+      "q31_dedup_exact_normalized",
+      Some("""
+        SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_md5,
+               MIN(doc_id) AS keep_id, COUNT(*) AS n
+        FROM documents GROUP BY 1"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .groupBy(md5(T.normalizeText(col("text"))).as("content_md5"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))),
+
+    // ---- q32: token counting ----
+    QuerySpec(
+      "q32_token_stats",
+      Some("""
+        SELECT doc_id,
+               CASE WHEN norm = '' THEN 0
+                    ELSE CAST(LEN(STRING_SPLIT(norm, ' ')) AS BIGINT) END AS n_tokens,
+               CAST(LENGTH(norm) AS BIGINT) AS n_chars_norm
+        FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+              FROM documents)"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            T.tokenCount(col("text")).as("n_tokens"),
+            length(T.normalizeText(col("text"))).cast("long").as("n_chars_norm"))),
+
+    // ---- q34: per-language corpus profile ----
+    QuerySpec(
+      "q34_lang_profile",
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents GROUP BY lang"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))),
+
+    // ---- q35: language identification (marker heuristic; Spark-only) ----
+    QuerySpec(
+      "q35_lang_id",
+      None,
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), T.langId(col("text")).as("lang_pred"))),
+
+    // ---- q33: quality scoring (Spark-only; formula asserted in tests) ----
+    QuerySpec(
+      "q33_quality_score",
+      None,
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), T.qualityMetrics(col("text")).as("m"))
+          .select(col("doc_id"), col("m.*"))),
+
+    // ---- q36: document fingerprinting (custom Catalyst expression) ----
+    QuerySpec(
+      "q36_fingerprint",
+      None,
+      (s, dir) => {
+        GraftFunctions.register(s)
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            GraftFunctions.fingerprint64(T.normalizeText(col("text"))).as("fingerprint"))
+      }),
+
+    // ---- q37: per-doc SimHash (custom Catalyst expression) ----
+    QuerySpec(
+      "q37_simhash",
+      None,
+      (s, dir) => Dedup.simhashes(Tables.load(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- q38: MinHash-LSH near-dedup, keeper per doc ----
+    QuerySpec(
+      "q38_dedup_minhash_lsh",
+      None,
+      (s, dir) => Dedup.minhashLsh(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)),
+
+    // ---- q39: n-gram Jaccard top pairs (brute ground truth slice) ----
+    QuerySpec(
+      "q39_jaccard_top_pairs",
+      None,
+      (s, dir) =>
+        Dedup.jaccardPairsBrute(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text", shingleSize = 3)
+          .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+          .limit(20)),
+
+    // ---- q40: embedding near-dup keeper election ----
+    QuerySpec(
+      "q40_dedup_embedding",
+      None,
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Dedup.keeperFrom(emb, "vec_id",
+          Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
+            threshold = 0.4, planesPerBand = 8))
+      }),
+
+    // ---- q41: exact brute-force cosine top-k ----
+    QuerySpec(
+      "q41_ann_bruteforce_topk",
+      None,
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+          emb, "vec_id",
+          emb.filter(col("vec_id") < 20).withColumnRenamed("vec_id", "query_id"),
+          "query_id", "embedding", k = 5)
+      }),
+
+    // ---- q42: LSH-bucketed cosine top-k (scale path) ----
+    QuerySpec(
+      "q42_ann_lsh_topk",
+      None,
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.lshTopK(
+          emb, "vec_id",
+          emb.filter(col("vec_id") < 20).withColumnRenamed("vec_id", "query_id"),
+          "query_id", "embedding", k = 5, planes = 16, maxHamming = 6)
+      }),
+
+    // ---- q43: multimodal column plumbing — opaque binary + metadata ----
+    QuerySpec(
+      "q43_media_meta",
+      Some("""
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+               CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
+                    WHEN doc_id % 3 = 1 THEN 'png'
+                    ELSE 'webp' END AS format
+        FROM documents"""),
+      (s, dir) =>
+        graft.operators.Multimodal
+          .withPayload(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .select(
+            col("doc_id"),
+            octet_length(col("payload")).cast("long").as("byte_len"),
+            col("format")))
+  )
+}
