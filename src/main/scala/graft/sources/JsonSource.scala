@@ -1,0 +1,34 @@
+package graft.sources
+
+import graft.pipeline.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** S1 — batch JSON scan of the Kafka-landed topic layout
+  * `topics/<topic>/partition=N/...json`
+  * (reference `make_dataframe`, BatchProcessingFinal.ipynb:686-706).
+  *
+  * Deviations from the reference, by design (SURVEY §2.1 S1, §4.3):
+  *   - explicit schema instead of inferSchema (no extra pass over 100 TB
+  *     of JSON; inference stays available as a dev-only helper);
+  *   - partition wildcard instead of the single hardcoded partition=0.
+  */
+object JsonSource {
+
+  def readTopic(spark: SparkSession, baseDir: String, topic: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(s"$baseDir/topics/$topic/partition=*")
+
+  def readPin(spark: SparkSession, baseDir: String, topicPrefix: String = ""): DataFrame =
+    readTopic(spark, baseDir, topicPrefix + "pin", Schemas.rawPin)
+
+  def readGeo(spark: SparkSession, baseDir: String, topicPrefix: String = ""): DataFrame =
+    readTopic(spark, baseDir, topicPrefix + "geo", Schemas.rawGeo)
+
+  def readUser(spark: SparkSession, baseDir: String, topicPrefix: String = ""): DataFrame =
+    readTopic(spark, baseDir, topicPrefix + "user", Schemas.rawUser)
+
+  /** Dev-only: schema inference, the reference's actual behavior. */
+  def readTopicInferred(spark: SparkSession, baseDir: String, topic: String): DataFrame =
+    spark.read.option("inferSchema", "true").json(s"$baseDir/topics/$topic/partition=*")
+}

