@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -88,20 +87,34 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
-/** Session registration + Column-level accessors for the custom
-  * expressions. Registration is idempotent per session. */
+/** Column-level accessors (via the classic Expression↔Column shim) and
+  * SQL registration for the custom expressions. Registration is
+  * idempotent per session and only needed for SQL-text callers —
+  * the Column accessors work without it. */
 object GraftFunctions {
+  import org.apache.spark.sql.graft.shim
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "graft_fingerprint64", exprs => Fingerprint64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hyperplane_sig", exprs => HyperplaneSignature(
+        exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
-  /** Rolling-hash fingerprint of a string column (register() first). */
-  def fingerprint64(c: Column): Column = call_function("graft_fingerprint64", c)
+  /** Rolling-hash fingerprint of a string column. */
+  def fingerprint64(c: Column): Column =
+    shim.column(Fingerprint64(shim.expression(c)))
 
-  /** SimHash of an array<long> token-hash column (register() first). */
-  def simhash64(c: Column): Column = call_function("graft_simhash64", c)
+  /** SimHash of an array<long> token-hash column. */
+  def simhash64(c: Column): Column =
+    shim.column(SimHash64(shim.expression(c)))
 }

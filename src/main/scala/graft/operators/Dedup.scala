@@ -49,9 +49,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
+    // shingles are hashed to longs up front: signatures, the candidate
+    // join, and exact-Jaccard verification all run over compact long
+    // arrays instead of wide string arrays (64-bit collisions are
+    // negligible vs the LSH approximation itself)
     val sh = df.select(
       col(idCol),
-      array_distinct(T.shingles(col(textCol), shingleSize)).as("sh"))
+      T.shingleHashes(col(textCol), shingleSize).as("sh"))
     val sig = sh.select(
       col(idCol), T.minhashSignature(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
@@ -143,7 +147,7 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     val sh = df.select(
       col(idCol),
-      array_distinct(T.shingles(col(textCol), shingleSize)).as("sh"))
+      T.shingleHashes(col(textCol), shingleSize).as("sh"))
     sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
       .crossJoin(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")))
       .filter(col("id_a") < col("id_b"))

@@ -32,6 +32,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.zip(Seq(1.0, 0.0, -1.0, 0.0)).forall { case (g, e) => math.abs(g - e) < 1e-6 })
   }
 
+  test("cosine kernel agrees with the higher-order-function reference form") {
+    val pairs = corpus.select(col("embedding").as("a"))
+      .crossJoin(corpus.select(col("embedding").as("b")))
+    val diff = pairs.select(
+      abs(V.cosine(col("a"), col("b")) - V.cosineHof(col("a"), col("b"))).as("d"))
+      .agg(max("d")).as[Double].head()
+    assert(diff < 1e-9, s"kernel vs HOF max divergence $diff")
+  }
+
+  test("dot kernel agrees with the HOF reference form") {
+    val pairs = corpus.select(col("embedding").as("a"))
+      .crossJoin(corpus.select(col("embedding").as("b"))).limit(200)
+    val diff = pairs.select(
+      abs(V.dot(col("a"), col("b")) - V.dotHof(col("a"), col("b"))).as("d"))
+      .agg(max("d")).as[Double].head()
+    assert(diff < 1e-9)
+  }
+
   test("brute-force top-k: nearest neighbor of 0 is its perturbation 1") {
     val queries = corpus.filter(col("vec_id") === 0)
       .withColumnRenamed("vec_id", "query_id")
