@@ -23,15 +23,9 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String,
       queries: DataFrame, queryId: String,
-      vecCol: String, k: Int): DataFrame = {
-    val scored = corpus.select(col(corpusId), col(vecCol).as("_cvec"))
-      .crossJoin(broadcast(queries.select(col(queryId), col(vecCol).as("_qvec"))))
-      .filter(col(corpusId) =!= col(queryId))
-      .select(
-        col(queryId), col(corpusId),
-        V.cosine(col("_cvec"), col("_qvec")).as("cosine"))
-    topKPerQuery(scored, queryId, corpusId, k)
-  }
+      vecCol: String, k: Int): DataFrame =
+    topKPerQuery(scoreAll(corpus, corpusId, queries, queryId, vecCol),
+      queryId, corpusId, k)
 
   /** LSH-accelerated cosine top-k: a `planes`-bit hyperplane signature is
     * computed once per corpus row; the expensive cosine only runs on
@@ -61,25 +55,49 @@ object Similarity {
     topKPerQuery(scored, queryId, corpusId, k)
   }
 
-  /** Two-phase deterministic top-k: local top-k inside each input
-    * partition, then global top-k — ties broken by corpus id so results
-    * are reproducible across partitionings. */
+  /** Deterministic top-k per query via the bounded-heap aggregator
+    * ([[TopKAggregator]]): map-side partial aggregation reduces every
+    * input partition to ≤ k rows per query BEFORE the shuffle, so the
+    * exchange carries k × partitions × |Q| rows instead of the full
+    * |corpus| × |Q| score set. Ties break on ascending corpus id —
+    * reproducible across partitionings (asserted in tests against the
+    * window-based form). */
   private def topKPerQuery(
       scored: DataFrame, queryId: String, corpusId: String, k: Int): DataFrame = {
-    val local = Window
-      .partitionBy(col("_part"), col(queryId))
-      .orderBy(col("cosine").desc, col(corpusId))
+    val agg = TopKAggregator.topK(k)
+    scored.groupBy(col(queryId))
+      .agg(agg(col("cosine"), col(corpusId).cast("long")).as("top"))
+      .select(col(queryId), posexplode(col("top")))
+      .select(
+        col(queryId),
+        col("col.id").as(corpusId),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Window-based reference form of top-k (shuffles every scored row —
+    * kept for cross-checking the aggregator, not for scale use). */
+  private[operators] def topKPerQueryWindow(
+      scored: DataFrame, queryId: String, corpusId: String, k: Int): DataFrame = {
     val global = Window
       .partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId))
     scored
-      .withColumn("_part", spark_partition_id())
-      .withColumn("_lr", row_number().over(local))
-      .filter(col("_lr") <= k)
       .withColumn("rank", row_number().over(global))
       .filter(col("rank") <= k)
       .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
   }
+
+  /** Exposed for tests: raw scored pairs (query, corpus, cosine). */
+  private[operators] def scoreAll(
+      corpus: DataFrame, corpusId: String,
+      queries: DataFrame, queryId: String, vecCol: String): DataFrame =
+    corpus.select(col(corpusId), col(vecCol).as("_cvec"))
+      .crossJoin(broadcast(queries.select(col(queryId), col(vecCol).as("_qvec"))))
+      .filter(col(corpusId) =!= col(queryId))
+      .select(
+        col(queryId), col(corpusId),
+        V.cosine(col("_cvec"), col("_qvec")).as("cosine"))
 
   /** Near-duplicate embeddings: pairs with cosine ≥ threshold, candidates
     * from exact equality of two independent hyperplane-signature bands

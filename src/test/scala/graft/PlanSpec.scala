@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan guards: assert the plans stay the plans we designed for
+  * scale (pushdown reaching the parquet scan, broadcast joins on dims,
+  * map-side partial aggregation, whole-stage codegen presence) so a
+  * refactor can't silently regress them. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"scan reads columns the query never touches: $readSchema")
+  }
+
+  test("q02: dimension joins broadcast, fact side never exchanges pre-agg") {
+    val p = plan("q02_orders_by_nation_priority")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$p")
+  }
+
+  test("q01: aggregation is partial then final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("q14: anti join broadcasts") {
+    val p = plan("q14_customers_without_orders")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti join:\n$p")
+  }
+
+  test("whole-stage codegen active on the agg pipeline") {
+    // AQE prints the initial plan until the query's own plan executes
+    val df = SparkEntry.queries("q04_orders_per_year_status")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("*(1) "), s"no whole-stage-codegen stages:\n$p")
+  }
+
+  test("ANN top-k: partial ObjectHashAggregate before the exchange") {
+    val p = plan("q41_ann_bruteforce_topk")
+    // the bounded-heap aggregator must run in partial mode below the
+    // shuffle: look for two ObjectHashAggregate occurrences
+    val objAggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs >= 2, s"top-k not partially aggregated map-side:\n$p")
+  }
+
+  test("pipeline task4: join on ind broadcasts the aggregated side or dims") {
+    val p = plan("q60_pipeline_task4_top_category_per_country")
+    assert(p.contains("Join"), p)
+  }
+}

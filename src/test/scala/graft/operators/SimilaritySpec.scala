@@ -62,6 +62,19 @@ class SimilaritySpec extends SparkSpec {
     assert(!top.exists(_._2 == 0L), "query must not match itself")
   }
 
+  test("bounded-heap top-k aggregator == window-based top-k") {
+    val queries = corpus.filter(col("vec_id") < 8)
+      .withColumnRenamed("vec_id", "query_id")
+    val scored = Similarity.scoreAll(corpus.repartition(5), "vec_id",
+      queries, "query_id", "embedding")
+    val viaAgg = Similarity.bruteForceTopK(corpus.repartition(5), "vec_id",
+      queries, "query_id", "embedding", k = 6)
+    val viaWindow = Similarity.topKPerQueryWindow(
+      scored.withColumn("vec_id", col("vec_id").cast("long")),
+      "query_id", "vec_id", k = 6)
+    assertSameRows(viaAgg, viaWindow, "aggregator vs window top-k")
+  }
+
   test("brute-force top-k is deterministic across repartitionings") {
     val queries = corpus.filter(col("vec_id") < 5)
       .withColumnRenamed("vec_id", "query_id")
