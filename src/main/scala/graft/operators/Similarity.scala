@@ -99,6 +99,50 @@ object Similarity {
         col(queryId), col(corpusId),
         V.cosine(col("_cvec"), col("_qvec")).as("cosine"))
 
+  /** IVF (inverted-file) top-k: coarse-quantize the corpus onto `nLists`
+    * centroid lists, search only the `nProbe` lists nearest each query.
+    * Centroids are sampled deterministically from the corpus (lowest
+    * ids) — at 100 TB you'd feed k-means centroids in; the operator
+    * shape (assign → probe → join on list id → verify) is identical.
+    * The corpus-to-list assignment is a narrow broadcast pass; the
+    * probe join is an equi-join on list id, so only candidate lists'
+    * vectors are scored against each query. */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String,
+      queries: DataFrame, queryId: String,
+      vecCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = corpus
+      .orderBy(col(corpusId)).limit(nLists)
+      .select(col(corpusId).cast("long").as("_list"), col(vecCol).as("_centroid"))
+    // assign: one broadcast pass over the corpus scores each row against
+    // all nLists centroids; bounded-heap k=1 keeps the nearest list
+    val assignScores = corpus.select(col(corpusId), col(vecCol).as("_cvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col(corpusId), col("_list"),
+        V.cosine(col("_cvec"), col("_centroid")).as("cosine"))
+    val assigned = topKPerQuery(assignScores, corpusId, "_list", 1)
+      .select(col(corpusId).cast("long").as(corpusId), col("_list"))
+    // probe: nProbe nearest lists per query (both sides tiny)
+    val probeScores = queries.select(col(queryId), col(vecCol).as("_qvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col(queryId), col("_list"),
+        V.cosine(col("_qvec"), col("_centroid")).as("cosine"))
+    val probes = topKPerQuery(probeScores, queryId, "_list", nProbe)
+      .select(col(queryId), col("_list"))
+    // candidates: corpus rows living in probed lists → exact cosine → top-k
+    val cvec = corpus.select(col(corpusId).cast("long").as(corpusId), col(vecCol).as("_cvec"))
+    val qvec = queries.select(col(queryId), col(vecCol).as("_qvec"))
+    val scored = assigned
+      .join(broadcast(probes), Seq("_list"))
+      .join(cvec, Seq(corpusId))
+      .join(broadcast(qvec), Seq(queryId))
+      .filter(col(corpusId) =!= col(queryId))
+      .select(col(queryId), col(corpusId),
+        V.cosine(col("_cvec"), col("_qvec")).as("cosine"))
+    topKPerQuery(scored, queryId, corpusId, k)
+  }
+
   /** Near-duplicate embeddings: pairs with cosine ≥ threshold, candidates
     * from exact equality of two independent hyperplane-signature bands
     * (either band matching promotes the pair), then cosine-verified. */

@@ -253,6 +253,29 @@ object PinQueries {
       .orderBy(col("post_year"), col("age_group"))
   }
 
+  // ---- Extensions beyond the reference surface (SURVEY §1.3, §7.1.7) --
+
+  /** The `tag_list` upgrade the reference never does: comma-joined
+    * string → `array<string>` of trimmed, non-empty tags. */
+  def withTags(pin: DataFrame): DataFrame =
+    pin.withColumn("tags",
+      filter(transform(split(col("tag_list"), ","), t => trim(t)), t => length(t) > 0))
+
+  /** Top `k` tags per category via explode + two-level count + rank —
+    * the analysis `tag_list`'s raw form can't support. */
+  def topTagsPerCategory(pin: DataFrame, k: Int): DataFrame = {
+    val counts = withTags(pin)
+      .select(col("category"), explode(col("tags")).as("tag"))
+      .groupBy("category", "tag").agg(count(lit(1)).as("tag_count"))
+    // rank() over count only: tied tags share a rank and are all kept
+    // (same tie semantics as the reference's rank-1 tasks)
+    val w = Window.partitionBy(col("category"))
+      .orderBy(col("tag_count").desc)
+    counts.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= k)
+      .select("category", "tag", "tag_count", "rnk")
+  }
+
   /** All tasks from cleaned inputs, SQL form, keyed by task name. */
   def allSql(spark: SparkSession, pin: DataFrame, geo: DataFrame, user: DataFrame)
       : Map[String, DataFrame] = {

@@ -61,5 +61,8 @@ object PipelineParity {
     }),
     QuerySpec("q67_pipeline_task11_median_by_year_and_age", None, (s, _) => {
       val (pin, _, user) = cleaned(s); PinQueries.task11Df(pin, user)
+    }),
+    QuerySpec("q68_pipeline_top_tags_per_category", None, (s, _) => {
+      val (pin, _, _) = cleaned(s); PinQueries.topTagsPerCategory(pin, 3)
     }))
 }

@@ -159,6 +159,18 @@ object TextAnalysis {
           "query_id", "embedding", k = 5, planes = 16, maxHamming = 6)
       }),
 
+    // ---- q44: IVF-accelerated cosine top-k (coarse quantize + probe) ----
+    QuerySpec(
+      "q44_ann_ivf_topk",
+      None,
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.ivfTopK(
+          emb, "vec_id",
+          emb.filter(col("vec_id") < 20).withColumnRenamed("vec_id", "query_id"),
+          "query_id", "embedding", k = 5, nLists = 16, nProbe = 6)
+      }),
+
     // ---- q43: multimodal column plumbing — opaque binary + metadata ----
     QuerySpec(
       "q43_media_meta",

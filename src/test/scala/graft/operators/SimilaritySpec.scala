@@ -96,6 +96,31 @@ class SimilaritySpec extends SparkSpec {
       "near-identical vector shares all hyperplane signs → must survive LSH")
   }
 
+  test("IVF top-k finds the planted nearest neighbor") {
+    val queries = corpus.filter(col("vec_id") === 0)
+      .withColumnRenamed("vec_id", "query_id")
+    val top = Similarity.ivfTopK(corpus, "vec_id", queries, "query_id",
+      "embedding", k = 3, nLists = 8, nProbe = 3)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(top.nonEmpty)
+    assert(top.head._2 == 1L,
+      s"vec 1 is near-identical to query 0 → must share its list; got ${top.toSeq}")
+    assert(top.head._3 > 0.999)
+  }
+
+  test("IVF recall vs brute force is high at generous probe width") {
+    val queries = corpus.filter(col("vec_id") < 6)
+      .withColumnRenamed("vec_id", "query_id")
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", queries, "query_id",
+      "embedding", k = 3).select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", queries, "query_id",
+      "embedding", k = 3, nLists = 8, nProbe = 8) // probe ALL lists → exact
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf == brute, s"probing every list must equal brute force; " +
+      s"missing=${brute -- ivf} extra=${ivf -- brute}")
+  }
+
   test("embedding near-dup pairs finds exactly the planted pair at 0.99") {
     val pairs = Similarity.embeddingNearDupPairs(corpus, "vec_id", "embedding",
       threshold = 0.99, planesPerBand = 8)
