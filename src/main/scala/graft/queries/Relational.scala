@@ -347,6 +347,33 @@ object Relational {
           .select(col("user_id"), col("event_type"), col("event_id").as("latest_event_id"))
       }),
 
+    // ---- q12: ROLLUP — subtotal hierarchy (beyond the reference) ----
+    QuerySpec(
+      "q12_rollup_year_status",
+      Some("""
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_cents
+        FROM orders
+        GROUP BY ROLLUP(CAST(YEAR(o_orderdate) AS BIGINT), o_orderstatus)"""),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .rollup(year(col("o_orderdate")).cast("long").as("order_year"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))),
+
+    // ---- q13: CUBE — full cross-tab margins ----
+    QuerySpec(
+      "q13_cube_priority_status",
+      Some("""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE(o_orderpriority, o_orderstatus)"""),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .cube(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))),
+
     // ---- q14: anti join — customers with no orders (NOT EXISTS) ----
     QuerySpec(
       "q14_customers_without_orders",

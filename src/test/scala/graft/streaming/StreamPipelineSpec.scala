@@ -65,6 +65,31 @@ class StreamPipelineSpec extends SparkSpec {
     assert(total == 80, s"expected 50+30 rows after recovery, got $total")
   }
 
+  test("watermarked event-time window counts (extension ST6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val geoLines = Seq(
+      """{"ind": 1, "timestamp": "2021-03-01 10:00:00", "latitude": 1.0, "longitude": 2.0, "country": "Albania"}""",
+      """{"ind": 2, "timestamp": "2021-03-01 23:59:59", "latitude": 1.0, "longitude": 2.0, "country": "Albania"}""",
+      """{"ind": 3, "timestamp": "2021-03-02 00:00:01", "latitude": 1.0, "longitude": 2.0, "country": "Albania"}""",
+      """{"ind": 4, "timestamp": "2021-03-01 12:00:00", "latitude": 1.0, "longitude": 2.0, "country": "Japan"}""")
+    val mem = MemoryStream[String]
+    mem.addData(geoLines: _*)
+    val cleaned = StreamPipeline.cleanGeoStream(
+      StreamPipeline.deserialize(mem.toDF, Schemas.rawGeo))
+    val windowed = StreamPipeline.windowedCategoryCounts(null, cleaned)
+    val q = windowed.writeStream.queryName("geo_windows")
+      .format("memory").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("geo_windows")
+      .selectExpr("date_format(window.start, 'yyyy-MM-dd')", "country", "events")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("2021-03-01", "Albania", 2L),
+      ("2021-03-02", "Albania", 1L),
+      ("2021-03-01", "Japan", 1L)))
+  }
+
   test("three concurrent queries with per-query checkpoints") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(17L)
