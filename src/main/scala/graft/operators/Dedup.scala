@@ -53,15 +53,22 @@ object Dedup {
     // join, and exact-Jaccard verification all run over compact long
     // arrays instead of wide string arrays (64-bit collisions are
     // negligible vs the LSH approximation itself)
+    // persisted: both the candidate self-join and the verification
+    // re-joins consume these, and the two sides of a self-join are NOT
+    // deduplicated by exchange reuse (different projections) — without
+    // persist the shingle/signature computation runs 2×. Size is
+    // id+hashes, tiny relative to the corpus; spills to disk if not.
     val sh = df.select(
       col(idCol),
       T.shingleHashes(col(textCol), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.select(
       col(idCol), T.minhashSignature(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
       col(idCol),
       posexplode(T.bandHashes(col("sig"), numHashes, bands)))
       .select(col(idCol), col("pos").as("band"), col("col").as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"))
     val cand = a.join(b, Seq("band", "bh"))
@@ -119,6 +126,7 @@ object Dedup {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val sims = simhashes(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkCols = (0 until chunks).map { i =>
       shiftrightunsigned(col("simhash"), i * bitsPer)
         .bitwiseAND(lit((1L << bitsPer) - 1))

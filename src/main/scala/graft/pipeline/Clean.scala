@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** The reference's cleaning transforms as pure `DataFrame => DataFrame`
@@ -119,4 +119,26 @@ object Clean {
     df.transform(buildUserName)
       .transform(parseTimestamp("date_joined"))
       .select(Schemas.cleanUserColumns.map(col): _*)
+
+  // ---- typed Dataset surface (SURVEY §1.4) ----------------------------
+
+  /** Cleaned pin rows as a typed Dataset — compile-time field checks
+    * downstream; the plan is identical to the DataFrame form. */
+  def pinTyped(df: DataFrame): Dataset[PinPost] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    pin(df).as[PinPost]
+  }
+
+  def geoTyped(df: DataFrame): Dataset[GeoEvent] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    geo(df).as[GeoEvent]
+  }
+
+  def userTyped(df: DataFrame): Dataset[UserRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    user(df).as[UserRow]
+  }
 }

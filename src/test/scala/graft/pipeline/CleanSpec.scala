@@ -126,6 +126,18 @@ class CleanSpec extends SparkSpec {
     assert(out == Set((None, Some("keep")), (None, Some("also keep")), (Some("x"), None)))
   }
 
+  test("typed Dataset surface round-trips the cleaned shapes") {
+    val pinDs = Clean.pinTyped(rawPin(Seq(pinRow(1, follower = "25k"))))
+    val p = pinDs.head()
+    assert(p.ind == 1L && p.follower_count.contains(25000))
+    val geoDs = Clean.geoTyped(spark.read.schema(Schemas.rawGeo).json(Seq(
+      """{"ind": 7, "timestamp": "2020-08-28 03:52:47", "latitude": -5.5, "longitude": 7.25, "country": "Albania"}""").toDS))
+    assert(geoDs.head().coordinates == Seq(-5.5, 7.25))
+    val userDs = Clean.userTyped(spark.read.schema(Schemas.rawUser).json(Seq(
+      """{"ind": 3, "first_name": "A", "last_name": "B", "age": 20, "date_joined": "2015-10-24 11:23:51"}""").toDS))
+    assert(userDs.head().user_name == "A B")
+  }
+
   test("cleaning is idempotent where re-applicable") {
     val once = Clean.nullOutLike("description", "No description available%")(
       rawPin(Seq(pinRow(1, description = "No description available"), pinRow(2))))
