@@ -54,6 +54,30 @@ object StreamPipeline {
       .trigger(trigger)
       .start()
 
+  /** Streaming exact-dedup with keyed state (extension — the reference
+    * is append-only/stateless): first occurrence of each content hash
+    * passes through, replays/duplicates are dropped. State is one
+    * boolean per hash via flatMapGroupsWithState; at scale, pair with
+    * watermark-based state TTL (GroupStateTimeout) so state doesn't grow
+    * unboundedly — here timeout is left NoTimeout for replay-exactness.
+    * Emits (hash, serialized row) pairs; callers re-expand downstream. */
+  def dedupStream(rows: org.apache.spark.sql.Dataset[(Long, String)])
+      : org.apache.spark.sql.Dataset[(Long, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            it.take(1).map { case (_, payload) => (key, payload) }
+          }
+      }
+  }
+
   /** Optional extension (SURVEY §2.9 ST6 — absent in the reference):
     * watermarked tumbling-window counts per category, demonstrating
     * event-time stateful aggregation for the streaming path. */

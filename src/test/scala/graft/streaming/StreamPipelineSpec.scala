@@ -65,6 +65,23 @@ class StreamPipelineSpec extends SparkSpec {
     assert(total == 80, s"expected 50+30 rows after recovery, got $total")
   }
 
+  test("stateful streaming dedup drops replayed content (flatMapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val a = """{"x": 1}"""
+    val b = """{"x": 2}"""
+    mem.addData(a, b, a, a, b) // replays of the same payloads
+    val keyed = mem.toDS().map(s => (s.hashCode.toLong, s))
+    val deduped = StreamPipeline.dedupStream(keyed)
+    val q = deduped.writeStream.queryName("dedup_out")
+      .format("memory").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("dedup_out").as[(Long, String)].collect().toSeq
+    assert(got.map(_._2).sorted == Seq(a, b).sorted,
+      s"each payload exactly once, got $got")
+  }
+
   test("watermarked event-time window counts (extension ST6)") {
     implicit val sqlCtx = spark.sqlContext
     val geoLines = Seq(
