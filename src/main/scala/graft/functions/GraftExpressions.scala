@@ -19,18 +19,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * natural wrap-around. Equivalent semantics to an incremental
   * Rabin-Karp-style fingerprint; one pass, no allocation. */
 case class Fingerprint64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_fingerprint64"
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fingerprint64.hashUtf8($c)")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string argument, got ${child.dataType.sql}")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    var h = 1125899906842597L // large prime seed
+  override protected def nullSafeEval(input: Any): Any =
+    Fingerprint64.hashUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+    copy(child = newChild)
+}
+
+object Fingerprint64 {
+  /** Static kernel shared by eval and generated code. */
+  def hashUtf8(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 1125899906842597L
     var i = 0
     while (i < bytes.length) {
       h = 31 * h + (bytes(i) & 0xffL)
@@ -38,9 +53,6 @@ case class Fingerprint64(child: Expression)
     }
     h
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
-    copy(child = newChild)
 }
 
 /** SimHash of a bag of 64-bit token hashes (`array<long>` → `long`).

@@ -30,9 +30,11 @@ private[functions] object VecUtil {
 
 /** cosine(a, b) in one pass: accumulates dot, |a|², |b|² together.
   * Zero-norm or length-mismatched inputs → 0.0 (degenerate vectors
-  * shouldn't match any threshold). */
+  * shouldn't match any threshold). Generates a tight primitive loop via
+  * doGenCode so the whole scoring pipeline stays in whole-stage
+  * codegen. */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
@@ -64,6 +66,36 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0d) 0.0d else dot / denom
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val denom = ctx.freshName("denom")
+      val getA = if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+        |final int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.value} = 0.0;
+        |} else {
+        |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    final double x = $getA;
+        |    final double y = $getB;
+        |    $dot += x * y; $na += x * x; $nb += y * y;
+        |  }
+        |  final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        |  ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+        |}
+      """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : CosineSimilarity = copy(left = l, right = r)

@@ -25,6 +25,9 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // janino failures in our doGenCode must fail tests, not silently
+      // drop the whole plan to interpreted mode
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
