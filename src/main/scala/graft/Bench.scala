@@ -11,6 +11,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // test tables are single small parquet files; default 128 MiB
+      // split size would scan each on ONE core. 4 MiB spreads the scan
+      // across the local executor threads. (At production scale the
+      // default is right — this sizes splits to the actual SF.)
+      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup pass at the smallest sf: JIT + whole-stage-codegen compile

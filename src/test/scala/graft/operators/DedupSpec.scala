@@ -66,6 +66,20 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 7, "one row per input row")
   }
 
+  test("connectedComponents: chains collapse to one keeper (transitive)") {
+    // chain 10~11, 11~12, plus isolated pair 20~21 and singleton 30
+    val nodes = Seq(10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .select("doc_id", "keep_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+    // contrast: single-hop keeperFrom leaves 12 pointing at 11
+    val hop = Dedup.keeperFrom(nodes, "doc_id", pairs)
+      .select("doc_id", "keep_id").as[(Long, Long)].collect().toMap
+    assert(hop(12L) == 11L && got(12L) == 10L)
+  }
+
   test("simhash: identical texts equal, near-dups close, unrelated far") {
     val sims = Dedup.simhashes(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
