@@ -113,6 +113,17 @@ object TextAnalysis {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)),
 
+    // ---- q45: MinHash-LSH dedup with TRANSITIVE clusters ----
+    QuerySpec(
+      "q45_dedup_minhash_transitive",
+      None,
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.connectedComponents(docs, "doc_id",
+          Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+            shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5))
+      }),
+
     // ---- q39: n-gram Jaccard top pairs (brute ground truth slice) ----
     QuerySpec(
       "q39_jaccard_top_pairs",
