@@ -77,6 +77,16 @@ object TextFunctions {
     when(uni === 0, lit(1.0)).otherwise(inter / uni)
   }
 
+  /** Redact email addresses, URLs and long digit runs — the scrubbing
+    * pass a training corpus gets before packing. Pure regexp_replace
+    * chain (codegen'd, no shuffle); patterns kept RE2-compatible so the
+    * DuckDB oracle can mirror them exactly. */
+  def redact(c: Column): Column = {
+    val email = regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "[0-9]{9,}", "<NUM>")
+  }
+
   // --- language identification (marker n-gram heuristic) ---------------
 
   /** Per-language marker n-grams/words. Tiny profiles: the goal is a

@@ -193,6 +193,27 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark decontamination: drop corpus rows whose normalized
+    * content hash appears in a blocklist (e.g. eval-set documents) —
+    * a broadcastable left-anti join on the hash, so the corpus streams
+    * through map tasks untouched. */
+  def decontaminate(corpus: DataFrame, textCol: String,
+      blocklist: DataFrame, blocklistTextCol: String): DataFrame = {
+    val bl = blocklist
+      .select(md5(T.normalizeText(col(blocklistTextCol))).as("_block_hash"))
+      .distinct()
+    corpus
+      .withColumn("_block_hash", md5(T.normalizeText(col(textCol))))
+      .join(broadcast(bl), Seq("_block_hash"), "left_anti")
+      .drop("_block_hash")
+  }
+
+  /** Deterministic pseudo-random sampling: keep rows whose Knuth-hashed
+    * id lands under `percent`. Reproducible across runs/partitionings
+    * (no rand()), and expressible in plain SQL for oracle checks. */
+  def deterministicSample(df: DataFrame, idCol: String, percent: Int): DataFrame =
+    df.filter(pmod(col(idCol) * 2654435761L, lit(100)) < percent)
+
   /** Brute-force word-n-gram Jaccard over a bounded id range — the
     * exact-verification baseline the LSH paths are tested against. Only
     * for small slices (quadratic); the scale path is minhashLsh. */

@@ -113,6 +113,52 @@ object TextAnalysis {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)),
 
+    // ---- q46: corpus redaction (emails/URLs/digit runs) ----
+    QuerySpec(
+      "q46_redact",
+      Some("""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\s]+', '<URL>', 'g'),
+                 '[0-9]{9,}', '<NUM>', 'g') AS redacted
+        FROM documents"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), T.redact(col("text")).as("redacted"))),
+
+    // ---- q47: benchmark decontamination (anti-join on content hash) ----
+    QuerySpec(
+      "q47_decontaminate",
+      Some("""
+        WITH norm AS (
+          SELECT doc_id, text,
+                 md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+          FROM documents
+        ), block AS (
+          SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT doc_id FROM norm
+        WHERE NOT EXISTS (SELECT 1 FROM block WHERE block.h = norm.h)"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.decontaminate(docs, "text",
+          docs.filter(col("doc_id") % 10 === 0), "text")
+          .select("doc_id")
+      }),
+
+    // ---- q48: deterministic sampling (reproducible corpus mixes) ----
+    QuerySpec(
+      "q48_deterministic_sample",
+      Some("""
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * 2654435761) % 100 < 25"""),
+      (s, dir) =>
+        Dedup.deterministicSample(
+          Tables.load(s, dir, "documents"), "doc_id", 25)
+          .select("doc_id", "lang")),
+
     // ---- q45: MinHash-LSH dedup with TRANSITIVE clusters ----
     QuerySpec(
       "q45_dedup_minhash_transitive",

@@ -34,6 +34,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(df.select(T.jaccard(col("x"), col("y"))).as[Double].head() - 0.5) < 1e-12)
   }
 
+  test("redact scrubs emails, urls, long digit runs; keeps short numbers") {
+    val got = one(T.redact(col("t")),
+      "mail bob.smith+x@corp.example.org or see https://ex.org/p?q=1 ref 123456789012 room 42")
+      .getString(0)
+    assert(got == "mail <EMAIL> or see <URL> ref <NUM> room 42")
+  }
+
   test("langId classifies marker-bearing sentences") {
     val cases = Seq(
       "the cat is on the mat and the dog is sleeping" -> "en",

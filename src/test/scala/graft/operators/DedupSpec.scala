@@ -99,6 +99,24 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not pair")
   }
 
+  test("decontaminate drops blocklisted content incl. normalized variants") {
+    val corpus = Seq((1L, "keep me"), (2L, "Remove   Me"), (3L, "also keep"))
+      .toDF("doc_id", "text")
+    val block = Seq("remove me").toDF("text")
+    val kept = Dedup.decontaminate(corpus, "text", block, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), "case/whitespace variant of blocked text must drop")
+  }
+
+  test("deterministicSample is reproducible and roughly proportional") {
+    val df = (0L until 1000L).toDF("doc_id")
+    val a = Dedup.deterministicSample(df, "doc_id", 25).as[Long].collect().toSet
+    val b = Dedup.deterministicSample(df.repartition(7), "doc_id", 25)
+      .as[Long].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    assert(a.size > 150 && a.size < 350, s"~25% expected, got ${a.size}")
+  }
+
   test("jaccard brute pairs: hand-computed value") {
     val tiny = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     // 2-shingles: {a b, b c, c d} vs {a b, b c, c e} → 2/4 = 0.5
