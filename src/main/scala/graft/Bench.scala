@@ -21,13 +21,20 @@ object Bench {
     // warmup pass at the smallest sf: JIT + whole-stage-codegen compile
     // per query shape, so timed numbers measure the engine, not javac
     val warmDir = "/root/testdata/sf0.001"
+    // noop sink: materializes EVERY row and column. A count() here lets
+    // Catalyst delete provably-cardinality-preserving joins and whole
+    // subtrees — several operators would be "benchmarked" without
+    // executing at all.
+    def exec(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Unit =
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try exec(fn, warmDir) catch { case _: Throwable => () }
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(fn, sfDir) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

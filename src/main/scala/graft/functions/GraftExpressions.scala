@@ -99,6 +99,128 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct hashed word n-gram shingles of a text in ONE pass:
+  * normalize (lower, trim, whitespace-split) → FNV-1a hash per token →
+  * polynomial combine per n-window → distinct. `string` →
+  * `array<long>`. Replaces a 5-stage higher-order-function chain
+  * (normalize, split, transform+slice+concat_ws, xxhash64 transform,
+  * array_distinct) that re-walks the token array per shingle.
+  * Fewer than n tokens → a single hash of the whole token list
+  * (same degenerate-case semantics as the HOF form). */
+case class ShingleHashes64(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0 && n <= 32)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  @inline private def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT).trim
+    val tokens =
+      if (text.isEmpty) Array.empty[String] else text.split("\\s+")
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (tokens.length < n) {
+      // degenerate: one shingle of the whole (possibly empty) text
+      var h = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < tokens.length) { h = h * 0x100000001b3L + fnv1a(tokens(i)); i += 1 }
+      out.add(h)
+    } else {
+      val th = new Array[Long](tokens.length)
+      var i = 0
+      while (i < tokens.length) { th(i) = fnv1a(tokens(i)); i += 1 }
+      var s = 0
+      while (s + n <= tokens.length) {
+        var h = 0x9e3779b97f4a7c15L
+        var j = 0
+        while (j < n) { h = h * 0x100000001b3L + th(s + j); j += 1 }
+        out.add(h)
+        s += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes64 =
+    copy(child = c)
+}
+
+/** MinHash signature of a hashed-shingle set (`array<long>` →
+  * `array<long>` of length k): min over elements of h_i(x) = a_i·x+b_i
+  * for k independent affine hash functions with position-seeded
+  * (splitmix64) coefficients — identical on every executor, nothing
+  * broadcast. One tight pass; the higher-order-function composition of
+  * the same idea evaluates k×|shingles| interpreted lambdas per row and
+  * is ~100× slower at corpus scale. */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && k <= 1024)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.sql}")
+  }
+
+  @transient private lazy val coeffs: (Array[Long], Array[Long]) = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = Array.tabulate(k)(i => mix(2L * i) | 1L) // odd multiplier
+    val b = Array.tabulate(k)(i => mix(2L * i + 1))
+    (a, b)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val (as, bs) = coeffs
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = as(j) * x + bs(j)
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    // empty shingle set → the all-MaxValue signature (matches only other
+    // empty sets, which is the right semantics for empty documents)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
 /** Column-level accessors (via the classic Expression↔Column shim) and
   * SQL registration for the custom expressions. Registration is
   * idempotent per session and only needed for SQL-text callers —

@@ -47,15 +47,32 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** 64-bit hashes of each shingle (xxhash64, seed-stable) — the input
-    * to minhash signatures. */
-  def shingleHashes(c: Column, n: Int): Column =
+  /** Distinct 64-bit hashes of the word n-gram shingles — the input to
+    * minhash signatures and exact-Jaccard verification. One-pass custom
+    * expression ([[ShingleHashes64]]). */
+  def shingleHashes(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.column(ShingleHashes64(shim.expression(c), n))
+  }
+
+  /** HOF reference twin of [[shingleHashes]] (xxhash64 over the string
+    * shingles of [[shingles]]) — different hash family, same set
+    * cardinalities; kept for property cross-checks. */
+  def shingleHashesHof(c: Column, n: Int): Column =
     transform(array_distinct(shingles(c, n)), s => xxhash64(s))
 
-  /** MinHash signature: for k seeded hash functions, the minimum over
-    * all shingles of xxhash64(seed_i, shingle). Output array<long> of
-    * length k. One pass per seed over a per-row array — no shuffle. */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
+  /** MinHash signature over HASHED shingles (`array<long>`): k affine
+    * hash minima in one pass (custom expression [[MinHashSignature]]).
+    * Output array<long> of length k. No shuffle. */
+  def minhashSignature(shingleHashCol: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.column(MinHashSignature(shim.expression(shingleHashCol), k))
+  }
+
+  /** HOF reference twin of [[minhashSignature]] (string or long
+    * shingles; xxhash64-seeded family) — kept for property
+    * cross-checks; ~100× slower per row than the expression form. */
+  def minhashSignatureHof(shingleCol: Column, k: Int): Column =
     transform(
       sequence(lit(0), lit(k - 1)),
       seed => array_min(transform(shingleCol, s => xxhash64(seed, s))))
@@ -99,9 +116,10 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "了", "在", "我", "不"))
 
   /** Count of non-overlapping occurrences of `marker` in the text —
-    * `(len(x) - len(replace(x, m, ''))) / len(m)`, all built-ins. */
+    * `(len(x) - len(replace(x, m, ''))) / len(m)`. Literal `replace`,
+    * not regexp_replace: no regex engine on the hot path. */
   private def occurrences(c: Column, marker: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(marker), ""))) /
+    ((length(c) - length(replace(c, lit(marker), lit("")))) /
       lit(marker.length)).cast("long")
 
   /** Predicted language: argmax of marker-occurrence score; ties broken

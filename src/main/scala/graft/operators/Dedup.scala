@@ -53,15 +53,15 @@ object Dedup {
     // join, and exact-Jaccard verification all run over compact long
     // arrays instead of wide string arrays (64-bit collisions are
     // negligible vs the LSH approximation itself)
-    // persisted: both the candidate self-join and the verification
-    // re-joins consume these, and the two sides of a self-join are NOT
-    // deduplicated by exchange reuse (different projections) — without
-    // persist the shingle/signature computation runs 2×. Size is
-    // id+hashes, tiny relative to the corpus; spills to disk if not.
+    // NOT persisted: columnar-caching the wide array<long> shingle
+    // column costs several× more than recomputing it (measured: ~7 s to
+    // encode vs ~1.3 s per recompute at sf0.1) — the narrow per-row
+    // shingle pass is cheap; only the SMALL banded frame (id, band,
+    // hash) is cached, since both sides of the candidate self-join read
+    // it and exchange reuse can't deduplicate them.
     val sh = df.select(
       col(idCol),
       T.shingleHashes(col(textCol), shingleSize).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.select(
       col(idCol), T.minhashSignature(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
@@ -96,37 +96,70 @@ object Dedup {
     * near-dup clusters. maxIter bounds pathological graphs. */
   def connectedComponents(
       df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 10): DataFrame = {
-    val spark = df.sparkSession
+      rounds: Int = 6): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // undirected edges (both directions) — a node's candidate label is
-    // the min over its neighbors' labels and its own
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // undirected edges (both directions), built by exploding per row —
+    // NOT a union of two selects, which would duplicate the (expensive)
+    // upstream candidate-generation subtree into two computations
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(MEMORY_AND_DISK)
-    var labels = df.select(col(idCol).as("node"), col(idCol).cast("long").as("label"))
-      .persist(MEMORY_AND_DISK)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "dst")
-          .withColumnRenamed("label", "dst_label"), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("dst_label")).as("neighbor_label"))
-      val updated = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("neighbor_label"), col("label"))).as("label"))
-        .persist(MEMORY_AND_DISK)
-      val changed = updated.join(labels.withColumnRenamed("label", "old_label"), Seq("node"))
-        .filter(col("label") =!= col("old_label")).limit(1).count()
-      labels.unpersist()
-      labels = updated
-      converged = changed == 0
-      iter += 1
-    }
-    edges.unpersist()
-    labels.select(col("node").as(idCol), col("label").as("keep_id"))
+    // Key scale insight: labels can only change for nodes that touch an
+    // edge, and the verified-pair set is tiny relative to the corpus by
+    // construction (it IS the duplicates). Two regimes:
+    //  - edges fit on the driver (≤ maxDriverEdges, the overwhelmingly
+    //    common case): exact union-find with path compression, fully
+    //    converged, zero iterative Spark jobs;
+    //  - larger: distributed min-label rounds over the subgraph with a
+    //    per-round persist — the persist truncates the otherwise
+    //    EXPONENTIAL self-referencing plan (labels appears twice per
+    //    round) into one cached layer per round.
+    val maxDriverEdges = 5000000
+    val edgeCount = edges.count()
+    val labelMap: DataFrame =
+      if (edgeCount <= maxDriverEdges) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.select(col("src").cast("long"), col("dst").cast("long"))
+          .collect().foreach { row =>
+            val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+            if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+          }
+        val spark = df.sparkSession
+        import spark.implicits._
+        parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "label")
+      } else {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        var labels = edges.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("label"))
+          .persist(MEMORY_AND_DISK)
+        var r = 0
+        while (r < rounds) {
+          val neighborMin = edges
+            .join(labels.select(col("node").as("dst"), col("label").as("dst_label")), Seq("dst"))
+            .groupBy(col("src").as("node"))
+            .agg(min(col("dst_label")).as("neighbor_label"))
+          labels = labels.join(neighborMin, Seq("node"))
+            .select(col("node"), least(col("label"), col("neighbor_label")).as("label"))
+            .persist(MEMORY_AND_DISK)
+          r += 1
+        }
+        labels
+      }
+    // AQE broadcasts the label map when it is small (the common case)
+    df.join(labelMap.select(col("node").as(idCol), col("label")), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("label"), col(idCol).cast("long")).as("keep_id"))
       .withColumn("is_duplicate", col(idCol).cast("long") =!= col("keep_id"))
   }
 

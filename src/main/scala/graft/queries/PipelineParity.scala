@@ -30,12 +30,21 @@ object PipelineParity {
     fixtureDir
   }
 
-  private def cleaned(spark: SparkSession): (DataFrame, DataFrame, DataFrame) = {
-    val base = ensureFixtures()
-    (Clean.pin(JsonSource.readPin(spark, base)),
-      Clean.geo(JsonSource.readGeo(spark, base)),
-      Clean.user(JsonSource.readUser(spark, base)))
-  }
+  /** Cleaned frames are built once per session and persisted: all eight
+    * task queries reuse them, so the JSON scan + cleaning chain runs
+    * once, not 8× (keyed by session so Verify/Bench/driver sessions
+    * don't share stale plans). */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (DataFrame, DataFrame, DataFrame)]
+
+  private def cleaned(spark: SparkSession): (DataFrame, DataFrame, DataFrame) =
+    cache.getOrElseUpdate(spark, {
+      val base = ensureFixtures()
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      (Clean.pin(JsonSource.readPin(spark, base)).persist(MEMORY_AND_DISK),
+        Clean.geo(JsonSource.readGeo(spark, base)).persist(MEMORY_AND_DISK),
+        Clean.user(JsonSource.readUser(spark, base)).persist(MEMORY_AND_DISK))
+    })
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_pipeline_task4_top_category_per_country", None, (s, _) => {

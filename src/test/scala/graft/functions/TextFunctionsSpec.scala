@@ -70,6 +70,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("n_tokens") == 14L)
   }
 
+  test("one-pass shingle hashes match the HOF form's set semantics") {
+    val texts = Seq(
+      "a b c d e f g", "a b c d e f g", "  A  b   C d e f g  ",
+      "x", "", "one two", "a b a b a b")
+    val df = texts.toDF("t").select(
+      size(T.shingleHashes(col("t"), 3)).as("fast"),
+      size(T.shingleHashesHof(col("t"), 3)).as("hof"),
+      T.jaccard(T.shingleHashes(col("t"), 3),
+        T.shingleHashes(lit("a b c d e f g"), 3)).as("jf"),
+      T.jaccard(T.shingleHashesHof(col("t"), 3),
+        T.shingleHashesHof(lit("a b c d e f g"), 3)).as("jh"))
+    df.collect().zip(texts).foreach { case (r, t) =>
+      assert(r.getInt(0) == r.getInt(1), s"cardinality differs for '$t'")
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-12,
+        s"jaccard differs for '$t': ${r.getDouble(2)} vs ${r.getDouble(3)}")
+    }
+  }
+
   test("minhash signature: containment tracks similarity") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
@@ -77,7 +95,7 @@ class TextFunctionsSpec extends SparkSpec {
       (3L, "one two three four five six seven eight"))
       .toDF("id", "t")
       .select(col("id"),
-        T.minhashSignature(array_distinct(T.shingles(col("t"), 2)), 64).as("sig"))
+        T.minhashSignature(T.shingleHashes(col("t"), 2), 64).as("sig"))
     val sigs = df.as[(Long, Seq[Long])].collect().toMap
     def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
     assert(agree(sigs(1L), sigs(2L)) > agree(sigs(1L), sigs(3L)),

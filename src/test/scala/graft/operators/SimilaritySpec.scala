@@ -128,6 +128,23 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)), s"got $pairs")
   }
 
+  test("robustness: zero vectors, empty arrays, unicode text") {
+    // zero vector: cosine 0 against anything, never NaN
+    val z = Seq((Seq(0f, 0f), Seq(1f, 2f)), (Seq.empty[Float], Seq.empty[Float]))
+      .toDF("a", "b")
+      .select(V.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(z.forall(v => !v.isNaN && v == 0.0))
+    // mismatched lengths: defined (0.0), not an exception
+    val m = Seq((Seq(1f), Seq(1f, 2f))).toDF("a", "b")
+      .select(V.cosine(col("a"), col("b"))).as[Double].head()
+    assert(m == 0.0)
+    // unicode dedup round-trip
+    val docs = Seq((1L, "héllo wörld ✓"), (2L, "HÉLLO   WÖRLD ✓")).toDF("doc_id", "text")
+    val keep = graft.operators.Dedup.exactNormalized(docs, "doc_id", "text")
+      .select("doc_id", "is_duplicate").as[(Long, Boolean)].collect().toMap
+    assert(!keep(1L) && keep(2L), "unicode case/space variants fold")
+  }
+
   test("hyperplane signature: identical vectors identical, negated all-differ") {
     val sigs = corpus.filter(col("vec_id") < 3)
       .select(col("vec_id"), V.hyperplaneSignature(col("embedding"), 16).as("sig"))
