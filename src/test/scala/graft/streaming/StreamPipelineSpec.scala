@@ -65,6 +65,23 @@ class StreamPipelineSpec extends SparkSpec {
     assert(total == 80, s"expected 50+30 rows after recovery, got $total")
   }
 
+  test("file-source stream over the landed topic layout == batch scan") {
+    // the reference's real landing: JSON files under topics/<t>/partition=N
+    // consumed as an unbounded source (new files = new micro-batches)
+    val base = java.nio.file.Files.createTempDirectory("graft-landed")
+    graft.sources.EmulatorGenerator.writeTopicLayout(base, 60, seed = 23L)
+    val out = java.nio.file.Files.createTempDirectory("graft-landed-out").toString
+    val stream = spark.readStream
+      .schema(Schemas.rawPin)
+      .json(s"$base/topics/pin/partition=*")
+    val q = StreamPipeline.writeStream(Clean.pin(stream), out, "pin_files")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$out/data/pin_files")
+    val batch = Clean.pin(
+      graft.sources.JsonSource.readPin(spark, base.toString))
+    assertSameRows(streamed, batch, "file-stream vs batch")
+  }
+
   test("stateful streaming dedup drops replayed content (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
