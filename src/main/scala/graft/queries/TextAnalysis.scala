@@ -70,18 +70,92 @@ object TextAnalysis {
             count(lit(1)).as("n_docs"),
             (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))),
 
-    // ---- q35: language identification (marker heuristic; Spark-only) ----
+    // ---- q35: language identification — oracle mirrors the marker
+    // scoring + struct-argmax (DuckDB structs compare field-order
+    // lexicographically, same as Spark's greatest over structs) ----
     QuerySpec(
       "q35_lang_id",
-      None,
+      Some {
+        val langs = T.langMarkers.toSeq.sortBy(_._1)
+        val scoreCols = langs.map { case (lang, markers) =>
+          val score = markers.map { m =>
+            s"CAST((LENGTH(p) - LENGTH(REPLACE(p, '$m', '')))/${m.length} AS BIGINT)"
+          }.mkString(" + ")
+          s"($score) AS s_$lang"
+        }
+        // ties: Spark's greatest over (score, lang) structs picks the
+        // LARGEST lang string — mirrored by checking langs descending
+        val tieCases = langs.map(_._1).sorted.reverse
+          .map(l => s"WHEN s_$l = mx THEN '$l'").mkString("\n               ")
+        s"""
+        WITH norm AS (
+          SELECT doc_id,
+                 ' ' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') || ' ' AS p
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, ${scoreCols.mkString(",\n            ")}
+          FROM norm
+        ), best AS (
+          SELECT *, GREATEST(${langs.map(l => "s_" + l._1).mkString(", ")}) AS mx
+          FROM scored
+        )
+        SELECT doc_id,
+               CASE WHEN mx = 0 THEN 'und'
+               $tieCases
+               ELSE 'und' END AS lang_pred
+        FROM best"""
+      },
       (s, dir) =>
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), T.langId(col("text")).as("lang_pred"))),
 
-    // ---- q33: quality scoring (Spark-only; formula asserted in tests) ----
+    // ---- q33: quality scoring — the DuckDB oracle mirrors the exact
+    // IEEE arithmetic of TextFunctions.qualityMetrics ----
     QuerySpec(
       "q33_quality_score",
-      None,
+      Some("""
+        WITH norm AS (
+          SELECT doc_id,
+                 regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm
+          FROM documents
+        ), base AS (
+          SELECT doc_id, nrm,
+                 CAST(LENGTH(nrm) AS DOUBLE) AS n_chars_d,
+                 CASE WHEN LENGTH(nrm) = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE CAST(LEN(STRING_SPLIT(nrm, ' ')) AS DOUBLE) END AS n_toks_d,
+                 CAST(LENGTH(regexp_replace(nrm, '[^a-z]', '', 'g')) AS DOUBLE) AS alpha,
+                 CAST(LENGTH(regexp_replace(nrm, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS punct,
+                 CAST(
+                   CAST((LENGTH(' '||nrm||' ') - LENGTH(REPLACE(' '||nrm||' ', ' the ', '')))/5 AS BIGINT)
+                 + CAST((LENGTH(' '||nrm||' ') - LENGTH(REPLACE(' '||nrm||' ', ' a ', '')))/3 AS BIGINT)
+                 + CAST((LENGTH(' '||nrm||' ') - LENGTH(REPLACE(' '||nrm||' ', ' and ', '')))/5 AS BIGINT)
+                 + CAST((LENGTH(' '||nrm||' ') - LENGTH(REPLACE(' '||nrm||' ', ' of ', '')))/4 AS BIGINT)
+                 + CAST((LENGTH(' '||nrm||' ') - LENGTH(REPLACE(' '||nrm||' ', ' to ', '')))/4 AS BIGINT)
+                 + CAST((LENGTH(' '||nrm||' ') - LENGTH(REPLACE(' '||nrm||' ', ' in ', '')))/4 AS BIGINT)
+                 + CAST((LENGTH(' '||nrm||' ') - LENGTH(REPLACE(' '||nrm||' ', ' is ', '')))/4 AS BIGINT)
+                 AS DOUBLE) AS stop_d
+          FROM norm
+        ), derived AS (
+          SELECT doc_id, n_chars_d, n_toks_d,
+                 GREATEST(n_chars_d, 1.0) AS safe_chars,
+                 GREATEST(n_toks_d, 1.0) AS safe_toks,
+                 alpha, punct, stop_d
+          FROM base
+        )
+        SELECT doc_id,
+               CAST(n_chars_d AS BIGINT) AS n_chars,
+               CAST(n_toks_d AS BIGINT) AS n_tokens,
+               (n_chars_d - (n_toks_d - 1)) / safe_toks AS avg_token_len,
+               alpha / safe_chars AS alpha_ratio,
+               punct / safe_chars AS punct_ratio,
+               stop_d / safe_toks AS stopword_ratio,
+               (CASE WHEN n_toks_d BETWEEN 5 AND 100000
+                      AND (n_chars_d - (n_toks_d - 1)) / safe_toks BETWEEN 2 AND 12
+                     THEN 1.0 ELSE 0.0 END * 0.4)
+               + (alpha / safe_chars * 0.3)
+               + (LEAST(stop_d / safe_toks * 5, 1.0) * 0.2)
+               + ((1.0 - LEAST(punct / safe_chars * 5, 1.0)) * 0.1) AS quality_score
+        FROM derived"""),
       (s, dir) =>
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), T.qualityMetrics(col("text")).as("m"))
