@@ -374,6 +374,49 @@ object Relational {
           .cube(col("o_orderpriority"), col("o_orderstatus"))
           .agg(count(lit(1)).as("n"))),
 
+    // ---- q50: sessionization — 30-min inactivity gap sessions via
+    // LAG + running sum (both engines compute on epoch MICROSECONDS so
+    // the parquet ns-vs-µs precision difference can't change ordering
+    // or gap math) ----
+    QuerySpec(
+      "q50_sessionize_events",
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        ), gaps AS (
+          SELECT user_id, event_id, us,
+                 CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), sessions AS (
+          SELECT user_id, event_id, us,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+          FROM gaps
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               COUNT(*) AS n_events,
+               MIN(event_id) AS first_event_id,
+               CAST((MAX(us) - MIN(us)) AS BIGINT) AS duration_us
+        FROM sessions
+        GROUP BY user_id, session_seq"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("new_sess",
+            when(lag(col("us"), 1).over(w).isNull ||
+              col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1).otherwise(0))
+          .withColumn("session_seq", sum(col("new_sess")).over(run).cast("long"))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("event_id")).as("first_event_id"),
+            (max(col("us")) - min(col("us"))).cast("long").as("duration_us"))
+      }),
+
     // ---- q14: anti join — customers with no orders (NOT EXISTS) ----
     QuerySpec(
       "q14_customers_without_orders",

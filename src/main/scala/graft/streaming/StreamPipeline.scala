@@ -79,13 +79,10 @@ object StreamPipeline {
   }
 
   /** Optional extension (SURVEY §2.9 ST6 — absent in the reference):
-    * watermarked tumbling-window counts per category, demonstrating
-    * event-time stateful aggregation for the streaming path. */
-  def windowedCategoryCounts(cleanedPin: DataFrame, cleanedGeo: DataFrame): DataFrame = {
-    // stream-stream equi-join on ind within the watermark bound, then
-    // event-time tumbling window count per category
-    val g = cleanedGeo.withWatermark("timestamp", "1 hour")
-    g.groupBy(window(col("timestamp"), "1 day"), col("country"))
+    * watermarked event-time tumbling-window counts per country —
+    * bounded state (windows evict once the watermark passes). */
+  def windowedCountryCounts(cleanedGeo: DataFrame): DataFrame =
+    cleanedGeo.withWatermark("timestamp", "1 hour")
+      .groupBy(window(col("timestamp"), "1 day"), col("country"))
       .agg(count(lit(1)).as("events"))
-  }
 }

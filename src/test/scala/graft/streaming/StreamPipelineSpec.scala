@@ -110,7 +110,7 @@ class StreamPipelineSpec extends SparkSpec {
     mem.addData(geoLines: _*)
     val cleaned = StreamPipeline.cleanGeoStream(
       StreamPipeline.deserialize(mem.toDF, Schemas.rawGeo))
-    val windowed = StreamPipeline.windowedCategoryCounts(null, cleaned)
+    val windowed = StreamPipeline.windowedCountryCounts(cleaned)
     val q = windowed.writeStream.queryName("geo_windows")
       .format("memory").outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
