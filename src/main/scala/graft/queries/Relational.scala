@@ -417,6 +417,38 @@ object Relational {
             (max(col("us")) - min(col("us"))).cast("long").as("duration_us"))
       }),
 
+    // ---- q51: as-of join — latest signup at-or-before each purchase
+    // (DuckDB has a native ASOF JOIN; the Spark side composes the
+    // union+window form — see operators.AsofJoin) ----
+    QuerySpec(
+      "q51_asof_purchase_signup",
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us
+          FROM events WHERE event_type = 'purchase'
+        ), s0 AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+          WHERE event_type = 'signup'
+        ), s AS (
+          SELECT user_id, us, MAX(event_id) AS signup_event_id
+          FROM s0 GROUP BY user_id, us
+        )
+        SELECT p.user_id, p.event_id, p.us, s.signup_event_id AS asof_signup_event_id
+        FROM p ASOF LEFT JOIN s
+          ON p.user_id = s.user_id AND s.us <= p.us"""),
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "us")
+        val signups = events.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"), col("us"))
+          .agg(max(col("event_id")).as("signup_event_id"))
+        graft.operators.AsofJoin.asofBackward(
+          purchases, signups, "user_id", "us", Seq("signup_event_id"))
+      }),
+
     // ---- q14: anti join — customers with no orders (NOT EXISTS) ----
     QuerySpec(
       "q14_customers_without_orders",
