@@ -39,8 +39,10 @@ object Tables {
   * names, hash-stable values) when run by DuckDB over the same parquet
   * tables. Determinism rules used throughout the catalog:
   *   - money/double sums go through integer cents
-  *     (`CAST(ROUND(x*100) AS BIGINT)`) so accumulation order can't change
-  *     the result; plain double sums are not reproducible across engines.
+  *     (`CAST(FLOOR(x*100 + 0.5) AS BIGINT)`) so accumulation order can't
+  *     change the result and the rounding is pure IEEE arithmetic —
+  *     identical on any engine (Spark's ROUND rounds the shortest-decimal
+  *     BigDecimal, DuckDB rounds the binary double; FLOOR can't diverge).
   *   - year()/month()/size() results are cast to BIGINT on both sides
   *     (DuckDB extracts are int64, Spark's are int32).
   *   - result sets are unique rows (ties kept by rank(), or broken by an

@@ -27,8 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** `CAST(ROUND(x*100) AS BIGINT)` — exact cents for sum-stability. */
-  private def cents(c: Column): Column = round(c * 100).cast("long")
+  /** `CAST(FLOOR(x*100 + 0.5) AS BIGINT)` — exact cents for
+    * sum-stability. FLOOR, not ROUND: Spark's ROUND rounds the
+    * shortest-decimal BigDecimal of the double (HALF_UP) while DuckDB
+    * rounds the binary value, so a computed price like
+    * `...49999999999` vs `...5` diverges by one cent between engines
+    * (the round-1 q01/q12 hash failures). `floor(x*100 + 0.5)` is pure
+    * IEEE arithmetic — identical on any engine given the same input
+    * double — making the cents convention representation-proof. */
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+
+  /** The DuckDB-side mirror of [[cents]]. */
+  private def centsSql(e: String): String = s"CAST(FLOOR($e*100 + 0.5) AS BIGINT)"
 
   /** Account-balance banding — the reference's 4-bucket CASE age banding
     * (`BatchProcessingFinal.ipynb:5947-5954`) over c_acctbal. */
@@ -49,11 +59,11 @@ object Relational {
     // ---- q01: pricing summary (TPC-H Q1 shape; A1/A2, O2, pushdown) ----
     QuerySpec(
       "q01_pricing_summary",
-      Some("""
+      Some(s"""
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
-               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
-               SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+               SUM(${centsSql("l_quantity")}) AS sum_qty_cents,
+               SUM(${centsSql("l_extendedprice")}) AS sum_price_cents,
+               SUM(${centsSql("l_extendedprice*(1-l_discount)")}) AS sum_disc_cents,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
@@ -145,9 +155,9 @@ object Relational {
     // ---- q05: Task 6.1 — top customer per nation via 3-way chain + RANK ----
     QuerySpec(
       "q05_top_customer_per_nation",
-      Some("""
+      Some(s"""
         WITH joined AS (
-          SELECT r_name, n_name, c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
+          SELECT r_name, n_name, c_name, ${centsSql("c_acctbal")} AS acctbal_cents
           FROM customer
           JOIN nation ON c_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
@@ -180,8 +190,8 @@ object Relational {
     // LIMIT 1 under a tie is order-dependent — we pin it). ----
     QuerySpec(
       "q06_top_customer_global",
-      Some("""
-        SELECT c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
+      Some(s"""
+        SELECT c_name, ${centsSql("c_acctbal")} AS acctbal_cents
         FROM customer
         ORDER BY acctbal_cents DESC, c_name
         LIMIT 1"""),
@@ -224,7 +234,7 @@ object Relational {
       "q08_median_acctbal_by_band",
       Some(s"""
         SELECT $acctBandSql AS band,
-               QUANTILE_CONT(CAST(ROUND(c_acctbal*100) AS BIGINT), 0.5) AS median_cents,
+               QUANTILE_CONT(${centsSql("c_acctbal")}, 0.5) AS median_cents,
                COUNT(*) AS n
         FROM customer
         GROUP BY 1"""),
@@ -232,7 +242,7 @@ object Relational {
         Tables.load(s, dir, "customer")
           .groupBy(acctBand(col("c_acctbal")).as("band"))
           .agg(
-            expr("percentile(CAST(ROUND(c_acctbal*100) AS BIGINT), 0.5)").as("median_cents"),
+            expr("percentile(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT), 0.5)").as("median_cents"),
             count(lit(1)).as("n"))),
 
     // ---- q09: Task 9 — signups per month (F9 on event-time) ----
@@ -252,23 +262,23 @@ object Relational {
     // ---- q10: Task 10 — median event value per type ----
     QuerySpec(
       "q10_median_value_by_type",
-      Some("""
+      Some(s"""
         SELECT event_type,
-               QUANTILE_CONT(CAST(ROUND(value*100) AS BIGINT), 0.5) AS median_value_cents
+               QUANTILE_CONT(${centsSql("value")}, 0.5) AS median_value_cents
         FROM events
         GROUP BY event_type"""),
       (s, dir) =>
         Tables.load(s, dir, "events")
           .groupBy(col("event_type"))
-          .agg(expr("percentile(CAST(ROUND(value*100) AS BIGINT), 0.5)")
+          .agg(expr("percentile(CAST(FLOOR(value*100 + 0.5) AS BIGINT), 0.5)")
             .as("median_value_cents"))),
 
     // ---- q11: Task 11 — median per (month, type): two-key grouping ----
     QuerySpec(
       "q11_median_value_by_month_type",
-      Some("""
+      Some(s"""
         SELECT CAST(MONTH(ts) AS BIGINT) AS month, event_type,
-               QUANTILE_CONT(CAST(ROUND(value*100) AS BIGINT), 0.5) AS median_value_cents
+               QUANTILE_CONT(${centsSql("value")}, 0.5) AS median_value_cents
         FROM events
         WHERE MONTH(ts) BETWEEN 1 AND 6
         GROUP BY 1, 2"""),
@@ -276,7 +286,7 @@ object Relational {
         Tables.load(s, dir, "events")
           .filter(month(col("ts")).between(1, 6))
           .groupBy(month(col("ts")).cast("long").as("month"), col("event_type"))
-          .agg(expr("percentile(CAST(ROUND(value*100) AS BIGINT), 0.5)")
+          .agg(expr("percentile(CAST(FLOOR(value*100 + 0.5) AS BIGINT), 0.5)")
             .as("median_value_cents"))),
 
     // ---- q16: A1 value-frequency profiling ----
@@ -308,9 +318,9 @@ object Relational {
     // ---- q18: W5 running-sum frame (UNBOUNDED PRECEDING..CURRENT ROW) ----
     QuerySpec(
       "q18_running_value_per_user",
-      Some("""
+      Some(s"""
         SELECT event_id, user_id,
-               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+               CAST(SUM(${centsSql("value")}) OVER (
                  PARTITION BY user_id ORDER BY event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS running_cents
@@ -350,17 +360,17 @@ object Relational {
     // ---- q12: ROLLUP — subtotal hierarchy (beyond the reference) ----
     QuerySpec(
       "q12_rollup_year_status",
-      Some("""
+      Some(s"""
         SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
                COUNT(*) AS n,
-               SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_cents
+               SUM(${centsSql("o_totalprice")}) AS total_cents
         FROM orders
         GROUP BY ROLLUP(CAST(YEAR(o_orderdate) AS BIGINT), o_orderstatus)"""),
       (s, dir) =>
         Tables.load(s, dir, "orders")
           .rollup(year(col("o_orderdate")).cast("long").as("order_year"), col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
-            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))),
+            sum(cents(col("o_totalprice"))).as("total_cents"))),
 
     // ---- q13: CUBE — full cross-tab margins ----
     QuerySpec(
