@@ -123,6 +123,30 @@ object PinQueries {
       .limit(1)
       .select("country", "follower_count")
 
+  /** Task 6.2 SQL form — the reference's `%sql` cell at
+    * BatchProcessingFinal.ipynb:5672-5687 wrapped over the 6.1 CTE, with
+    * the country tiebreak appended so a follower-count tie can't make
+    * the LIMIT 1 row engine-order-dependent (the reference's own result
+    * is order-dependent under its latent American Samoa / Angola 8M tie
+    * — SURVEY §7.4; documented deviation). */
+  val task6Part2Sql: String = """
+    WITH initial_table AS (
+      SELECT country, user_name AS poster_name, follower_count,
+             RANK() OVER (PARTITION BY country ORDER BY follower_count DESC) rank_order
+      FROM geo_table
+        JOIN user_table ON user_table.ind = geo_table.ind
+        JOIN pin_table ON pin_table.ind = user_table.ind
+    ),
+    top_per_country AS (
+      SELECT DISTINCT country, poster_name, follower_count
+      FROM initial_table WHERE rank_order = 1
+    )
+    SELECT country, follower_count
+    FROM top_per_country
+    GROUP BY follower_count, country
+    ORDER BY follower_count DESC, country
+    LIMIT 1"""
+
   // ---- Task 7: top category per age group (:5945-5981) ---------------
 
   val task7Sql: String = s"""
@@ -189,6 +213,17 @@ object PinQueries {
       .agg(percentile_approx(col("follower_count"), lit(0.5), lit(10000))
         .as("median_follower_count"))
 
+  /** Exact-median twin of Task 8 (A10 — the reference's own commented
+    * `PERCENTILE_CONT` road, BatchProcessingFinal.ipynb:6214): same
+    * grouping, exact `percentile` instead of approx. This is the form
+    * the DuckDB oracle hash-matches (QUANTILE_CONT); PinTasksSpec
+    * asserts the approx parity forms stay within tolerance of these. */
+  def task8ExactDf(pin: DataFrame, user: DataFrame): DataFrame =
+    pin.join(user, Seq("ind"))
+      .select(col("follower_count"), ageGroup(col("age")).as("age_group"))
+      .groupBy(col("age_group"))
+      .agg(expr("percentile(follower_count, 0.5)").as("median_follower_count"))
+
   // ---- Task 9: users joined per year (:18388-18397) ------------------
 
   val task9Sql: String = """
@@ -224,6 +259,13 @@ object PinQueries {
       .distinct()
   }
 
+  /** Exact-median twin of Task 10 (see [[task8ExactDf]]). */
+  def task10ExactDf(pin: DataFrame, user: DataFrame): DataFrame =
+    user.join(pin, Seq("ind"))
+      .select(year(col("date_joined")).as("post_year"), col("follower_count"))
+      .groupBy(col("post_year"))
+      .agg(expr("percentile(follower_count, 0.5)").as("median_follower_count"))
+
   // ---- Task 11: median by join year and age group (:30798-30817) -----
 
   val task11Sql: String = s"""
@@ -252,6 +294,16 @@ object PinQueries {
       .distinct()
       .orderBy(col("post_year"), col("age_group"))
   }
+
+  /** Exact-median twin of Task 11 (see [[task8ExactDf]]). */
+  def task11ExactDf(pin: DataFrame, user: DataFrame): DataFrame =
+    pin.join(user, Seq("ind"))
+      .select(
+        col("follower_count"),
+        year(col("date_joined")).as("post_year"),
+        ageGroup(col("age")).as("age_group"))
+      .groupBy(col("post_year"), col("age_group"))
+      .agg(expr("percentile(follower_count, 0.5)").as("median_follower_count"))
 
   // ---- Extensions beyond the reference surface (SURVEY §1.3, §7.1.7) --
 
@@ -284,6 +336,7 @@ object PinQueries {
       "task4" -> spark.sql(task4Sql),
       "task5" -> spark.sql(task5Sql),
       "task6_1" -> spark.sql(task6Part1Sql),
+      "task6_2" -> spark.sql(task6Part2Sql),
       "task7" -> spark.sql(task7Sql),
       "task8" -> spark.sql(task8Sql),
       "task9" -> spark.sql(task9Sql),
@@ -297,6 +350,7 @@ object PinQueries {
       "task4" -> task4Df(pin, geo),
       "task5" -> task5Df(pin, geo),
       "task6_1" -> task6Part1Df(pin, geo, user),
+      "task6_2" -> task6Part2Df(task6Part1Df(pin, geo, user)),
       "task7" -> task7Df(pin, user),
       "task8" -> task8Df(pin, user),
       "task9" -> task9Df(user),
