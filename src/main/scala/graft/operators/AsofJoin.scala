@@ -21,13 +21,22 @@ import org.apache.spark.sql.functions._
   * (key, time) for deterministic results — dedupe first (e.g.
   * `Dedup.deterministicSample`-style keep-max rules) as the tests and
   * q51 do.
-  */
+  *
+  * [[asofBackwardBucketed]] is the hot-key variant (VERDICT r1 §Next 8):
+  * a key holding a large fraction of all rows makes the per-key window a
+  * one-reducer straggler. The backward-match semantics decompose exactly
+  * by time bucket — a left row's match is either the last right within
+  * its own (key, bucket), or the last right of the nearest earlier
+  * non-empty bucket — so phase 1 windows over (key, bucket) [skew spread]
+  * and phase 2 carries bucket-last payloads across per-bucket summaries
+  * (one row per non-empty bucket). Identical results for ANY bucket size
+  * (asserted in SkewSpec, oracle-checked as q53). */
 object AsofJoin {
 
-  def asofBackward(
+  /** Tagged union shared by both forms: (_k, _t, _side, _l, _r). */
+  private def taggedUnion(
       left: DataFrame, right: DataFrame,
-      key: String, time: String,
-      rightCols: Seq[String]): DataFrame = {
+      key: String, time: String, rightCols: Seq[String]): DataFrame = {
     val leftStruct = struct(left.columns.map(col): _*).as("_l")
     val rightStruct = struct(rightCols.map(col): _*).as("_r")
     val lPrep = left.select(
@@ -39,11 +48,49 @@ object AsofJoin {
       lit(null).cast(left.schema
         .fields.foldLeft(new org.apache.spark.sql.types.StructType)(_ add _)).as("_l"),
       rightStruct)
+    lPrep.unionByName(rPrep)
+  }
+
+  def asofBackward(
+      left: DataFrame, right: DataFrame,
+      key: String, time: String,
+      rightCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lPrep.unionByName(rPrep)
+    taggedUnion(left, right, key, time, rightCols)
       .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
+      .select(col("_l.*") +: rightCols.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Two-phase hot-key form; see object doc. Times must be non-negative
+    * (DIV truncates toward zero). */
+  def asofBackwardBucketed(
+      left: DataFrame, right: DataFrame,
+      key: String, time: String,
+      rightCols: Seq[String], bucket: Long): DataFrame = {
+    require(bucket > 0)
+    val unioned = taggedUnion(left, right, key, time, rightCols)
+      .withColumn("_b", expr(s"_t DIV $bucket"))
+    // phase 1: last right at-or-before, within each (key, bucket)
+    val w1 = Window.partitionBy(col("_k"), col("_b")).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localized = unioned
+      .withColumn("_local", last(col("_r"), ignoreNulls = true).over(w1))
+    // phase 2: per-bucket last payload (the _local of the bucket's final
+    // row — max_by tie among equal (t, side) left rows is safe: rows
+    // tying on (t, side) see the same frame of non-null rights), then
+    // carry the latest non-null one forward across earlier buckets
+    val bucketLast = localized.groupBy(col("_k"), col("_b"))
+      .agg(max_by(col("_local"), struct(col("_t"), col("_side"))).as("_blast"))
+    val carries = bucketLast
+      .withColumn("_carry", last(col("_blast"), ignoreNulls = true).over(
+        Window.partitionBy(col("_k")).orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("_k"), col("_b"), col("_carry"))
+    localized.join(carries, Seq("_k", "_b"))
+      .filter(col("_side") === 1)
+      .withColumn("_asof", coalesce(col("_local"), col("_carry")))
       .select(col("_l.*") +: rightCols.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
   }
 }

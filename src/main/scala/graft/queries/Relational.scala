@@ -40,6 +40,62 @@ object Relational {
   /** The DuckDB-side mirror of [[cents]]. */
   private def centsSql(e: String): String = s"CAST(FLOOR($e*100 + 0.5) AS BIGINT)"
 
+  /** Shared by q50 and its bucketed skew variant q52 — the bucketed form
+    * must produce bit-identical sessions. */
+  private val sessionizeOracleSql = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ), gaps AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                   OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS first_event_id,
+           CAST((MAX(us) - MIN(us)) AS BIGINT) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_seq"""
+
+  /** Shared by q51 and its bucketed skew variant q53 (DuckDB has a
+    * native ASOF JOIN; the Spark side composes union+window forms —
+    * see operators.AsofJoin). */
+  private val asofOracleSql = """
+    WITH p AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase'
+    ), s0 AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+      WHERE event_type = 'signup'
+    ), s AS (
+      SELECT user_id, us, MAX(event_id) AS signup_event_id
+      FROM s0 GROUP BY user_id, us
+    )
+    SELECT p.user_id, p.event_id, p.us, s.signup_event_id AS asof_signup_event_id
+    FROM p ASOF LEFT JOIN s
+      ON p.user_id = s.user_id AND s.us <= p.us"""
+
+  /** Purchases (left) and per-(user, time) deduped signups (right) for
+    * the as-of catalog entries. */
+  private def asofInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val events = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "us")
+    val signups = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("us"))
+      .agg(max(col("event_id")).as("signup_event_id"))
+    (purchases, signups)
+  }
+
   /** Account-balance banding — the reference's 4-bucket CASE age banding
     * (`BatchProcessingFinal.ipynb:5947-5954`) over c_acctbal. */
   private def acctBand(c: Column): Column =
@@ -357,6 +413,25 @@ object Relational {
           .select(col("user_id"), col("event_type"), col("event_id").as("latest_event_id"))
       }),
 
+    // ---- q27: O4 — ORDER BY ... NULLS LAST (commented-only in the
+    // reference, BatchProcessingFinal.ipynb:1556-1558). LIMIT makes the
+    // ordering semantics observable in the content; doc_id tiebreak
+    // keeps the cut deterministic. ----
+    QuerySpec(
+      "q27_order_nulls_last",
+      Some("""
+        SELECT doc_id, NULLIF(TRIM(lang), '') AS lang_n
+        FROM documents
+        ORDER BY lang_n ASC NULLS LAST, doc_id
+        LIMIT 50"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            when(trim(col("lang")) === "", lit(null))
+              .otherwise(trim(col("lang"))).as("lang_n"))
+          .orderBy(col("lang_n").asc_nulls_last, col("doc_id"))
+          .limit(50)),
+
     // ---- q12: ROLLUP — subtotal hierarchy (beyond the reference) ----
     QuerySpec(
       "q12_rollup_year_status",
@@ -390,41 +465,23 @@ object Relational {
     // or gap math) ----
     QuerySpec(
       "q50_sessionize_events",
-      Some("""
-        WITH e AS (
-          SELECT user_id, event_id, epoch_us(ts) AS us FROM events
-        ), gaps AS (
-          SELECT user_id, event_id, us,
-                 CASE WHEN LAG(us) OVER w IS NULL
-                       OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
-          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-        ), sessions AS (
-          SELECT user_id, event_id, us,
-                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_seq
-          FROM gaps
-        )
-        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-               COUNT(*) AS n_events,
-               MIN(event_id) AS first_event_id,
-               CAST((MAX(us) - MIN(us)) AS BIGINT) AS duration_us
-        FROM sessions
-        GROUP BY user_id, session_seq"""),
+      Some(sessionizeOracleSql),
       (s, dir) => {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.load(s, dir, "events")
+        val e = Tables.load(s, dir, "events")
           .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-          .withColumn("new_sess",
-            when(lag(col("us"), 1).over(w).isNull ||
-              col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1).otherwise(0))
-          .withColumn("session_seq", sum(col("new_sess")).over(run).cast("long"))
-          .groupBy(col("user_id"), col("session_seq"))
-          .agg(
-            count(lit(1)).as("n_events"),
-            min(col("event_id")).as("first_event_id"),
-            (max(col("us")) - min(col("us"))).cast("long").as("duration_us"))
+        graft.operators.Sessionize.sessionize(e, "user_id", "event_id", "us", 1800000000L)
+      }),
+
+    // ---- q52: the hot-key (two-phase bucketed) sessionize variant —
+    // same oracle as q50: bucketing must not change the result ----
+    QuerySpec(
+      "q52_sessionize_bucketed_skew",
+      Some(sessionizeOracleSql),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        graft.operators.Sessionize.sessionizeBucketed(
+          e, "user_id", "event_id", "us", gapUs = 1800000000L, bucketUs = 3600000000L)
       }),
 
     // ---- q51: as-of join — latest signup at-or-before each purchase
@@ -432,31 +489,23 @@ object Relational {
     // union+window form — see operators.AsofJoin) ----
     QuerySpec(
       "q51_asof_purchase_signup",
-      Some("""
-        WITH p AS (
-          SELECT user_id, event_id, epoch_us(ts) AS us
-          FROM events WHERE event_type = 'purchase'
-        ), s0 AS (
-          SELECT user_id, epoch_us(ts) AS us, event_id FROM events
-          WHERE event_type = 'signup'
-        ), s AS (
-          SELECT user_id, us, MAX(event_id) AS signup_event_id
-          FROM s0 GROUP BY user_id, us
-        )
-        SELECT p.user_id, p.event_id, p.us, s.signup_event_id AS asof_signup_event_id
-        FROM p ASOF LEFT JOIN s
-          ON p.user_id = s.user_id AND s.us <= p.us"""),
+      Some(asofOracleSql),
       (s, dir) => {
-        val events = Tables.load(s, dir, "events")
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            unix_micros(col("ts")).as("us"))
-        val purchases = events.filter(col("event_type") === "purchase")
-          .select("user_id", "event_id", "us")
-        val signups = events.filter(col("event_type") === "signup")
-          .groupBy(col("user_id"), col("us"))
-          .agg(max(col("event_id")).as("signup_event_id"))
+        val (purchases, signups) = asofInputs(s, dir)
         graft.operators.AsofJoin.asofBackward(
           purchases, signups, "user_id", "us", Seq("signup_event_id"))
+      }),
+
+    // ---- q53: the hot-key (two-phase bucketed) as-of variant — same
+    // oracle as q51: backward-match decomposes exactly by time bucket ----
+    QuerySpec(
+      "q53_asof_bucketed_skew",
+      Some(asofOracleSql),
+      (s, dir) => {
+        val (purchases, signups) = asofInputs(s, dir)
+        graft.operators.AsofJoin.asofBackwardBucketed(
+          purchases, signups, "user_id", "us", Seq("signup_event_id"),
+          bucket = 86400000000L) // 1-day buckets
       }),
 
     // ---- q14: anti join — customers with no orders (NOT EXISTS) ----

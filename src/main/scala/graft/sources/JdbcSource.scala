@@ -9,9 +9,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the table into `numPartitions` range predicates on `partitionColumn`
   * and reads them in parallel.
   *
-  * NOTE: no database exists in this offline environment, so this path
-  * is compile-verified only; the deterministic [[EmulatorGenerator]]
-  * stands in for the emulator role in all tests.
+  * Tested against embedded Derby (shipped with Spark for the Hive
+  * metastore) in JdbcSpec — plain and range-partitioned reads; the
+  * deterministic [[EmulatorGenerator]] stands in for the emulator role
+  * in the pipeline tests.
   */
 object JdbcSource {
 
