@@ -54,22 +54,41 @@ object Dedup {
     * work regardless of skew. */
   private def cappedBucketPairs(
       banded: DataFrame, keys: Seq[String], idCol: String, cap: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
-    // count + min share one unordered window spec → single shuffle
-    val st = banded
-      .withColumn("_n", count(lit(1)).over(w))
-      .withColumn("_rep", min(col(idCol)).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cold = st.filter(col("_n") <= cap)
-    val a = cold.select(keys.map(col) :+ col(idCol).as("id_a"): _*)
-    val b = cold.select(keys.map(col) :+ col(idCol).as("id_b"): _*)
-    val coldPairs = a.join(b, keys)
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    val hotPairs = st
-      .filter(col("_n") > cap && col(idCol) =!= col("_rep"))
-      .select(col("_rep").as("id_a"), col(idCol).as("id_b")) // _rep is the min ⇒ a < b
-    coldPairs.union(hotPairs).distinct()
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cached = banded.persist(MEMORY_AND_DISK)
+    // hot-bucket detection is a map-side-combining aggregate over the
+    // narrow keys (NOT a window over the full frame, which would cost an
+    // extra row-level shuffle): the surviving hot list holds at most
+    // |banded|/cap buckets — broadcastable by construction — so both the
+    // cold/hot split and the star-pair build are map-side joins. The
+    // detection is ADAPTIVE: one bounded driver action checks whether any
+    // hot bucket exists at all, and the no-skew case (overwhelmingly
+    // common) runs the plain self-join with zero split overhead.
+    val hot = cached.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n"), min(col(idCol)).as("_rep"))
+      .filter(col("_n") > cap)
+      .select(keys.map(col) :+ col("_rep"): _*)
+      .persist(MEMORY_AND_DISK)
+    val anyHot = hot.limit(1).count() > 0
+    if (!anyHot) {
+      val a = cached.select(keys.map(col) :+ col(idCol).as("id_a"): _*)
+      val b = cached.select(keys.map(col) :+ col(idCol).as("id_b"): _*)
+      a.join(b, keys)
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    } else {
+      val cold = cached.join(broadcast(hot.select(keys.map(col): _*)), keys, "left_anti")
+      val a = cold.select(keys.map(col) :+ col(idCol).as("id_a"): _*)
+      val b = cold.select(keys.map(col) :+ col(idCol).as("id_b"): _*)
+      val coldPairs = a.join(b, keys)
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val hotPairs = cached.join(broadcast(hot), keys)
+        .filter(col(idCol) =!= col("_rep"))
+        .select(col("_rep").as("id_a"), col(idCol).as("id_b")) // _rep is the min ⇒ a < b
+      coldPairs.union(hotPairs).distinct()
+    }
   }
 
   /** Verified candidate pairs `(id_a, id_b, jaccard)` with id_a < id_b,
