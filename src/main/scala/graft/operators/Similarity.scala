@@ -139,11 +139,54 @@ object Similarity {
         col(queryId), col(corpusId),
         V.cosine(col("_cvec"), col("_qvec")).as("cosine"))
 
+  /** Distributed Lloyd's k-means over the embedding column — real
+    * centroids for [[ivfTopK]] (upgrading the round-1 lowest-id
+    * stand-in). Each iteration is scale-shaped:
+    *   - assign: one corpus scan against BROADCAST centroids, nearest
+    *     list via the bounded-heap k=1 aggregator (map-side partial);
+    *   - re-center: per-dimension mean via posexplode + groupBy — the
+    *     explode is dim× rows map-side, but hash aggregation combines to
+    *     ≤ k×dim rows per partition before the shuffle, so the exchange
+    *     is tiny regardless of corpus size;
+    *   - the new centroid frame (k rows) is localCheckpoint'd to keep
+    *     the iterative plan flat (same discipline as
+    *     Dedup.connectedComponents).
+    * Init is a deterministic hash-spread sample (orderBy xxhash64 —
+    * reproducible, not clustered by id locality). Cosine is the
+    * assignment metric, matching the search metric. */
+  def kmeansCentroids(
+      corpus: DataFrame, corpusId: String, vecCol: String,
+      k: Int, iters: Int = 3): DataFrame = {
+    var centroids = corpus
+      .orderBy(xxhash64(col(corpusId)), col(corpusId)).limit(k)
+      .select(col(corpusId).cast("long").as("_list"), col(vecCol).as("_centroid"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assignScores = corpus.select(col(corpusId), col(vecCol).as("_cvec"))
+        .crossJoin(broadcast(centroids))
+        .select(col(corpusId), col("_list"),
+          V.cosine(col("_cvec"), col("_centroid")).as("cosine"))
+      val assigned = topKPerQuery(assignScores, corpusId, "_list", 1)
+        .select(col(corpusId), col("_list"))
+      centroids = corpus.select(col(corpusId), posexplode(col(vecCol)))
+        .join(assigned, Seq(corpusId))
+        .groupBy(col("_list"), col("pos"))
+        .agg(avg(col("col")).as("_m"))
+        .groupBy(col("_list"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("_m")))),
+          x => x.getField("_m").cast("float")).as("_centroid"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) top-k: coarse-quantize the corpus onto `nLists`
     * centroid lists, search only the `nProbe` lists nearest each query.
-    * Centroids are sampled deterministically from the corpus (lowest
-    * ids) — at 100 TB you'd feed k-means centroids in; the operator
-    * shape (assign → probe → join on list id → verify) is identical.
+    * `centroids` defaults to a deterministic corpus sample (lowest ids);
+    * pass [[kmeansCentroids]] output (shape `(_list, _centroid)`) for
+    * trained lists — the operator shape (assign → probe → join on list
+    * id → verify) is identical either way.
     * The corpus-to-list assignment is a narrow broadcast pass; the
     * probe join is an equi-join on list id, so only candidate lists'
     * vectors are scored against each query. */
@@ -151,10 +194,11 @@ object Similarity {
       corpus: DataFrame, corpusId: String,
       queries: DataFrame, queryId: String,
       vecCol: String, k: Int,
-      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = corpus
+      nLists: Int = 16, nProbe: Int = 4,
+      trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    val centroids = trainedCentroids.getOrElse(corpus
       .orderBy(col(corpusId)).limit(nLists)
-      .select(col(corpusId).cast("long").as("_list"), col(vecCol).as("_centroid"))
+      .select(col(corpusId).cast("long").as("_list"), col(vecCol).as("_centroid")))
     // assign: one broadcast pass over the corpus scores each row against
     // all nLists centroids; bounded-heap k=1 keeps the nearest list
     val assignScores = corpus.select(col(corpusId), col(vecCol).as("_cvec"))

@@ -302,6 +302,22 @@ object TextAnalysis {
           "query_id", "embedding", k = 5, nLists = 16, nProbe = 6)
       }),
 
+    // ---- q49: IVF with TRAINED centroids (distributed Lloyd's k-means,
+    // 3 iterations) — same probe shape as q44, better-balanced lists ----
+    QuerySpec(
+      "q49_ann_ivf_kmeans_topk",
+      None,
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val centroids = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          k = 16, iters = 3)
+        Similarity.ivfTopK(
+          emb, "vec_id",
+          emb.filter(col("vec_id") < 20).withColumnRenamed("vec_id", "query_id"),
+          "query_id", "embedding", k = 5, nLists = 16, nProbe = 6,
+          trainedCentroids = Some(centroids))
+      }),
+
     // ---- q43: multimodal column plumbing — opaque binary + metadata ----
     QuerySpec(
       "q43_media_meta",

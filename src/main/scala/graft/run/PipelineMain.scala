@@ -27,9 +27,13 @@ object PipelineMain {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
 
-    val pin = Clean.pin(JsonSource.readPin(spark, baseDir))
-    val geo = Clean.geo(JsonSource.readGeo(spark, baseDir))
-    val user = Clean.user(JsonSource.readUser(spark, baseDir))
+    // the transport seam (SURVEY §7.1.2): swap FileJsonTableSource for
+    // KafkaTableSource(bootstrap, prefix) and nothing downstream changes
+    val source = graft.sources.FileJsonTableSource(baseDir)
+    import graft.sources.PipelineTable._
+    val pin = Clean.pin(source.readBatch(spark, Pin))
+    val geo = Clean.geo(source.readBatch(spark, Geo))
+    val user = Clean.user(source.readBatch(spark, User))
 
     // cleaned tables land as parquet (columnar at rest — fixes the
     // reference's one-JSON-file-per-message landing, SURVEY §4.2)

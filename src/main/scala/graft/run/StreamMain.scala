@@ -30,16 +30,17 @@ object StreamMain {
       if (once) org.apache.spark.sql.streaming.Trigger.AvailableNow()
       else org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds")
 
-    def source(topic: String, schema: org.apache.spark.sql.types.StructType) =
-      spark.readStream.schema(schema).json(s"$baseDir/topics/$topic/partition=*")
-
+    // the transport seam (SURVEY §7.1.2): swap FileJsonTableSource for
+    // KafkaTableSource(bootstrap, prefix) and nothing downstream changes
+    val source = graft.sources.FileJsonTableSource(baseDir)
+    import graft.sources.PipelineTable._
     val queries = Seq(
       StreamPipeline.writeStream(
-        graft.pipeline.Clean.pin(source("pin", Schemas.rawPin)), outDir, "pin", trigger),
+        graft.pipeline.Clean.pin(source.readStream(spark, Pin)), outDir, "pin", trigger),
       StreamPipeline.writeStream(
-        graft.pipeline.Clean.geo(source("geo", Schemas.rawGeo)), outDir, "geo", trigger),
+        graft.pipeline.Clean.geo(source.readStream(spark, Geo)), outDir, "geo", trigger),
       StreamPipeline.writeStream(
-        graft.pipeline.Clean.user(source("user", Schemas.rawUser)), outDir, "user", trigger))
+        graft.pipeline.Clean.user(source.readStream(spark, User)), outDir, "user", trigger))
 
     if (once) queries.foreach(_.awaitTermination())
     else spark.streams.awaitAnyTermination()

@@ -1,0 +1,78 @@
+package graft.sources
+
+import graft.pipeline.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** One of the three pipeline tables, with its wire schema and the name
+  * its landed topic carries (reference topics `<user_id>.{pin,geo,user}`,
+  * README.md:66-74). */
+sealed abstract class PipelineTable(val name: String, val schema: StructType)
+object PipelineTable {
+  case object Pin extends PipelineTable("pin", Schemas.rawPin)
+  case object Geo extends PipelineTable("geo", Schemas.rawGeo)
+  case object User extends PipelineTable("user", Schemas.rawUser)
+  val all: Seq[PipelineTable] = Seq(Pin, Geo, User)
+}
+
+/** The transport seam SURVEY §7.1.2 promises (reference operators
+  * S1/S3/S8–S10): the engine composes against "give me table X, batch
+  * or unbounded", and the transport — landed JSON files, Kafka topics,
+  * a test MemoryStream — swaps without touching cleaning or queries.
+  * Every implementation returns the RAW table shape (post-
+  * deserialization, pre-cleaning), so `Clean.*` applies identically
+  * downstream of any source. */
+trait TableSource {
+  def readBatch(spark: SparkSession, table: PipelineTable): DataFrame
+  def readStream(spark: SparkSession, table: PipelineTable): DataFrame
+}
+
+/** S1 — the landed Kafka-topic layout (JSON files under
+  * `topics/<tbl>/partition=N`) as batch scan or unbounded file source
+  * (new files = new micro-batches). */
+final case class FileJsonTableSource(baseDir: String, topicPrefix: String = "")
+    extends TableSource {
+  override def readBatch(spark: SparkSession, table: PipelineTable): DataFrame =
+    JsonSource.readTopic(spark, baseDir, topicPrefix + table.name, table.schema)
+  override def readStream(spark: SparkSession, table: PipelineTable): DataFrame =
+    spark.readStream.schema(table.schema)
+      .json(s"$baseDir/topics/$topicPrefix${table.name}/partition=*")
+}
+
+/** S3/S8 — Kafka-shaped source: one topic per table, earliest offsets
+  * (the reference's Kinesis `initialPosition=earliest` semantics,
+  * Kinesis_Processing.ipynb:519), JSON value payload deserialized with
+  * the declared struct (S4). The option wiring is complete and
+  * spec-tested; actually connecting requires the spark-sql-kafka
+  * connector jar, which this offline environment does not ship
+  * (verified: absent from /opt/spark/jars) — the spec asserts the
+  * resolver is reached, mirroring how JdbcSource was compile-only until
+  * an embeddable database was available. */
+final case class KafkaTableSource(
+    bootstrapServers: String, topicPrefix: String = "",
+    startingOffsets: String = "earliest") extends TableSource {
+
+  private def decode(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(from_json(col("value").cast("string"), schema).as("our_data"))
+      .select("our_data.*")
+
+  override def readBatch(spark: SparkSession, table: PipelineTable): DataFrame =
+    decode(
+      spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topicPrefix + table.name)
+        .option("startingOffsets", startingOffsets)
+        .option("endingOffsets", "latest")
+        .load(),
+      table.schema)
+
+  override def readStream(spark: SparkSession, table: PipelineTable): DataFrame =
+    decode(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topicPrefix + table.name)
+        .option("startingOffsets", startingOffsets)
+        .load(),
+      table.schema)
+}

@@ -141,6 +141,22 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head._3 > 0.999)
   }
 
+  test("k-means centroids: k rows, right dimension, and IVF over them finds the neighbor") {
+    val centroids = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", k = 8, iters = 2)
+    val rows = centroids.collect()
+    assert(rows.length == 8)
+    val dims = rows.map(_.getAs[Seq[Float]]("_centroid").length).toSet
+    assert(dims == Set(corpus.head().getAs[Seq[Float]]("embedding").length),
+      s"every centroid must keep the embedding dimension, got $dims")
+    val queries = corpus.filter(col("vec_id") === 0)
+      .withColumnRenamed("vec_id", "query_id")
+    val top = Similarity.ivfTopK(corpus, "vec_id", queries, "query_id",
+      "embedding", k = 3, nLists = 8, nProbe = 3, trainedCentroids = Some(centroids))
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(top.nonEmpty && top.head._2 == 1L,
+      s"near-identical vector must share the query's trained list; got ${top.toSeq}")
+  }
+
   test("IVF recall vs brute force is high at generous probe width") {
     val queries = corpus.filter(col("vec_id") < 6)
       .withColumnRenamed("vec_id", "query_id")
