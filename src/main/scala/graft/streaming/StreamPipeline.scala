@@ -85,4 +85,23 @@ object StreamPipeline {
     cleanedGeo.withWatermark("timestamp", "1 hour")
       .groupBy(window(col("timestamp"), "1 day"), col("country"))
       .agg(count(lit(1)).as("events"))
+
+  /** ST6 extension — streaming sessionization via the native
+    * `session_window` (dynamic-gap event-time windows): the streaming
+    * twin of [[graft.operators.Sessionize]]. The watermark both bounds
+    * state (sessions close once the watermark passes their end) and
+    * makes output append-mode-final; per-key ordering is handled by the
+    * session-merge state store, so no per-key global sort exists —
+    * exactly the property that makes this the STREAMING answer to the
+    * hot-key problem the batch bucketed variant solves. */
+  def sessionizedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 }

@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.pipeline.{Clean, Schemas}
 import graft.sources.EmulatorGenerator
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 /** Streaming semantics (SURVEY §5.2 item 6): the same records produce
   * identical cleaned output under readStream (MemoryStream → from_json
@@ -150,5 +151,31 @@ class StreamPipelineSpec extends SparkSpec {
     // distinct checkpoint dirs actually materialized
     val cps = new java.io.File(s"$out/_checkpoints").listFiles().map(_.getName).toSet
     assert(cps == Set("pin", "geo", "user"))
+  }
+
+  test("streaming session_window groups events by inactivity gap (ST6 extension)") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: events at minutes 0, 10 (one session: gap < 30min), then 50
+    // (new session: 40min gap); user 2: a singleton
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData((1L, 0L), (1L, 10L), (1L, 50L), (2L, 5L))
+    val events = mem.toDF.toDF("user_id", "mins")
+      .withColumn("ts", timestamp_seconds(col("mins") * 60))
+    val q = StreamPipeline.sessionizedCounts(events, "ts", "user_id")
+      .writeStream.queryName("sess_out").format("memory")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select(col("user_id"), col("n_events"),
+          unix_timestamp(col("session_start")).as("start_s"),
+          unix_timestamp(col("session_end")).as("end_s"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // session end = last event + gap (30 min = 1800 s)
+      assert(got == Set(
+        (1L, 2L, 0L, 600L + 1800L),
+        (1L, 1L, 3000L, 3000L + 1800L),
+        (2L, 1L, 300L, 300L + 1800L)), s"got $got")
+    } finally q.stop()
   }
 }
