@@ -70,20 +70,32 @@ object AsofJoin {
       key: String, time: String,
       rightCols: Seq[String], bucket: Long): DataFrame = {
     require(bucket > 0)
+    // referenced three times below (window input, per-bucket right
+    // payloads, bucket spine) — cached columnar once; without it each
+    // branch recomputes the whole union INCLUDING the right side's
+    // upstream dedup shuffle
     val unioned = taggedUnion(left, right, key, time, rightCols)
       .withColumn("_b", expr(s"_t DIV $bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // phase 1: last right at-or-before, within each (key, bucket)
     val w1 = Window.partitionBy(col("_k"), col("_b")).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val localized = unioned
       .withColumn("_local", last(col("_r"), ignoreNulls = true).over(w1))
-    // phase 2: per-bucket last payload (the _local of the bucket's final
-    // row — max_by tie among equal (t, side) left rows is safe: rows
-    // tying on (t, side) see the same frame of non-null rights), then
-    // carry the latest non-null one forward across earlier buckets
-    val bucketLast = localized.groupBy(col("_k"), col("_b"))
-      .agg(max_by(col("_local"), struct(col("_t"), col("_side"))).as("_blast"))
-    val carries = bucketLast
+    // phase 2 reads only CHEAP aggregates of the union — not the
+    // windowed frame — so the expensive phase-1 window subtree appears
+    // exactly once in the plan (no AQE stage reuse exists across such
+    // branches; re-deriving from `localized` would run the window
+    // twice). Per-bucket last payload comes from the rights alone
+    // (deterministic: rights are unique per (key, time) by contract);
+    // the bucket spine covers EVERY non-empty (key, bucket) so left
+    // rows in rightless buckets still find their carry row.
+    val bucketLast = unioned.filter(col("_side") === 0)
+      .groupBy(col("_k"), col("_b"))
+      .agg(max_by(col("_r"), col("_t")).as("_blast"))
+    val spine = unioned.groupBy(col("_k"), col("_b")).agg(lit(1).as("_one"))
+    val carries = spine
+      .join(bucketLast, Seq("_k", "_b"), "left")
       .withColumn("_carry", last(col("_blast"), ignoreNulls = true).over(
         Window.partitionBy(col("_k")).orderBy(col("_b"))
           .rowsBetween(Window.unboundedPreceding, -1)))

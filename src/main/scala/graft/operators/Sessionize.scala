@@ -68,6 +68,12 @@ object Sessionize {
       .groupBy(col("_u"), col("_b"), col("_lseq"))
       .agg(count(lit(1)).as("_n"), min(col("_id")).as("_minid"),
         min(col("_us")).as("_minus"), max(col("_us")).as("_maxus"))
+      // both phase 2 (summaries) and phase 3 (final merge) read the
+      // session partials; the lazy columnar persist computes the
+      // event-scale window ONCE and caches the (much smaller)
+      // session-level frame — without it the full phase-1 subtree runs
+      // twice (verified: no AQE stage reuse across the two branches)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // phase 2: stitch across boundaries on per-bucket summaries.
     // offset(b) = sessions counted before b, minus one per boundary
     // merge up to and including b — so a bucket whose first local
