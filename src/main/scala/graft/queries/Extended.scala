@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Engine-breadth catalog beyond the reference surface and the core
+  * training-data ops: the relational shapes a production corpus
+  * pipeline leans on daily — stratified sampling, heavy hitters,
+  * distribution histograms, quantile banding (NTILE), cross-tabs
+  * (PIVOT), correlated subqueries. Each entry is oracled in DuckDB.
+  *
+  * Determinism rules as in [[graft.QuerySpec]]: integer arithmetic or
+  * cents for anything compared; explicit tiebreaks wherever a LIMIT or
+  * rank makes row identity observable.
+  */
+object Extended {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- q54: stratified sampling — fixed quota per stratum, chosen by
+    // deterministic hash order (training-data staple: per-language /
+    // per-source caps). Knuth multiplier stays in int64 range at any
+    // realistic doc_id (id < 3.5e9 here; for larger ids hash first). ----
+    QuerySpec(
+      "q54_stratified_sample",
+      Some("""
+        WITH ranked AS (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 97, doc_id) AS rn
+          FROM documents
+        )
+        SELECT doc_id, lang FROM ranked WHERE rn <= 25"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(pmod(col("doc_id") * 2654435761L, lit(97)), col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 25)
+          .select("doc_id", "lang")
+      }),
+
+    // ---- q55: heavy hitters — global top-20 tokens with deterministic
+    // tiebreak (vocabulary skew profiling before tokenizer training) ----
+    QuerySpec(
+      "q55_heavy_hitters",
+      Some("""
+        WITH toks AS (
+          SELECT lower(unnest(regexp_split_to_array(text, '\s+'))) AS token
+          FROM documents
+        )
+        SELECT token, COUNT(*) AS n
+        FROM toks WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), "\\s+")).as("t"))
+          .select(lower(col("t")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20)),
+
+    // ---- q56: length histogram — integer-division bucketing with an
+    // overflow bucket (corpus length-distribution profiling) ----
+    QuerySpec(
+      "q56_length_histogram",
+      Some("""
+        SELECT LEAST(n_chars // 100, 20) AS bucket,
+               COUNT(*) AS n,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        GROUP BY 1"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .groupBy(least(expr("n_chars div 100"), lit(20L)).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("n_chars")).cast("long").as("min_chars"),
+            max(col("n_chars")).cast("long").as("max_chars"))),
+
+    // ---- q57: NTILE quartiles — per-type value quartile boundaries
+    // (standard floor-split NTILE semantics on both engines; fully
+    // deterministic order via cents + event_id tiebreak) ----
+    QuerySpec(
+      "q57_ntile_quartiles",
+      Some("""
+        WITH t AS (
+          SELECT event_type, event_id,
+                 CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents,
+                 NTILE(4) OVER (PARTITION BY event_type
+                                ORDER BY CAST(FLOOR(value*100 + 0.5) AS BIGINT), event_id)
+                   AS quartile
+          FROM events
+        )
+        SELECT event_type, CAST(quartile AS BIGINT) AS quartile,
+               COUNT(*) AS n, MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+        FROM t GROUP BY event_type, quartile"""),
+      (s, dir) => {
+        val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(cents, col("event_id"))
+        Tables.load(s, dir, "events")
+          .select(col("event_type"), col("event_id"), cents.as("cents"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .groupBy(col("event_type"), col("quartile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+      }),
+
+    // ---- q58: PIVOT cross-tab — order counts per priority × status
+    // (RelationalGroupedDataset.pivot; DuckDB mirror via conditional
+    // aggregation; absent combos pinned to 0 on both sides) ----
+    QuerySpec(
+      "q58_pivot_priority_status",
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p
+        FROM orders
+        GROUP BY o_orderpriority"""),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .count()
+          .na.fill(0L, Seq("F", "O", "P"))
+          .select(col("o_orderpriority"),
+            col("F").as("f"), col("O").as("o"), col("P").as("p"))),
+
+    // ---- q59: correlated scalar subquery — customers above their
+    // nation's average balance (exact: integer-cents sum/count makes
+    // the average bit-identical across engines) ----
+    QuerySpec(
+      "q59_above_nation_avg",
+      Some(s"""
+        SELECT c_custkey, c_nationkey
+        FROM customer c
+        WHERE CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) > (
+          SELECT AVG(CAST(FLOOR(c2.c_acctbal*100 + 0.5) AS BIGINT))
+          FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)"""),
+      (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql("""
+          SELECT c_custkey, c_nationkey
+          FROM customer c
+          WHERE CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) > (
+            SELECT AVG(CAST(FLOOR(c2.c_acctbal*100 + 0.5) AS BIGINT))
+            FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""")
+      })
+  )
+}
