@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: DISTINCT-over-windowed-aggregate → groupBy
+    // aggregate (the reference's Task 8/10/11 anti-pattern, SURVEY §4.3)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowedDistinctAgg)
     ext.injectFunction((
       FunctionIdentifier("graft_fingerprint64"),
       info("graft_fingerprint64", "graft_fingerprint64(str) - 64-bit rolling fingerprint"),
