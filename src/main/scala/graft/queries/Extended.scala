@@ -132,6 +132,116 @@ object Extended {
           .select(col("o_orderpriority"),
             col("F").as("f"), col("O").as("o"), col("P").as("p"))),
 
+    // ---- q70: TPC-H Q5 shape — revenue by nation within a region:
+    // 6-way join chain; dims broadcast, facts never shuffle pre-agg ----
+    QuerySpec(
+      "q70_revenue_by_nation",
+      Some("""
+        SELECT n_name,
+               SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+          AND c_nationkey = s_nationkey
+        GROUP BY n_name"""),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val orders = Tables.load(s, dir, "orders")
+        val customer = Tables.load(s, dir, "customer")
+        val supplier = Tables.load(s, dir, "supplier")
+        val nation = Tables.load(s, dir, "nation")
+        val region = Tables.load(s, dir, "region")
+        li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name").isin("ASIA", "EUROPE") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + lit(0.5))
+              .cast("long")).as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+      }),
+
+    // ---- q71: TPC-H Q3 shape — top unshipped orders by revenue,
+    // deterministic top-10 (revenue, orderkey tiebreak) ----
+    QuerySpec(
+      "q71_top_unshipped_orders",
+      Some("""
+        SELECT l_orderkey,
+               SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents,
+               CAST(MIN(epoch_us(o_orderdate)) AS BIGINT) AS orderdate_us,
+               MIN(o_orderpriority) AS order_priority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey
+        ORDER BY revenue_cents DESC, l_orderkey
+        LIMIT 10"""),
+      (s, dir) => {
+        val customer = Tables.load(s, dir, "customer")
+        val orders = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        val cut = lit("1998-03-15 00:00:00").cast("timestamp")
+        customer.filter(col("c_mktsegment") === "BUILDING")
+          .join(orders, col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") < cut)
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > cut)
+          .groupBy(col("l_orderkey"))
+          .agg(
+            sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + lit(0.5))
+              .cast("long")).as("revenue_cents"),
+            // o_orderdate lands as TIMESTAMP_NTZ; UTC session makes the
+            // TIMESTAMP cast a no-op wall-clock-wise, matching DuckDB's
+            // epoch_us over the naive value
+            min(unix_micros(col("o_orderdate").cast("timestamp"))).as("orderdate_us"),
+            min(col("o_orderpriority")).as("order_priority"))
+          .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+          .limit(10)
+      }),
+
+    // ---- q72: TPC-H Q10 shape — top returned-revenue customers,
+    // deterministic top-20 ----
+    QuerySpec(
+      "q72_top_return_customers",
+      Some("""
+        SELECT c_custkey, c_name, n_name,
+               SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS lost_cents
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY lost_cents DESC, c_custkey
+        LIMIT 20"""),
+      (s, dir) => {
+        val customer = Tables.load(s, dir, "customer")
+        val orders = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        val nation = Tables.load(s, dir, "nation")
+        li.filter(col("l_returnflag") === "R")
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + lit(0.5))
+            .cast("long")).as("lost_cents"))
+          .orderBy(col("lost_cents").desc, col("c_custkey"))
+          .limit(20)
+      }),
+
     // ---- q59: correlated scalar subquery — customers above their
     // nation's average balance (exact: integer-cents sum/count makes
     // the average bit-identical across engines) ----
