@@ -31,4 +31,19 @@ object JsonSource {
   /** Dev-only: schema inference, the reference's actual behavior. */
   def readTopicInferred(spark: SparkSession, baseDir: String, topic: String): DataFrame =
     spark.read.option("inferSchema", "true").json(s"$baseDir/topics/$topic/partition=*")
+
+  /** Robustness variant: PERMISSIVE read that quarantines malformed
+    * lines into `_corrupt_record` instead of nulling them silently —
+    * at corpus scale a bad producer must not crash the job (FAILFAST)
+    * or vanish rows (DROPMALFORMED) without an audit trail. Rows with
+    * a non-null `_corrupt_record` are the quarantine set. NB Spark
+    * requires caching/materializing before queries that reference ONLY
+    * the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN). */
+  def readTopicQuarantined(spark: SparkSession, baseDir: String, topic: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$baseDir/topics/$topic/partition=*")
 }

@@ -60,4 +60,42 @@ class PlanSpec extends SparkSpec {
     val p = plan("q60_pipeline_task4_top_category_per_country")
     assert(p.contains("Join"), p)
   }
+
+  test("q70: dim joins broadcast; returnflag-style filters pushed to scans") {
+    val p = plan("q70_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    // region filter must prune before the join tree executes fully —
+    // r_name IN (...) should appear as a pushed filter or early Filter
+    assert(p.contains("In(r_name, [ASIA,EUROPE])"),
+      s"region predicate not pushed to the region scan:\n$p")
+  }
+
+  test("q72: selective l_returnflag filter reaches the lineitem scan") {
+    val p = plan("q72_top_return_customers")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N must be TakeOrderedAndProject, not global sort:\n$p")
+  }
+
+  test("q47 decontaminate: broadcast LEFT ANTI — corpus never shuffles") {
+    val p = plan("q47_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"anti join degraded to SMJ:\n$p")
+  }
+
+  test("q50 sessionize: exactly one row-level exchange (windows share partitioning)") {
+    val p = plan("q50_sessionize_events")
+    val exchanges = p.linesIterator.count(l =>
+      l.trim.startsWith("+- Exchange") || l.trim.startsWith(":- Exchange")
+        || l.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, // window shuffle + (AQE-planned) agg reuse
+      s"sessionize should not re-shuffle between LAG/sum/groupBy:\n$p")
+  }
+
+  test("q06 global top-1 is TakeOrderedAndProject (no global sort)") {
+    val p = plan("q06_top_customer_global")
+    assert(p.contains("TakeOrderedAndProject"), s"LIMIT 1 plan degraded:\n$p")
+  }
 }
