@@ -86,6 +86,37 @@ object StreamPipeline {
       .groupBy(window(col("timestamp"), "1 day"), col("country"))
       .agg(count(lit(1)).as("events"))
 
+  /** ST6 extension — stream enrichment against a static dimension: a
+    * broadcast hash join per micro-batch. No streaming state at all —
+    * the dimension is rebroadcast per batch, so at scale this is the
+    * standard map-side enrich (geo/user lookup tables, blocklists). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** ST6 extension — stream-stream interval join: each left event pairs
+    * with right events of the same key whose time is within
+    * `[leftTs - matchWindow, leftTs]`. Watermarks on BOTH sides let the
+    * state store evict (state bounded by window+lateness × rate, not by
+    * stream length). `lateness` is the independent out-of-orderness
+    * tolerance: rows older than the watermark are DROPPED as late
+    * input, so it must cover the sources' real skew — including one
+    * source's batches racing ahead of the other's — while `matchWindow`
+    * stays the semantic pairing window. Column names must be disjoint. */
+  def streamIntervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      matchWindow: String = "1 hour",
+      lateness: Option[String] = None): DataFrame = {
+    val wm = lateness.getOrElse(matchWindow)
+    val l = left.withWatermark(leftTs, wm)
+    val r = right.withWatermark(rightTs, wm)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $matchWindow") &&
+        col(rightTs) <= col(leftTs))
+  }
+
   /** ST6 extension — streaming sessionization via the native
     * `session_window` (dynamic-gap event-time windows): the streaming
     * twin of [[graft.operators.Sessionize]]. The watermark both bounds

@@ -153,6 +153,54 @@ class StreamPipelineSpec extends SparkSpec {
     assert(cps == Set("pin", "geo", "user"))
   }
 
+  test("stream-static dimension enrich is a per-batch broadcast join") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "US"), (2L, "DE")).toDF("user_id", "country")
+    val mem = MemoryStream[Long]
+    mem.addData(1L, 2L, 3L)
+    val enriched = StreamPipeline.enrichWithDim(
+      mem.toDF.withColumnRenamed("value", "user_id"), dim, "user_id")
+    val q = enriched.writeStream.queryName("enrich_out").format("memory")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("enrich_out").as[(Long, Option[String])].collect().toSet
+    assert(got == Set((1L, Some("US")), (2L, Some("DE")), (3L, None)),
+      s"left enrich must keep unmatched stream rows: $got")
+  }
+
+  test("stream-stream interval join pairs events within the delay window") {
+    implicit val sqlCtx = spark.sqlContext
+    // purchases at minute 10 and 90; signups at minutes 0 and 85:
+    // with a 1h window, purchase@10 matches signup@0, purchase@90
+    // matches signup@85 (NOT signup@0 — 90min gap > 1h)
+    val purchases = MemoryStream[(Long, Long)]
+    val signups = MemoryStream[(Long, Long)]
+    purchases.addData((1L, 10L), (1L, 90L), (2L, 30L))
+    signups.addData((1L, 0L), (1L, 85L))
+    // keep event times well away from epoch 0: the initial watermark is
+    // clamped at 0, and an event exactly at the watermark is late-filtered
+    val base = 1000000L
+    def ts(df: org.apache.spark.sql.DataFrame, user: String, t: String) =
+      df.select(col("_1").as(user), timestamp_seconds(col("_2") * 60 + base).as(t))
+    // generous lateness: the two memory sources may land in different
+    // micro-batches, racing one side's watermark ahead of the other
+    val joined = StreamPipeline.streamIntervalJoin(
+      ts(purchases.toDF, "p_user", "p_ts"), ts(signups.toDF, "s_user", "s_ts"),
+      "p_user", "s_user", "p_ts", "s_ts",
+      matchWindow = "1 hour", lateness = Some("6 hours"))
+    val q = joined
+      .select(col("p_user"), unix_timestamp(col("p_ts")).as("p_s"),
+        unix_timestamp(col("s_ts")).as("s_s"))
+      .writeStream.queryName("ivj_out").format("memory")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ivj_out").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, base + 600L, base + 0L), (1L, base + 5400L, base + 5100L)),
+      s"got $got")
+  }
+
   test("streaming session_window groups events by inactivity gap (ST6 extension)") {
     implicit val sqlCtx = spark.sqlContext
     // user 1: events at minutes 0, 10 (one session: gap < 30min), then 50
