@@ -242,6 +242,56 @@ object Extended {
           .limit(20)
       }),
 
+    // ---- q73: CDC merge — fold the latest-half event "updates" into the
+    // earlier-half "base" snapshot per user (operators.Upsert): union →
+    // keep-highest-version per key, update side winning ties ----
+    QuerySpec(
+      "q73_cdc_merge",
+      Some("""
+        WITH tagged AS (
+          SELECT user_id, event_id, event_type, 0 AS src
+          FROM events WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT user_id, event_id, event_type, 1 AS src
+          FROM events WHERE event_id % 2 = 1
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY event_id DESC, src DESC) AS rn
+          FROM tagged
+        )
+        SELECT user_id, event_id AS latest_event_id, event_type AS latest_type
+        FROM ranked WHERE rn = 1"""),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"))
+        val base = e.filter(col("event_id") % 2 === 0)
+        val updates = e.filter(col("event_id") % 2 === 1)
+        graft.operators.Upsert.merge(base, updates, "user_id", "event_id")
+          .select(col("user_id"), col("event_id").as("latest_event_id"),
+            col("event_type").as("latest_type"))
+      }),
+
+    // ---- q74: batch tumbling-window aggregation — daily event rollup
+    // (Spark `window()` == DuckDB `time_bucket`); window start surfaced
+    // as epoch-µs so both engines hash identically ----
+    QuerySpec(
+      "q74_daily_event_rollup",
+      Some("""
+        SELECT CAST(epoch_us(time_bucket(INTERVAL 1 DAY, ts)) AS BIGINT) AS day_start_us,
+               event_type,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS value_cents
+        FROM events
+        GROUP BY 1, 2"""),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(
+            unix_micros(window(col("ts"), "1 day").getField("start"))
+              .as("day_start_us"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("value_cents"))),
+
     // ---- q59: correlated scalar subquery — customers above their
     // nation's average balance (exact: integer-cents sum/count makes
     // the average bit-identical across engines) ----
