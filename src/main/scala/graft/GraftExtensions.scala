@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_hyperplane_sig", "graft_hyperplane_sig(vec, planes) - LSH signature"),
       (exprs: Seq[Expression]) => HyperplaneSignature(
         exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(str) - Unicode NFC canonicalization"),
+      (exprs: Seq[Expression]) => NormalizeNfc(exprs.head)))
   }
 }

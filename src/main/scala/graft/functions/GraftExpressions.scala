@@ -242,6 +242,8 @@ object GraftFunctions {
       "graft_hyperplane_sig", exprs => HyperplaneSignature(
         exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NormalizeNfc(exprs.head), "built-in")
   }
 
   /** Rolling-hash fingerprint of a string column. */
@@ -251,4 +253,54 @@ object GraftFunctions {
   /** SimHash of an array<long> token-hash column. */
   def simhash64(c: Column): Column =
     shim.column(SimHash64(shim.expression(c)))
+
+  /** Unicode NFC canonicalization of a string column. */
+  def nfc(c: Column): Column =
+    shim.column(NormalizeNfc(shim.expression(c)))
+}
+
+/** Unicode NFC normalization (java.text.Normalizer over the JDK's ICU
+  * data): composed and decomposed forms of the same text ("café" as
+  * U+00E9 vs e+U+0301) hash differently and defeat exact dedup; NFC
+  * canonicalizes before hashing. Pure per-row scalar with codegen via
+  * the shared static kernel (fast path skips the Normalizer entirely
+  * for ASCII — the overwhelming majority of corpus rows). */
+case class NormalizeNfc(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeNfc.nfc($c)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeNfc.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeNfc =
+    copy(child = newChild)
+}
+
+object NormalizeNfc {
+  /** Static kernel shared by eval and generated code. */
+  def nfc(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { ascii = bytes(i) >= 0; i += 1 }
+    if (ascii) s // ASCII is NFC by definition — zero-copy fast path
+    else {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
+  }
 }

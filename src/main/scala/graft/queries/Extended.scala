@@ -292,6 +292,76 @@ object Extended {
           .agg(count(lit(1)).as("n"),
             sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("value_cents"))),
 
+    // ---- q75: Unicode NFC canonicalization (custom codegen'd
+    // expression vs DuckDB's utf8proc) — a decomposed suffix (e +
+    // U+0301) is planted so the normalization is observable: both
+    // engines must produce the same composed bytes, checked via md5 ----
+    QuerySpec(
+      "q75_unicode_nfc",
+      Some("""
+        SELECT doc_id,
+               md5(nfc_normalize(text || ' cafe' || chr(769))) AS nfc_md5,
+               CAST(length(nfc_normalize(text || ' cafe' || chr(769))) AS BIGINT) AS nfc_len
+        FROM documents"""),
+      (s, dir) => {
+        // decomposed on BOTH engines (e + combining acute U+0301): the
+        // md5s only match if each NFC implementation actually composes
+        val raw = concat(col("text"), lit(" cafe\u0301"))
+        val norm = graft.functions.GraftFunctions.nfc(raw)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(norm).as("nfc_md5"),
+            length(norm).cast("long").as("nfc_len"))
+      }),
+
+    // ---- q76: GROUPING SETS with GROUPING() markers — the explicit
+    // form underlying q12/q13's rollup/cube ----
+    QuerySpec(
+      "q76_grouping_sets",
+      Some("""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())"""),
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+                 CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+                 CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""")
+      }),
+
+    // ---- q77: higher-order array functions — per-row transform +
+    // aggregate lambda over the embedding, integer-exact so the
+    // DuckDB list_transform/list_sum mirror hashes identically ----
+    QuerySpec(
+      "q77_embedding_norm_profile",
+      Some("""
+        WITH sq AS (
+          SELECT vec_id,
+                 CAST(list_sum(list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT) *
+                        CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)))
+                   AS BIGINT) AS sq_norm
+          FROM embeddings
+        )
+        SELECT sq_norm // 1000000 AS bucket, COUNT(*) AS n,
+               MIN(sq_norm) AS lo, MAX(sq_norm) AS hi
+        FROM sq GROUP BY 1"""),
+      (s, dir) =>
+        Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("""aggregate(
+                      transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)),
+                      CAST(0 AS BIGINT), (acc, e) -> acc + e * e)""").as("sq_norm"))
+          .groupBy(expr("sq_norm div 1000000").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("sq_norm")).as("lo"), max(col("sq_norm")).as("hi"))),
+
     // ---- q59: correlated scalar subquery — customers above their
     // nation's average balance (exact: integer-cents sum/count makes
     // the average bit-identical across engines) ----

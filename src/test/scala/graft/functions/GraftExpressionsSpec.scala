@@ -54,4 +54,25 @@ class GraftExpressionsSpec extends SparkSpec {
       .select(GraftFunctions.simhash64(col("h"))).as[Long].head()
     assert(a == b)
   }
+
+  test("nfc: composes decomposed forms, preserves ASCII zero-copy, null-safe") {
+    val composed = "caf\u00e9"          // e-acute, single code point
+    val decomposed = "cafe\u0301"       // e + combining acute
+    val r = Seq(Some(decomposed), Some(composed), Some("plain ascii"), None)
+      .toDF("t")
+      .select(GraftFunctions.nfc(col("t")).as("n"))
+      .as[Option[String]].collect()
+    assert(r(0).contains(composed), "decomposed input must compose")
+    assert(r(1).contains(composed), "already-NFC input unchanged")
+    assert(r(2).contains("plain ascii"))
+    assert(r(3).isEmpty, "null in, null out")
+    // dedup utility: normalized forms hash equal
+    val hashes = Seq(decomposed, composed).toDF("t")
+      .select(md5(GraftFunctions.nfc(col("t")))).as[String].collect()
+    assert(hashes(0) == hashes(1))
+    // SQL registration path
+    val viaSql = Seq(decomposed).toDF("t")
+      .selectExpr("graft_nfc(t) AS n").as[String].head()
+    assert(viaSql == composed)
+  }
 }
