@@ -98,4 +98,26 @@ class PlanSpec extends SparkSpec {
     val p = plan("q06_top_customer_global")
     assert(p.contains("TakeOrderedAndProject"), s"LIMIT 1 plan degraded:\n$p")
   }
+
+  test("catalog-wide guard: no accidental nested-loop or cartesian joins") {
+    // queries that INTENTIONALLY score all pairs (brute-force ground
+    // truth) or broadcast-scan a tiny centroid table: BNLJ is the design
+    val deliberate = Set(
+      "q39_jaccard_top_pairs",     // brute Jaccard baseline (bounded slice)
+      "q41_ann_bruteforce_topk",   // exact ANN ground truth
+      "q44_ann_ivf_topk",          // centroid assignment: corpus x 16 centroids
+      "q49_ann_ivf_kmeans_topk")   // same, trained centroids
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(deliberate)
+      .flatMap { name =>
+        val p = try SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop/cartesian joins in: $offenders")
+  }
 }
