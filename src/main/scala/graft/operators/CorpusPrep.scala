@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.functions.{GraftFunctions, TextFunctions => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation as ONE composed plan — the
+  * chain a 100 TB pretraining build runs nightly:
+  *
+  *   NFC + whitespace normalization
+  *     → exact dedup (keep min-id per content hash)
+  *     → integer-exact quality filter (token count bounds, alpha ratio)
+  *     → decontamination (broadcast anti-join vs eval blocklist)
+  *     → per-language stratified quota (deterministic hash order)
+  *
+  * Every step is a narrow projection, a single window on the content
+  * hash, or a broadcast join — the corpus shuffles exactly twice (hash
+  * window, language quota window), never nested-loops, and nothing
+  * collects. The whole chain stays in one Catalyst plan, so pushdown
+  * and column pruning cross step boundaries. All comparisons are
+  * integer-exact, making the full pipeline DuckDB-oracle-checkable end
+  * to end (q78). */
+object CorpusPrep {
+
+  def prepare(
+      docs: DataFrame, blocklist: DataFrame,
+      idCol: String, textCol: String, langCol: String,
+      minTokens: Int = 5, maxTokens: Int = 5000,
+      quotaPerLang: Int = 50): DataFrame = {
+    val norm = T.normalizeText(GraftFunctions.nfc(col(textCol)))
+    val normalized = docs.select(
+      col(idCol), col(langCol), norm.as("_norm"),
+      md5(norm).as("_h"))
+    // exact dedup: keeper = min id per content hash (one window shuffle)
+    val hashW = Window.partitionBy(col("_h"))
+    val deduped = normalized
+      .withColumn("_keep", min(col(idCol)).over(hashW))
+      .filter(col(idCol) === col("_keep"))
+    // quality: integer-only so the oracle hashes identically — token
+    // bounds plus "at least half the characters are a-z"
+    val nTokens = when(length(col("_norm")) === 0, lit(0L))
+      .otherwise(size(split(col("_norm"), " ")).cast("long"))
+    val alpha = length(regexp_replace(col("_norm"), "[^a-z]", "")).cast("long")
+    val quality = deduped
+      .withColumn("_ntok", nTokens)
+      .filter(col("_ntok").between(minTokens, maxTokens) &&
+        alpha * 2 >= length(col("_norm")).cast("long"))
+    // decontaminate: blocklist hashes broadcast, corpus streams through
+    val bl = blocklist
+      .select(md5(T.normalizeText(GraftFunctions.nfc(col(textCol)))).as("_h"))
+      .distinct()
+    val clean = quality.join(broadcast(bl), Seq("_h"), "left_anti")
+    // stratified quota per language, deterministic hash order
+    val quotaW = Window.partitionBy(col(langCol))
+      .orderBy(pmod(col(idCol) * 2654435761L, lit(97)), col(idCol))
+    clean
+      .withColumn("_rn", row_number().over(quotaW))
+      .filter(col("_rn") <= quotaPerLang)
+      .select(col(idCol), col(langCol), col("_ntok").as("n_tokens"))
+  }
+}

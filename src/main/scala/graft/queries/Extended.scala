@@ -362,6 +362,52 @@ object Extended {
           .agg(count(lit(1)).as("n"),
             min(col("sq_norm")).as("lo"), max(col("sq_norm")).as("hi"))),
 
+    // ---- q78: the COMPOSED corpus-prep pipeline (operators.CorpusPrep):
+    // normalize → exact-dedup → quality filter → decontaminate →
+    // per-language quota, oracled END TO END in one DuckDB mirror ----
+    QuerySpec(
+      "q78_corpus_prep_pipeline",
+      Some("""
+        WITH norm AS (
+          SELECT doc_id, lang,
+                 regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g') AS nrm
+          FROM documents
+        ), hashed AS (
+          SELECT doc_id, lang, nrm, md5(nrm) AS h,
+                 MIN(doc_id) OVER (PARTITION BY md5(nrm)) AS keep
+          FROM norm
+        ), deduped AS (
+          SELECT * FROM hashed WHERE doc_id = keep
+        ), quality AS (
+          SELECT doc_id, lang, h,
+                 CASE WHEN nrm = '' THEN 0
+                      ELSE CAST(LEN(STRING_SPLIT(nrm, ' ')) AS BIGINT) END AS ntok
+          FROM deduped
+          WHERE (CASE WHEN nrm = '' THEN 0
+                      ELSE CAST(LEN(STRING_SPLIT(nrm, ' ')) AS BIGINT) END)
+                  BETWEEN 5 AND 5000
+            AND CAST(LENGTH(regexp_replace(nrm, '[^a-z]', '', 'g')) AS BIGINT) * 2
+                  >= CAST(LENGTH(nrm) AS BIGINT)
+        ), block AS (
+          SELECT DISTINCT md5(regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 10 = 0
+        ), clean AS (
+          SELECT q.* FROM quality q
+          WHERE NOT EXISTS (SELECT 1 FROM block b WHERE b.h = q.h)
+        ), ranked AS (
+          SELECT doc_id, lang, ntok AS n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 97, doc_id) AS rn
+          FROM clean
+        )
+        SELECT doc_id, lang, n_tokens FROM ranked WHERE rn <= 50"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.CorpusPrep.prepare(
+          docs, docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", "lang")
+      }),
+
     // ---- q59: correlated scalar subquery — customers above their
     // nation's average balance (exact: integer-cents sum/count makes
     // the average bit-identical across engines) ----

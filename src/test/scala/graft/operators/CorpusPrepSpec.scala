@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The composed corpus-prep chain on planted edge cases: duplicate
+  * survives once, junk filtered, contamination removed, quota holds,
+  * and Unicode variants of the same text fold together. */
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val prose = "the quick brown fox jumps over the lazy dog again and again"
+
+  test("dedup, quality, decontamination, quota — each observable in the output") {
+    val docs = Seq(
+      (1L, prose, "en"),
+      (2L, prose, "en"),                     // exact duplicate → dropped
+      (3L, prose.toUpperCase, "en"),         // case variant → folds to same hash → dropped
+      (4L, "x", "en"),                       // too short → quality-filtered
+      (5L, "12345 67890 11111 22222 33333 44444", "en"), // digits: alpha ratio fails
+      (6L, "a perfectly normal document about cooking rice slowly", "en"),
+      (7L, "evaluation question that must not leak into training data", "en"),
+      (8L, "café terrace discussion about morning espresso rituals", "fr"),
+      (9L, "café terrace discussion about morning espresso rituals", "fr") // NFC fold
+    ).toDF("doc_id", "text", "lang")
+    val blocklist = Seq(
+      "Evaluation question that MUST not leak   into training data")
+      .toDF("text") // normalized variant of doc 7
+    val out = CorpusPrep.prepare(docs, blocklist, "doc_id", "text", "lang")
+      .as[(Long, String, Long)].collect()
+      .map { case (id, lang, n) => id -> ((lang, n)) }.toMap
+
+    assert(out.contains(1L) && !out.contains(2L) && !out.contains(3L),
+      s"duplicates must collapse to the min id: $out")
+    assert(!out.contains(4L) && !out.contains(5L), s"junk must be filtered: $out")
+    assert(out.contains(6L))
+    assert(!out.contains(7L), s"blocklisted content must be removed: $out")
+    assert(out.contains(8L) && !out.contains(9L),
+      s"NFC variants must fold to one kept doc: $out")
+    assert(out(1L)._2 == 12L, "token count carried through")
+  }
+
+  test("per-language quota bounds the output deterministically") {
+    val docs = (1L to 400L).map(i =>
+      (i, s"unique document number $i with plenty of ordinary words inside it", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusPrep.prepare(docs, Seq.empty[String].toDF("text"),
+      "doc_id", "text", "lang", quotaPerLang = 30)
+    val perLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang == Map("en" -> 30L, "de" -> 30L), s"got $perLang")
+    // determinism across partitionings
+    val out2 = CorpusPrep.prepare(docs.repartition(7), Seq.empty[String].toDF("text"),
+      "doc_id", "text", "lang", quotaPerLang = 30)
+    assertSameRows(out, out2, "quota selection across partitionings")
+  }
+}
