@@ -408,6 +408,29 @@ object Extended {
           "doc_id", "text", "lang")
       }),
 
+    // ---- q79: transitive connected components under a hard oracle —
+    // deterministic 12-node chains (i ~ i+1 unless i%12=11) have the
+    // closed-form answer keep = doc_id - doc_id%12, so the DISTRIBUTED
+    // regime (maxDriverEdges=0: fixpoint min-label + pointer jumping,
+    // the code path that silently under-converged in round 1) is
+    // checked row-for-row by DuckDB, not just by ScalaTest ----
+    QuerySpec(
+      "q79_connected_components_chains",
+      Some("""
+        SELECT doc_id,
+               doc_id - (doc_id % 12) AS keep_id,
+               (doc_id % 12) <> 0 AS is_duplicate
+        FROM documents"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+        val a = docs.select(col("doc_id").as("id_a"))
+        val b = docs.select(col("doc_id").as("id_b"))
+        val pairs = a.filter(col("id_a") % 12 =!= 11)
+          .join(b, col("id_b") === col("id_a") + 1)
+        graft.operators.Dedup.connectedComponents(
+          docs, "doc_id", pairs, maxDriverEdges = 0L)
+      }),
+
     // ---- q59: correlated scalar subquery — customers above their
     // nation's average balance (exact: integer-cents sum/count makes
     // the average bit-identical across engines) ----
