@@ -43,4 +43,43 @@ class MultimodalSpec extends SparkSpec {
     assert(perDoc(0L) == math.max(1, "small payload".getBytes("UTF-8").length / 32))
     assert(perDoc(1L) > perDoc(0L))
   }
+
+  test("header parsing is REAL: hand-built PNG/GIF/JPEG/WAV headers parse correctly") {
+    // PNG: 8-byte signature + IHDR chunk (len, type, width=640, height=480 BE)
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80, /* 640 */ 0, 0, 1, 0xE0 /* 480 */, 8, 6, 0, 0, 0).map(_.toByte)
+    // GIF89a: screen descriptor 320x200 little-endian
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x40, 0x01 /* 320 */, 0xC8, 0x00 /* 200 */).map(_.toByte))
+    // JPEG: SOI, APP0 (len 4), SOF0 (len 11: precision 8, h=480, w=640, 1 comp)
+    val jpeg = Array[Int](0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x04, 0x4A, 0x46,
+      0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x01, 0xE0, 0x02, 0x80, 0x01, 0x01, 0x11, 0x00)
+      .map(_.toByte)
+    // WAV: RIFF....WAVE
+    val wav = ("RIFF".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII"))
+
+    assert(Multimodal.sniffFormat(png) == "png")
+    assert(Multimodal.sniffFormat(gif) == "gif")
+    assert(Multimodal.sniffFormat(jpeg) == "jpeg")
+    assert(Multimodal.sniffFormat(wav) == "wav")
+    assert(Multimodal.sniffFormat("not an image".getBytes) == "unknown")
+    assert(Multimodal.parseDimensions(png).contains((640, 480)))
+    assert(Multimodal.parseDimensions(gif).contains((320, 200)))
+    assert(Multimodal.parseDimensions(jpeg).contains((640, 480)))
+    assert(Multimodal.parseDimensions(wav).isEmpty)
+    assert(Multimodal.parseDimensions(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte))
+      .isEmpty, "truncated JPEG must not crash")
+
+    // through the distributed decode path
+    val media = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, wav))
+      .toDF("doc_id", "payload")
+    val metas = Multimodal.decodeHeaders(media, "doc_id")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas(1L).format == "png" && metas(1L).width == 640 && metas(1L).height == 480)
+    assert(metas(2L).format == "gif" && metas(2L).width == 320)
+    assert(metas(3L).format == "jpeg" && metas(3L).height == 480)
+    assert(metas(4L).format == "wav" && metas(4L).width == 0)
+  }
 }
