@@ -51,9 +51,10 @@ object CorpusPrep {
       .select(md5(T.normalizeText(GraftFunctions.nfc(col(textCol)))).as("_h"))
       .distinct()
     val clean = quality.join(broadcast(bl), Seq("_h"), "left_anti")
-    // stratified quota per language, deterministic hash order
+    // stratified quota per language, deterministic overflow-proof hash
+    // order (ids at 100 TB exceed the naive Knuth-multiply int64 range)
     val quotaW = Window.partitionBy(col(langCol))
-      .orderBy(pmod(col(idCol) * 2654435761L, lit(97)), col(idCol))
+      .orderBy(graft.Exact.hashOrder(col(idCol), 97), col(idCol))
     clean
       .withColumn("_rn", row_number().over(quotaW))
       .filter(col("_rn") <= quotaPerLang)

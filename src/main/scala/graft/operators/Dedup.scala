@@ -320,9 +320,10 @@ object Dedup {
 
   /** Deterministic pseudo-random sampling: keep rows whose Knuth-hashed
     * id lands under `percent`. Reproducible across runs/partitionings
-    * (no rand()), and expressible in plain SQL for oracle checks. */
+    * (no rand()), expressible in plain SQL for oracle checks, and
+    * overflow-proof for any id (graft.Exact.hashOrder pre-mods). */
   def deterministicSample(df: DataFrame, idCol: String, percent: Int): DataFrame =
-    df.filter(pmod(col(idCol) * 2654435761L, lit(100)) < percent)
+    df.filter(graft.Exact.hashOrder(col(idCol), 100) < percent)
 
   /** Brute-force word-n-gram Jaccard over a bounded id range — the
     * exact-verification baseline the LSH paths are tested against. Only

@@ -52,7 +52,8 @@ object Multimodal {
         while (i + 9 < b.length) {
           if (u(i) != 0xff) return None // desynced — corrupt stream
           val marker = u(i + 1)
-          if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) i += 2
+          if (marker == 0xff) i += 1 // B.1.1.2: 0xFF fill bytes before a marker
+          else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) i += 2
           else if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
             return Some((be16(i + 7), be16(i + 5))) // (width, height): w after h in SOF
           else i += 2 + be16(i + 2) // skip segment by its length field

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * union → per-key keep-latest, which is what this operator is.
   *
   * One shuffle on the key. Ties on `versionCol` break toward the
-  * UPDATE side (the conventional merge semantics), then by the tag, so
-  * the result is deterministic even when an update re-states the base
-  * row verbatim.
+  * UPDATE side (the conventional merge semantics), then by a full-row
+  * content hash — so the result is deterministic across partitionings
+  * even when one batch carries several rows for the same (key, version)
+  * (real CDC feeds do), not just for base-vs-update restatements.
   */
 object Upsert {
 
@@ -23,7 +24,8 @@ object Upsert {
     val tagged = base.withColumn("_src", lit(0))
       .unionByName(updates.withColumn("_src", lit(1)))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(versionCol).desc, col("_src").desc)
+      .orderBy(col(versionCol).desc, col("_src").desc,
+        xxhash64(base.columns.map(col): _*))
     tagged
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

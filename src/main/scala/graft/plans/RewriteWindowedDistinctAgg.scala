@@ -59,8 +59,16 @@ object RewriteWindowedDistinctAgg extends Rule[LogicalPlan] {
               w.partitionSpec.forall(_.isInstanceOf[Attribute]) &&
               projList.forall(_.isInstanceOf[Attribute]) &&
               projList.exists(_.exprId == winAlias.exprId) &&
+              // the projected non-window attributes must be EXACTLY the
+              // partition columns, both directions: a projection KEEPING
+              // a non-partition column is a different query, and one
+              // DROPPING a partition column relies on DISTINCT to
+              // collapse rows the groupBy form would keep apart —
+              // rewriting either silently changes results
               projList.filterNot(_.exprId == winAlias.exprId).forall(p =>
-                w.partitionSpec.exists(_.asInstanceOf[Attribute].exprId == p.exprId)) =>
+                w.partitionSpec.exists(_.asInstanceOf[Attribute].exprId == p.exprId)) &&
+              w.partitionSpec.forall(p =>
+                projList.exists(_.exprId == p.asInstanceOf[Attribute].exprId)) =>
           val partAttrs = w.partitionSpec.map(_.asInstanceOf[Attribute])
           // output attribute ids preserved (partition attrs pass through;
           // the aggregate reuses the window alias id) so parent operators

@@ -20,21 +20,21 @@ object Extended {
 
     // ---- q54: stratified sampling — fixed quota per stratum, chosen by
     // deterministic hash order (training-data staple: per-language /
-    // per-source caps). Knuth multiplier stays in int64 range at any
-    // realistic doc_id (id < 3.5e9 here; for larger ids hash first). ----
+    // per-source caps). Exact.hashOrder pre-mods so the Knuth multiply
+    // can't overflow int64 for ANY id. ----
     QuerySpec(
       "q54_stratified_sample",
       Some("""
         WITH ranked AS (
           SELECT doc_id, lang,
                  ROW_NUMBER() OVER (PARTITION BY lang
-                   ORDER BY (doc_id * 2654435761) % 97, doc_id) AS rn
+                   ORDER BY ((doc_id % 1000000007) * 2654435761) % 97, doc_id) AS rn
           FROM documents
         )
         SELECT doc_id, lang FROM ranked WHERE rn <= 25"""),
       (s, dir) => {
         val w = Window.partitionBy(col("lang"))
-          .orderBy(pmod(col("doc_id") * 2654435761L, lit(97)), col("doc_id"))
+          .orderBy(graft.Exact.hashOrder(col("doc_id"), 97), col("doc_id"))
         Tables.load(s, dir, "documents")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 25)
@@ -100,7 +100,7 @@ object Extended {
                COUNT(*) AS n, MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
         FROM t GROUP BY event_type, quartile"""),
       (s, dir) => {
-        val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+        val cents = graft.Exact.cents(col("value"))
         val w = Window.partitionBy(col("event_type"))
           .orderBy(cents, col("event_id"))
         Tables.load(s, dir, "events")
@@ -165,8 +165,7 @@ object Extended {
             col("c_nationkey") === col("s_nationkey"))
           .groupBy(col("n_name"))
           .agg(
-            sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + lit(0.5))
-              .cast("long")).as("revenue_cents"),
+            sum(graft.Exact.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
             count(lit(1)).as("n_items"))
       }),
 
@@ -200,8 +199,7 @@ object Extended {
           .filter(col("l_shipdate") > cut)
           .groupBy(col("l_orderkey"))
           .agg(
-            sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + lit(0.5))
-              .cast("long")).as("revenue_cents"),
+            sum(graft.Exact.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
             // o_orderdate lands as TIMESTAMP_NTZ; UTC session makes the
             // TIMESTAMP cast a no-op wall-clock-wise, matching DuckDB's
             // epoch_us over the naive value
@@ -236,8 +234,7 @@ object Extended {
           .join(customer, col("o_custkey") === col("c_custkey"))
           .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + lit(0.5))
-            .cast("long")).as("lost_cents"))
+          .agg(sum(graft.Exact.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("lost_cents"))
           .orderBy(col("lost_cents").desc, col("c_custkey"))
           .limit(20)
       }),
@@ -290,7 +287,7 @@ object Extended {
               .as("day_start_us"),
             col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("value_cents"))),
+            sum(graft.Exact.cents(col("value"))).as("value_cents"))),
 
     // ---- q75: Unicode NFC canonicalization (custom codegen'd
     // expression vs DuckDB's utf8proc) — a decomposed suffix (e +
@@ -397,7 +394,7 @@ object Extended {
         ), ranked AS (
           SELECT doc_id, lang, ntok AS n_tokens,
                  ROW_NUMBER() OVER (PARTITION BY lang
-                   ORDER BY (doc_id * 2654435761) % 97, doc_id) AS rn
+                   ORDER BY ((doc_id % 1000000007) * 2654435761) % 97, doc_id) AS rn
           FROM clean
         )
         SELECT doc_id, lang, n_tokens FROM ranked WHERE rn <= 50"""),

@@ -27,18 +27,9 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** `CAST(FLOOR(x*100 + 0.5) AS BIGINT)` — exact cents for
-    * sum-stability. FLOOR, not ROUND: Spark's ROUND rounds the
-    * shortest-decimal BigDecimal of the double (HALF_UP) while DuckDB
-    * rounds the binary value, so a computed price like
-    * `...49999999999` vs `...5` diverges by one cent between engines
-    * (the round-1 q01/q12 hash failures). `floor(x*100 + 0.5)` is pure
-    * IEEE arithmetic — identical on any engine given the same input
-    * double — making the cents convention representation-proof. */
-  private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
-
-  /** The DuckDB-side mirror of [[cents]]. */
-  private def centsSql(e: String): String = s"CAST(FLOOR($e*100 + 0.5) AS BIGINT)"
+  // exact-cents convention: single source of truth in graft.Exact
+  private def cents(c: Column): Column = graft.Exact.cents(c)
+  private def centsSql(e: String): String = graft.Exact.centsSql(e)
 
   /** Shared by q50 and its bucketed skew variant q52 — the bucketed form
     * must produce bit-identical sessions. */

@@ -227,7 +227,7 @@ object TextAnalysis {
       "q48_deterministic_sample",
       Some("""
         SELECT doc_id, lang FROM documents
-        WHERE (doc_id * 2654435761) % 100 < 25"""),
+        WHERE ((doc_id % 1000000007) * 2654435761) % 100 < 25"""),
       (s, dir) =>
         Dedup.deterministicSample(
           Tables.load(s, dir, "documents"), "doc_id", 25)

@@ -71,6 +71,11 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseDimensions(wav).isEmpty)
     assert(Multimodal.parseDimensions(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte))
       .isEmpty, "truncated JPEG must not crash")
+    // JPEG B.1.1.2: 0xFF fill bytes before a marker are legal padding
+    val jpegPadded = Array[Int](0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xC0, 0x00, 0x0B,
+      0x08, 0x01, 0xE0, 0x02, 0x80, 0x01, 0x01, 0x11, 0x00).map(_.toByte)
+    assert(Multimodal.parseDimensions(jpegPadded).contains((640, 480)),
+      "fill bytes before SOF must not desync the marker walk")
 
     // through the distributed decode path
     val media = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, wav))

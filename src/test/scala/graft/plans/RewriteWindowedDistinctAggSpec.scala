@@ -73,6 +73,25 @@ class RewriteWindowedDistinctAggSpec extends SparkSpec {
     }
   }
 
+  test("does NOT rewrite when a partition column is dropped before the distinct") {
+    // DISTINCT over (grp, max-per-(grp,grp2)) can COLLAPSE rows the
+    // groupBy(grp, grp2) form keeps apart — rewriting would duplicate
+    val dup = Seq((1L, 1L, 5.0), (1L, 2L, 5.0)).toDF("grp", "grp2", "v")
+    val plain = {
+      val w = Window.partitionBy(col("grp"), col("grp2"))
+      dup.select(col("grp"), max(col("v")).over(w).as("mx")).distinct()
+    }
+    val expected = plain.collect().toSeq
+    assert(expected.size == 1, "sanity: DISTINCT collapses the tie")
+    withRule {
+      val w = Window.partitionBy(col("grp"), col("grp2"))
+      val q = dup.select(col("grp"), max(col("v")).over(w).as("mx")).distinct()
+      assert(q.queryExecution.optimizedPlan.toString.contains("Window"),
+        "dropping a partition column must block the rewrite")
+      assert(q.collect().toSeq == expected)
+    }
+  }
+
   test("does NOT rewrite when extra non-partition columns survive the distinct") {
     withRule {
       val w = Window.partitionBy(col("grp"))
