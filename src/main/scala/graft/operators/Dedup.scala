@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   * (single-hop union, not full transitive closure — documented and
   * asserted in tests). A downstream `filter(!is_duplicate)` materializes
   * the deduped corpus.
+  *
+  * Cache lifetime: the LSH paths persist small intermediate frames
+  * (banded signatures, hot-bucket lists) that live until session end —
+  * correct for job-per-run batch use; a long-lived service calling
+  * these repeatedly should clear between epochs
+  * (`spark.catalog.clearCache()` or targeted `unpersist`).
   */
 object Dedup {
 
@@ -69,8 +75,13 @@ object Dedup {
       .filter(col("_n") > cap)
       .select(keys.map(col) :+ col("_rep"): _*)
       .persist(MEMORY_AND_DISK)
+    // NB the probe is an eager job: CONSTRUCTING a dedup frame runs the
+    // signature+banding subtree once (plan-only consumers pay it too).
+    // That cost buys the no-skew fast path below; callers that only
+    // want the plan can pass cap = Int.MaxValue upstream.
     val anyHot = hot.limit(1).count() > 0
     if (!anyHot) {
+      hot.unpersist() // empty — nothing downstream reads it
       val a = cached.select(keys.map(col) :+ col(idCol).as("id_a"): _*)
       val b = cached.select(keys.map(col) :+ col(idCol).as("id_b"): _*)
       a.join(b, keys)
