@@ -428,6 +428,66 @@ object Extended {
           docs, "doc_id", pairs, maxDriverEdges = 0L)
       }),
 
+    // ---- q80: set operations — INTERSECT/EXCEPT between behavior
+    // cohorts (SURVEY §2.8 records none in the reference; these are the
+    // Spark Intersect/Except operators, planned as semi/anti joins) ----
+    QuerySpec(
+      "q80_set_ops_cohorts",
+      Some("""
+        WITH purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+             signups    AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+        SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM purchasers INTERSECT SELECT user_id FROM signups)
+        UNION ALL
+        SELECT user_id, 'purchase_only' AS cohort FROM (SELECT user_id FROM purchasers EXCEPT SELECT user_id FROM signups)"""),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val purchasers = e.filter(col("event_type") === "purchase").select("user_id").distinct()
+        val signups = e.filter(col("event_type") === "signup").select("user_id").distinct()
+        purchasers.intersect(signups).withColumn("cohort", lit("both"))
+          .unionByName(purchasers.except(signups).withColumn("cohort", lit("purchase_only")))
+      }),
+
+    // ---- q81: vector percentile — one pass, three exact quantiles as
+    // an array (Spark percentile(x, array(...)) == DuckDB
+    // quantile_cont(x, [...]); integer-cents input keeps the
+    // interpolation bit-identical) ----
+    QuerySpec(
+      "q81_quantile_vector",
+      Some(s"""
+        SELECT event_type,
+               QUANTILE_CONT(${graft.Exact.centsSql("value")}, [0.25, 0.5, 0.75]) AS quartiles_cents
+        FROM events GROUP BY event_type"""),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(expr(
+            "percentile(CAST(FLOOR(value*100 + 0.5) AS BIGINT), array(0.25D, 0.5D, 0.75D))")
+            .as("quartiles_cents"))),
+
+    // ---- q82: RANGE window frame — time-valued sliding sum (1 hour
+    // PRECEDING..CURRENT ROW over epoch-µs); the catalog's other frames
+    // are all ROWS, this is the value-based variant ----
+    QuerySpec(
+      "q82_range_frame_rolling_hour",
+      Some(s"""
+        SELECT event_id, user_id,
+               SUM(${graft.Exact.centsSql("value")}) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS hour_cents
+        FROM events
+        WHERE user_id < 30"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .filter(col("user_id") < 30)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+            graft.Exact.cents(col("value")).as("cents"))
+          .select(col("event_id"), col("user_id"),
+            sum(col("cents")).over(w).as("hour_cents"))
+      }),
+
     // ---- q59: correlated scalar subquery — customers above their
     // nation's average balance (exact: integer-cents sum/count makes
     // the average bit-identical across engines) ----
