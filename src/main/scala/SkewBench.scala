@@ -33,10 +33,21 @@ object SkewBench {
         println(f"$label run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
-    time("plain   ")(graft.operators.Sessionize.sessionize(
+    time("sess plain   ")(graft.operators.Sessionize.sessionize(
       events, "user_id", "event_id", "us", 1800000000L))
-    time("bucketed")(graft.operators.Sessionize.sessionizeBucketed(
+    time("sess bucketed")(graft.operators.Sessionize.sessionizeBucketed(
       events, "user_id", "event_id", "us", 1800000000L, hour))
+
+    val left = events.select(col("user_id"), col("event_id"), col("us"))
+    val right = events.filter(col("event_id") % 20 === 0)
+      .groupBy(col("user_id"), col("us"))
+      .agg(max(col("event_id")).as("ref_id"))
+      .persist()
+    right.count()
+    time("asof plain   ")(graft.operators.AsofJoin.asofBackward(
+      left, right, "user_id", "us", Seq("ref_id")))
+    time("asof bucketed")(graft.operators.AsofJoin.asofBackwardBucketed(
+      left, right, "user_id", "us", Seq("ref_id"), hour))
     spark.stop()
   }
 }
