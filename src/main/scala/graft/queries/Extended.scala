@@ -488,6 +488,20 @@ object Extended {
             sum(col("cents")).over(w).as("hour_cents"))
       }),
 
+    // ---- q83: weighted (length-proportional) sampling — inclusion
+    // probability ∝ n_chars, the standard corpus-mixing move when
+    // token-budgeting; deterministic via the overflow-proof hash ----
+    QuerySpec(
+      "q83_weighted_sample",
+      Some(s"""
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        WHERE ${graft.Exact.hashOrderSql("doc_id", 10000)} < n_chars"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .filter(graft.Exact.hashOrder(col("doc_id"), 10000) < col("n_chars"))
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))),
+
     // ---- q59: correlated scalar subquery — customers above their
     // nation's average balance (exact: integer-cents sum/count makes
     // the average bit-identical across engines) ----
