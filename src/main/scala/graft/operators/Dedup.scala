@@ -329,6 +329,34 @@ object Dedup {
       .drop("_block_hash")
   }
 
+  /** N-GRAM-level decontamination — the industry-standard eval-leak
+    * check: a corpus document is contaminated if it shares ANY
+    * `n`-token window with a blocklisted document (whole-doc hashing,
+    * [[decontaminate]], misses partial quotes). Scale shape: the
+    * blocklist's gram hashes are small (|eval| × tokens) → broadcast;
+    * the corpus explodes its grams map-side into a broadcast semi join,
+    * so the corpus never shuffles — only the matched id set does, and
+    * it is tiny by construction. Grams are md5 over space-joined
+    * normalized tokens (SQL-expressible → oracle-checkable, q85). */
+  def decontaminateNgrams(
+      corpus: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, blTextCol: String, n: Int = 13): DataFrame = {
+    def gramHashes(c: org.apache.spark.sql.Column) = {
+      val toks = split(T.normalizeText(c), " ")
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          p => md5(concat_ws(" ", slice(toks, p + lit(1), lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val blGrams = blocklist
+      .select(explode(gramHashes(col(blTextCol))).as("_g")).distinct()
+    val contaminated = corpus
+      .select(col(idCol), explode(gramHashes(col(textCol))).as("_g"))
+      .join(broadcast(blGrams), Seq("_g"), "left_semi")
+      .select(col(idCol).as("_cid")).distinct()
+    corpus.join(broadcast(contaminated), col(idCol) === col("_cid"), "left_anti")
+  }
+
   /** Deterministic pseudo-random sampling: keep rows whose Knuth-hashed
     * id lands under `percent`. Reproducible across runs/partitionings
     * (no rand()), expressible in plain SQL for oracle checks, and

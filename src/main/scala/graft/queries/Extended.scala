@@ -502,6 +502,63 @@ object Extended {
           .filter(graft.Exact.hashOrder(col("doc_id"), 10000) < col("n_chars"))
           .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))),
 
+    // ---- q84: deterministic train/val/test split — 80/10/10 by the
+    // overflow-proof id hash: reproducible across runs, partitionings
+    // and engines; per-split × per-language counts verify both the
+    // assignment and its balance ----
+    QuerySpec(
+      "q84_train_val_test_split",
+      Some(s"""
+        WITH assigned AS (
+          SELECT doc_id, lang,
+                 CASE WHEN ${graft.Exact.hashOrderSql("doc_id", 100)} < 80 THEN 'train'
+                      WHEN ${graft.Exact.hashOrderSql("doc_id", 100)} < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        )
+        SELECT split, lang, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM assigned GROUP BY split, lang"""),
+      (s, dir) => {
+        val h = graft.Exact.hashOrder(col("doc_id"), 100)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      }),
+
+    // ---- q85: n-gram decontamination — the eval-leak check at 13-token
+    // granularity (whole-doc hashing misses partial quotes); corpus docs
+    // sharing any normalized 13-gram with the eval set are dropped ----
+    QuerySpec(
+      "q85_decontaminate_ngrams",
+      Some("""
+        WITH norm AS (
+          SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, string_split(nrm, ' ') AS t FROM norm
+        ), grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - 12),
+                   p -> md5(array_to_string(t[p:p+12], ' ')))) AS g
+          FROM toks
+        ), bl AS (
+          SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0
+        ), contaminated AS (
+          SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bl)
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Dedup.decontaminateNgrams(
+          docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "text", n = 13)
+          .select("doc_id")
+      }),
+
     // ---- q59: correlated scalar subquery — customers above their
     // nation's average balance (exact: integer-cents sum/count makes
     // the average bit-identical across engines) ----

@@ -149,6 +149,20 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L), "case/whitespace variant of blocked text must drop")
   }
 
+  test("decontaminateNgrams: 13-token overlap drops, 12-token overlap survives") {
+    val evalDoc = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike"
+    val thirteen = evalDoc // exactly the 13 shared tokens
+    val corpus = Seq(
+      (1L, s"intro words here $thirteen trailing content"),          // full 13-gram → drop
+      (2L, s"unrelated start ${thirteen.split(' ').take(12).mkString(" ")} suffix"), // only 12 → keep
+      (3L, "completely different text with no overlap at all whatsoever in any window")
+    ).toDF("doc_id", "text")
+    val bl = Seq(evalDoc).toDF("text")
+    val kept = Dedup.decontaminateNgrams(corpus, "doc_id", "text", bl, "text", n = 13)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), s"got $kept")
+  }
+
   test("deterministicSample is reproducible and roughly proportional") {
     val df = (0L until 1000L).toDF("doc_id")
     val a = Dedup.deterministicSample(df, "doc_id", 25).as[Long].collect().toSet
