@@ -86,6 +86,17 @@ object StreamPipeline {
       .groupBy(window(col("timestamp"), "1 day"), col("country"))
       .agg(count(lit(1)).as("events"))
 
+  /** ST6 extension — watermark-bounded streaming dedup via the native
+    * `dropDuplicatesWithinWatermark`: unlike [[dedupStream]] (exact
+    * forever, state grows with distinct keys), state here is EVICTED
+    * once the watermark passes an entry — the right default for replay
+    * suppression where duplicates arrive close together (at-least-once
+    * producers), with state bounded by delay × rate. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+      keyCols: Seq[String], delay: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** ST6 extension — stream enrichment against a static dimension: a
     * broadcast hash join per micro-batch. No streaming state at all —
     * the dimension is rebroadcast per batch, so at scale this is the

@@ -153,6 +153,22 @@ class StreamPipelineSpec extends SparkSpec {
     assert(cps == Set("pin", "geo", "user"))
   }
 
+  test("dropDuplicatesWithinWatermark suppresses close replays with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (key, seconds)
+    // key 1 replayed twice within the window, key 2 once, key 3 distinct
+    mem.addData((1L, 1000L), (1L, 1010L), (2L, 1000L), (3L, 2000L), (1L, 1020L))
+    val events = mem.toDF.toDF("k", "s")
+      .withColumn("ts", timestamp_seconds(col("s")))
+    val q = StreamPipeline.dedupWithinWatermark(events, "ts", Seq("k"))
+      .select(col("k")).writeStream.queryName("wm_dedup_out")
+      .format("memory").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("wm_dedup_out").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L), s"each key exactly once within the window: $got")
+  }
+
   test("stream-static dimension enrich is a per-batch broadcast join") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "US"), (2L, "DE")).toDF("user_id", "country")
