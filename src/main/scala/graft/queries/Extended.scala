@@ -559,6 +559,53 @@ object Extended {
           .select("doc_id")
       }),
 
+    // ---- q86: quantized exact search — embeddings int-quantized
+    // (floor(x*1000+0.5), deterministic from the float bits) then
+    // scored by EXACT integer dot product: the int8-style quantization
+    // production vector search uses, and the one ANN-shaped top-k whose
+    // scores a DuckDB oracle can hash bit-for-bit (float cosines
+    // can't). Deliberate brute-force baseline: corpus × 20 queries ----
+    QuerySpec(
+      "q86_ann_quantized_exact_topk",
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 20
+        ), scored AS (
+          SELECT q.query_id, c.vec_id,
+                 CAST(list_sum(list_transform(generate_series(1, len(c.v)),
+                   i -> c.v[i] * q.qv[i])) AS BIGINT) AS dot
+          FROM qz c, q
+          WHERE c.vec_id <> q.query_id
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY dot DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, dot, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5"""),
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        val corpus = emb.select(col("vec_id"), quant.as("cv"))
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), quant.as("qv"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("dot").desc, col("vec_id"))
+        corpus.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            expr("aggregate(zip_with(cv, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+              .as("dot"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+      }),
+
     // ---- q59: correlated scalar subquery — customers above their
     // nation's average balance (exact: integer-cents sum/count makes
     // the average bit-identical across engines) ----

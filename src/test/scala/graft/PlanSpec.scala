@@ -106,7 +106,8 @@ class PlanSpec extends SparkSpec {
       "q39_jaccard_top_pairs",     // brute Jaccard baseline (bounded slice)
       "q41_ann_bruteforce_topk",   // exact ANN ground truth
       "q44_ann_ivf_topk",          // centroid assignment: corpus x 16 centroids
-      "q49_ann_ivf_kmeans_topk")   // same, trained centroids
+      "q49_ann_ivf_kmeans_topk",   // same, trained centroids
+      "q86_ann_quantized_exact_topk") // quantized exact search baseline
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(deliberate)
       .flatMap { name =>
