@@ -108,9 +108,9 @@ object Relational {
       "q01_pricing_summary",
       Some(s"""
         SELECT l_returnflag, l_linestatus,
-               SUM(${centsSql("l_quantity")}) AS sum_qty_cents,
-               SUM(${centsSql("l_extendedprice")}) AS sum_price_cents,
-               SUM(${centsSql("l_extendedprice*(1-l_discount)")}) AS sum_disc_cents,
+               CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_cents,
+               CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_cents,
+               CAST(SUM(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS sum_disc_cents,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
@@ -429,7 +429,7 @@ object Relational {
       Some(s"""
         SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
                COUNT(*) AS n,
-               SUM(${centsSql("o_totalprice")}) AS total_cents
+               CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS total_cents
         FROM orders
         GROUP BY ROLLUP(CAST(YEAR(o_orderdate) AS BIGINT), o_orderstatus)"""),
       (s, dir) =>
