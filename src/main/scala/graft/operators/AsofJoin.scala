@@ -27,10 +27,18 @@ import org.apache.spark.sql.functions._
   * one-reducer straggler. The backward-match semantics decompose exactly
   * by time bucket — a left row's match is either the last right within
   * its own (key, bucket), or the last right of the nearest earlier
-  * non-empty bucket — so phase 1 windows over (key, bucket) [skew spread]
-  * and phase 2 carries bucket-last payloads across per-bucket summaries
-  * (one row per non-empty bucket). Identical results for ANY bucket size
-  * (asserted in SkewSpec, oracle-checked as q53). */
+  * non-empty bucket. Rather than join that carried payload back onto the
+  * event-scale stream, the carry is INJECTED into the stream: per-bucket
+  * last-right payloads (aggregated straight off the right side, no union
+  * scan) are lag-carried along a bucket spine, and each carry becomes a
+  * synthetic right row at its bucket's start time with `_side = -1` so
+  * it sorts before every real row of the bucket. One (key, bucket)
+  * window over union(left, right, carries) then resolves every left row
+  * exactly as the plain form does — no event-scale join, no caching; the
+  * only event-scale exchanges are the window shuffle itself (which the
+  * plain form also pays, on a hotter key) and a 2-column distinct for
+  * the spine. Identical results for ANY bucket size (asserted in
+  * SkewSpec, oracle-checked as q53). */
 object AsofJoin {
 
   /** Tagged union shared by both forms: (_k, _t, _side, _l, _r). */
@@ -70,39 +78,47 @@ object AsofJoin {
       key: String, time: String,
       rightCols: Seq[String], bucket: Long): DataFrame = {
     require(bucket > 0)
-    // referenced three times below (window input, per-bucket right
-    // payloads, bucket spine) — cached columnar once; without it each
-    // branch recomputes the whole union INCLUDING the right side's
-    // upstream dedup shuffle
     val unioned = taggedUnion(left, right, key, time, rightCols)
       .withColumn("_b", expr(s"_t DIV $bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // phase 1: last right at-or-before, within each (key, bucket)
-    val w1 = Window.partitionBy(col("_k"), col("_b")).orderBy(col("_t"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val localized = unioned
-      .withColumn("_local", last(col("_r"), ignoreNulls = true).over(w1))
-    // phase 2 reads only CHEAP aggregates of the union — not the
-    // windowed frame — so the expensive phase-1 window subtree appears
-    // exactly once in the plan (no AQE stage reuse exists across such
-    // branches; re-deriving from `localized` would run the window
-    // twice). Per-bucket last payload comes from the rights alone
-    // (deterministic: rights are unique per (key, time) by contract);
-    // the bucket spine covers EVERY non-empty (key, bucket) so left
-    // rows in rightless buckets still find their carry row.
-    val bucketLast = unioned.filter(col("_side") === 0)
-      .groupBy(col("_k"), col("_b"))
+    // per-bucket last right payload, aggregated straight off the right
+    // side (rights are unique per (key, time) by contract, so max_by is
+    // deterministic) — never touches the left-scale stream
+    val rPrep = right.select(col(key).as("_k"), col(time).as("_t"),
+        struct(rightCols.map(col): _*).as("_r"))
+      .withColumn("_b", expr(s"_t DIV $bucket"))
+    val bucketLast = rPrep.groupBy(col("_k"), col("_b"))
       .agg(max_by(col("_r"), col("_t")).as("_blast"))
-    val spine = unioned.groupBy(col("_k"), col("_b")).agg(lit(1).as("_one"))
-    val carries = spine
-      .join(bucketLast, Seq("_k", "_b"), "left")
+    // bucket spine: every non-empty (key, bucket) on either side. The
+    // left scan here prunes to (key, time) only — 2 columns. Needed so
+    // a left-only bucket still receives its carry row.
+    val spine = left.select(col(key).as("_k"), col(time).as("_t"))
+      .withColumn("_b", expr(s"_t DIV $bucket")).select("_k", "_b")
+      .union(rPrep.select("_k", "_b"))
+      .distinct()
+    // carry for bucket b = last right payload of any STRICTLY earlier
+    // bucket (rights inside b itself are at _t ≥ b*bucket and win via
+    // the window below). Bucket-level rows — tiny.
+    val carries = spine.join(bucketLast, Seq("_k", "_b"), "left")
       .withColumn("_carry", last(col("_blast"), ignoreNulls = true).over(
         Window.partitionBy(col("_k")).orderBy(col("_b"))
           .rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col("_k"), col("_b"), col("_carry"))
-    localized.join(carries, Seq("_k", "_b"))
+      .filter(col("_carry").isNotNull)
+    // inject each carry as a synthetic right row at its bucket's start:
+    // _side = -1 sorts it before every real right (0) and left (1) of
+    // the bucket, so `last(_r)` picks a local right over the carry
+    // whenever one is at-or-before the left row
+    val carryRows = carries.select(
+      col("_k"),
+      (col("_b") * bucket).cast(unioned.schema("_t").dataType).as("_t"),
+      lit(-1).as("_side"),
+      lit(null).cast(unioned.schema("_l").dataType).as("_l"),
+      col("_carry").as("_r"),
+      col("_b"))
+    val w1 = Window.partitionBy(col("_k"), col("_b")).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned.unionByName(carryRows)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w1))
       .filter(col("_side") === 1)
-      .withColumn("_asof", coalesce(col("_local"), col("_carry")))
       .select(col("_l.*") +: rightCols.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
   }
 }

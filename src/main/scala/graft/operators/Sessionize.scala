@@ -16,15 +16,22 @@ import org.apache.spark.sql.functions._
   *     be applied naively — session numbering is order-dependent across
   *     the full per-user stream — so this decomposes by TIME BUCKET:
   *     phase 1 windows over (user, bucket) [the skew-spreading step],
-  *     phase 2 stitches sessions across bucket boundaries on per-bucket
-  *     summaries (one row per non-empty bucket — tiny), phase 3 merges
-  *     session partials. Requires bucketUs ≥ gapUs so a session can only
+  *     phase 2 numbers sessions globally with ONE window directly over
+  *     the session-level partials ordered by (bucket, local_seq): the
+  *     gap test `first_us - lag(last_us) > gapUs` holds uniformly —
+  *     within a bucket a new local session exists precisely because the
+  *     gap was exceeded, and across buckets it is exactly the stitch
+  *     condition. Requires bucketUs ≥ gapUs so a session can only
   *     continue into the NEXT non-empty bucket: with any empty bucket
-  *     between, the time gap is ≥ bucketUs ≥ gapUs, except exactly at
-  *     equality, which the consecutive-summary LAG still handles since
-  *     summaries exist only for non-empty buckets.
-  *     Results are identical to [[sessionize]] for any bucket size
-  *     (asserted in SkewSpec and oracle-checked as q52). */
+  *     between, the time gap is ≥ bucketUs ≥ gapUs, so the same
+  *     predicate closes the session.
+  *     Phase 2 runs on partial-session rows (≪ events; for the hot key,
+  *     at most span/bucketUs + its true session count), so the per-user
+  *     window that made the plain form a straggler is event-free here.
+  *     No caching, no join: partials flow straight into the second
+  *     window (2 shuffles total; the final groupBy reuses the phase-2
+  *     hash partitioning). Results are identical to [[sessionize]] for
+  *     any bucket size (asserted in SkewSpec and oracle-checked as q52). */
 object Sessionize {
 
   /** Single-window form. Output: (userCol, session_seq, n_events,
@@ -68,32 +75,25 @@ object Sessionize {
       .groupBy(col("_u"), col("_b"), col("_lseq"))
       .agg(count(lit(1)).as("_n"), min(col("_id")).as("_minid"),
         min(col("_us")).as("_minus"), max(col("_us")).as("_maxus"))
-      // both phase 2 (summaries) and phase 3 (final merge) read the
-      // session partials; the lazy columnar persist computes the
-      // event-scale window ONCE and caches the (much smaller)
-      // session-level frame — without it the full phase-1 subtree runs
-      // twice (verified: no AQE stage reuse across the two branches)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // phase 2: stitch across boundaries on per-bucket summaries.
-    // offset(b) = sessions counted before b, minus one per boundary
-    // merge up to and including b — so a bucket whose first local
-    // session continues the previous bucket's last session maps local 1
-    // onto that session's global number.
-    val summaries = partials.groupBy(col("_u"), col("_b"))
-      .agg(min(col("_minus")).as("_first"), max(col("_maxus")).as("_last"),
-        max(col("_lseq")).as("_nsess"))
-    val w2 = Window.partitionBy(col("_u")).orderBy(col("_b"))
-    val offsets = summaries
-      .withColumn("_merged",
-        when(col("_first") - lag(col("_last"), 1).over(w2) <= gapUs, 1).otherwise(0))
-      .withColumn("_offset",
-        coalesce(sum(col("_nsess")).over(w2.rowsBetween(Window.unboundedPreceding, -1)), lit(0))
-          - sum(col("_merged")).over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("_u"), col("_b"), col("_offset"))
-    // phase 3: merge session partials under global numbering — operates
-    // on one row per (bucket, local session), not per event
-    partials.join(offsets, Seq("_u", "_b"))
-      .groupBy(col("_u").as(userCol), (col("_offset") + col("_lseq")).cast("long").as("session_seq"))
+    // phase 2: global numbering with one window straight over the
+    // session-level partials in (_b, _lseq) order. The SAME gap test
+    // decides both cases (see object doc): a partial with _lseq > 1
+    // always fails it (its local session opened because the gap was
+    // exceeded), a bucket-first partial passes it exactly when it
+    // continues the previous bucket's last session. Running-sum the
+    // starts → global session_seq. One row per partial session — no
+    // event-scale data, no cache, no join-back.
+    val w2 = Window.partitionBy(col("_u")).orderBy(col("_b"), col("_lseq"))
+    val run2 = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    partials
+      .withColumn("_gnew",
+        when(lag(col("_maxus"), 1).over(w2).isNull ||
+          col("_minus") - lag(col("_maxus"), 1).over(w2) > gapUs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("_gnew")).over(run2).cast("long"))
+      // phase 3: merge partials under the global numbering — reuses the
+      // phase-2 hash(_u) partitioning (subset of the grouping keys), so
+      // this groupBy adds no exchange
+      .groupBy(col("_u").as(userCol), col("session_seq"))
       .agg(
         sum(col("_n")).as("n_events"),
         min(col("_minid")).as("first_event_id"),
