@@ -27,7 +27,11 @@ object Exact {
   def hashOrder(id: Column, buckets: Int): Column =
     pmod(pmod(id, lit(1000000007L)) * 2654435761L, lit(buckets))
 
-  /** DuckDB-side mirror of [[hashOrder]]. */
+  /** DuckDB-side mirror of [[hashOrder]]. DuckDB's `%` follows the
+    * dividend's sign while the Spark side uses `pmod`, so the inner mod
+    * is wrapped non-negative; the product of a non-negative inner and a
+    * positive constant is non-negative, so the outer `%` needs no wrap.
+    * (Asserted against pmod semantics for negative ids in ExactSpec.) */
   def hashOrderSql(id: String, buckets: Int): String =
-    s"(($id % 1000000007) * 2654435761) % $buckets"
+    s"((((($id % 1000000007) + 1000000007) % 1000000007) * 2654435761) % $buckets)"
 }

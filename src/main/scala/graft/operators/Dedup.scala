@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * asserted in tests). A downstream `filter(!is_duplicate)` materializes
   * the deduped corpus.
   *
-  * Cache lifetime: the LSH paths persist small intermediate frames
-  * (banded signatures, hot-bucket lists) that live until session end —
+  * Cache lifetime: the LSH, transitive-cluster and embedding paths
+  * persist small intermediate frames (banded signatures, hot-bucket
+  * lists, candidate edges/sims) that live until session end —
   * correct for job-per-run batch use; a long-lived service calling
   * these repeatedly should clear between epochs
   * (`spark.catalog.clearCache()` or targeted `unpersist`).
