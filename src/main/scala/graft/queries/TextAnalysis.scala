@@ -161,10 +161,36 @@ object TextAnalysis {
           .select(col("doc_id"), T.qualityMetrics(col("text")).as("m"))
           .select(col("doc_id"), col("m.*"))),
 
-    // ---- q36: document fingerprinting (custom Catalyst expression) ----
+    // ---- q36: document fingerprinting (custom Catalyst expression).
+    // The oracle replays the EXACT rolling hash (h = 31h + byte mod 2^64,
+    // seed 1125899906842597, over UTF-8 bytes of the normalized text) in
+    // DuckDB: hex(encode(...)) exposes the bytes, list_reduce folds them
+    // in HUGEINT with an explicit mod-2^64, and the final CASE re-wraps
+    // to signed BIGINT. Pure SQL replay of GraftExpressions.Fingerprint64
+    // — not a weaker twin ----
     QuerySpec(
       "q36_fingerprint",
-      None,
+      Some("""
+        WITH norm AS (
+          SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm
+          FROM documents
+        ), hx AS (
+          SELECT doc_id, lower(hex(encode(nrm))) AS h FROM norm
+        ), folded AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(1125899906842597 AS HUGEINT),
+                     list_transform(range(1, length(h) + 1, 2),
+                       i -> CAST((strpos('0123456789abcdef', h[i]) - 1) * 16
+                               + (strpos('0123456789abcdef', h[i+1]) - 1) AS HUGEINT))),
+                   (acc, b) -> (31 * acc + b) % 18446744073709551616
+                 ) AS v
+          FROM hx
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN v >= 9223372036854775808
+                         THEN v - 18446744073709551616 ELSE v END AS BIGINT) AS fingerprint
+        FROM folded"""),
       (s, dir) => {
         GraftFunctions.register(s)
         Tables.load(s, dir, "documents")
@@ -244,10 +270,33 @@ object TextAnalysis {
             shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5))
       }),
 
-    // ---- q39: n-gram Jaccard top pairs (brute ground truth slice) ----
+    // ---- q39: n-gram Jaccard top pairs (brute ground truth slice).
+    // Spark computes Jaccard over FNV-hashed distinct shingles
+    // (ShingleHashes64); the oracle computes it over the RAW shingle
+    // string sets — equal unless the 64-bit hash collides inside a
+    // pair's shingle union (~|S|²/2⁶⁴), so the gate doubles as a
+    // collision-freeness check. Tiebreak (jaccard DESC, id_a, id_b) is
+    // total, making LIMIT 20 deterministic on both engines ----
     QuerySpec(
       "q39_jaccard_top_pairs",
-      None,
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, CASE WHEN nrm = '' THEN [] ELSE string_split(nrm, ' ') END AS t
+          FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm
+                FROM documents WHERE doc_id < 50)
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                      ELSE list_transform(range(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+2], ' ')) END AS s
+          FROM toks
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) END AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ORDER BY jaccard DESC, id_a, id_b LIMIT 20"""),
       (s, dir) =>
         Dedup.jaccardPairsBrute(
           Tables.load(s, dir, "documents").filter(col("doc_id") < 50),
