@@ -52,10 +52,7 @@ final case class FileJsonTableSource(baseDir: String, topicPrefix: String = "")
 final case class KafkaTableSource(
     bootstrapServers: String, topicPrefix: String = "",
     startingOffsets: String = "earliest") extends TableSource {
-
-  private def decode(raw: DataFrame, schema: StructType): DataFrame =
-    raw.select(from_json(col("value").cast("string"), schema).as("our_data"))
-      .select("our_data.*")
+  import KafkaTableSource.decode
 
   override def readBatch(spark: SparkSession, table: PipelineTable): DataFrame =
     decode(
@@ -75,4 +72,18 @@ final case class KafkaTableSource(
         .option("startingOffsets", startingOffsets)
         .load(),
       table.schema)
+}
+
+object KafkaTableSource {
+  /** S4 — wire→table decode, shared by batch and stream: Kafka rows
+    * carry the payload as a binary `value` (key and the
+    * topic/partition/offset/timestamp metadata are ignored — the
+    * reference keys records only for partitioning, not meaning);
+    * `from_json(CAST(value AS STRING))` with the declared struct yields
+    * the raw table shape. Public so the contract is testable against
+    * wire-shaped frames without a broker (TableSourceSpec) — the only
+    * part a connector jar would add is the socket. */
+  def decode(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(from_json(col("value").cast("string"), schema).as("our_data"))
+      .select("our_data.*")
 }

@@ -43,4 +43,54 @@ class TableSourceSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("kafka"),
       s"expected the kafka source lookup to be attempted, got: ${e.getMessage}")
   }
+
+  /** The landed topic files re-shaped as Kafka wire rows: binary
+    * key/value plus the connector's metadata columns, exactly the
+    * schema `format("kafka").load()` produces. */
+  private def wireFrame(t: PipelineTable): org.apache.spark.sql.DataFrame =
+    spark.read.text(s"$base/topics/${t.name}/partition=*")
+      .select(
+        lit(null).cast("binary").as("key"),
+        encode(col("value"), "UTF-8").as("value"),
+        lit(t.name).as("topic"),
+        spark_partition_id().as("partition"),
+        monotonically_increasing_id().as("offset"),
+        current_timestamp().as("timestamp"),
+        lit(0).as("timestampType"))
+
+  test("Kafka decode contract: wire-shaped batch rows == file source, all tables") {
+    for (t <- PipelineTable.all) {
+      val decoded = KafkaTableSource.decode(wireFrame(t), t.schema)
+      assert(decoded.schema == t.schema,
+        s"decode must land the declared raw schema for ${t.name}")
+      assertSameRows(decoded, FileJsonTableSource(base).readBatch(spark, t),
+        s"kafka-wire decode vs file source for ${t.name}")
+    }
+  }
+
+  test("Kafka decode contract: streaming micro-batch decodes like batch") {
+    import spark.implicits._
+    val jsons = spark.read.text(s"$base/topics/pin/partition=*")
+      .as[String].collect().toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    mem.addData(jsons)
+    val wire = mem.toDF().select(
+      lit(null).cast("binary").as("key"),
+      encode(col("value"), "UTF-8").as("value"),
+      lit("pin").as("topic"), lit(0).as("partition"),
+      xxhash64(col("value")).as("offset"),
+      current_timestamp().as("timestamp"), lit(0).as("timestampType"))
+    val decoded = KafkaTableSource.decode(wire, PipelineTable.Pin.schema)
+    assert(decoded.isStreaming, "decode must preserve streaming-ness")
+    val q = decoded.writeStream.format("memory")
+      .queryName("kafka_decode_contract")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assertSameRows(
+      spark.table("kafka_decode_contract"),
+      KafkaTableSource.decode(wireFrame(PipelineTable.Pin), PipelineTable.Pin.schema),
+      "streamed decode vs batch decode")
+  }
 }
