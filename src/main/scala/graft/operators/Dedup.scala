@@ -330,6 +330,49 @@ object Dedup {
       .drop("_block_hash")
   }
 
+  /** [[decontaminate]] for blocklists too big to broadcast. At 100 TB a
+    * blocklist can outgrow the broadcast threshold, and the plain
+    * left-anti join then shuffles the whole corpus. Instead: one
+    * aggregation folds the blocklist hashes into a bloom filter (a few
+    * MB of bits regardless of blocklist row count), every corpus row
+    * tests it map-side, and only bloom-POSITIVE rows — true matches
+    * plus the false-positive sliver — pay the exact anti-join (which
+    * Spark may shuffle, but over a tiny input). Definite negatives,
+    * i.e. almost the whole corpus, stream through untouched. Results
+    * are exactly [[decontaminate]]'s for ANY filter size: the bloom
+    * only over-approximates the match set and the exact join corrects
+    * it (asserted under a deliberately 64-bit, collision-heavy filter
+    * in DedupSpec; oracle-checked as q87). The one driver
+    * materialization is the aggregated filter bytes, bounded by
+    * `numBits` — same discipline as the IVF centroid broadcast.
+    * Spark's own runtime-filter machinery (BloomFilterAggregate /
+    * BloomFilterMightContain, the codegen'd expressions behind AQE's
+    * injected bloom joins) does the hashing — nothing bespoke. */
+  def decontaminateBloom(corpus: DataFrame, textCol: String,
+      blocklist: DataFrame, blocklistTextCol: String,
+      expectedItems: Long = 1000000L, numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    val bl = blocklist
+      .select(md5(T.normalizeText(col(blocklistTextCol))).as("_block_hash"))
+      .distinct()
+    val bloomBytes = bl.select(shim.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          shim.expression(xxhash64(col("_block_hash"))),
+          shim.expression(lit(expectedItems)), shim.expression(lit(numBits)))
+          .toAggregateExpression()).as("_bf"))
+      .head().getAs[Array[Byte]]("_bf")
+    if (bloomBytes == null) return corpus // empty blocklist: nothing to drop
+    def mightContain(h: org.apache.spark.sql.Column) = shim.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        shim.expression(lit(bloomBytes)), shim.expression(xxhash64(h))))
+    val hashed = corpus.withColumn("_block_hash", md5(T.normalizeText(col(textCol))))
+    hashed.filter(!mightContain(col("_block_hash")))
+      .unionByName(
+        hashed.filter(mightContain(col("_block_hash")))
+          .join(bl, Seq("_block_hash"), "left_anti")) // deliberately NOT broadcast
+      .drop("_block_hash")
+  }
+
   /** N-GRAM-level decontamination — the industry-standard eval-leak
     * check: a corpus document is contaminated if it shares ANY
     * `n`-token window with a blocklisted document (whole-doc hashing,

@@ -36,24 +36,39 @@ object Similarity {
     *
     * Candidate generation is the pigeonhole banding equi-join (same
     * trick as `Dedup.simhashPairs`, VERDICT r1 wrong#4): the signature
-    * is split into `maxHamming+1` bit-chunks — any pair within the
-    * Hamming budget must agree exactly on at least one chunk — and the
-    * exploded corpus side HASH-joins the broadcast exploded query side
-    * on (chunk, value). The corpus is scanned once, never shuffled, and
+    * is split into bit-chunks — any pair within the Hamming budget must
+    * agree closely enough on at least one chunk — and the exploded
+    * corpus side HASH-joins the broadcast exploded query side on
+    * (chunk, value). The corpus is scanned once, never shuffled, and
     * never nested-loop-joined: each corpus row probes a broadcast hash
     * table and only chunk-colliding (query, corpus) pairs flow on. The
     * Hamming postfilter keeps results bit-identical to an exhaustive
-    * signature scan. */
+    * signature scan.
+    *
+    * `probeBits` is classic multi-probe LSH, spent on the CHEAP side:
+    * with probeBits=1 the query also probes every 1-bit flip of each of
+    * its chunk values, so a chunk "matches" when it differs by ≤1 bit.
+    * Pigeonhole then needs only ceil((maxHamming+1)/2) chunks instead
+    * of maxHamming+1 — if every chunk differed by ≥2 bits the total
+    * would exceed the budget. Same exact results, but the CORPUS-side
+    * explode (the 100 TB side) roughly halves and each chunk doubles in
+    * width, making bucket collisions quadratically rarer; the extra
+    * probe rows land on the broadcast query side, which is small by
+    * assumption. (Asserted equal to probeBits=0 and to the exhaustive
+    * scan in SimilaritySpec.) */
   def lshTopK(
       corpus: DataFrame, corpusId: String,
       queries: DataFrame, queryId: String,
       vecCol: String, k: Int,
-      planes: Int = 16, maxHamming: Int = 3): DataFrame = {
-    require(planes > maxHamming,
-      s"need planes ($planes) > maxHamming ($maxHamming) for pigeonhole banding")
+      planes: Int = 16, maxHamming: Int = 3,
+      probeBits: Int = 0): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 1, "probeBits must be 0 or 1")
     // chunk i covers bits [offset, offset+width); widths differ by ≤1 so
-    // all `planes` bits are covered by exactly maxHamming+1 chunks
-    val nChunks = maxHamming + 1
+    // all `planes` bits are covered. nChunks·(probeBits+1) > maxHamming
+    // holds by construction — the pigeonhole guarantee.
+    val nChunks = maxHamming / (probeBits + 1) + 1
+    require(planes >= nChunks,
+      s"need planes ($planes) >= $nChunks chunks for pigeonhole banding")
     val base = planes / nChunks
     val rem = planes % nChunks
     val bounds = (0 until nChunks).map { i =>
@@ -75,11 +90,18 @@ object Similarity {
       posexplode(array(chunkCols(col("_csig")): _*)))
       .select(col(corpusId), col("_cvec"), col("_csig"),
         col("pos").as("_chunk"), col("col").as("_cv"))
+    // query side: each chunk value plus (probeBits=1) its 1-bit flips —
+    // |Q| × nChunks × (1+width) rows, still broadcast-small
+    def probeSet(cv: org.apache.spark.sql.Column, w: Int) =
+      if (probeBits == 0) array(cv)
+      else array(cv +: (0 until w).map(j => cv.bitwiseXOR(lit(1L << j))): _*)
     val qband = qsig.select(
       col(queryId), col("_qvec"), col("_qsig"),
-      posexplode(array(chunkCols(col("_qsig")): _*)))
+      posexplode(array(bounds.zip(chunkCols(col("_qsig"))).map {
+        case ((_, w), cv) => probeSet(cv, w)
+      }: _*)))
       .select(col(queryId), col("_qvec"), col("_qsig"),
-        col("pos").as("_chunk"), col("col").as("_cv"))
+        col("pos").as("_chunk"), explode(col("col")).as("_cv"))
     val scored = cband
       .join(broadcast(qband), Seq("_chunk", "_cv"))
       .filter(col(corpusId) =!= col(queryId))

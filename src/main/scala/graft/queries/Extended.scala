@@ -568,6 +568,32 @@ object Extended {
           .select("doc_id")
       }),
 
+    // ---- q87: bloom-pruned decontamination — same exact semantics as
+    // q47 (the bloom only prunes; a verification anti-join corrects its
+    // false positives), so the same NOT EXISTS oracle applies even
+    // though Spark's plan routes almost every row around the join via
+    // BloomFilterMightContain. Different blocklist slice (doc_id%7)
+    // than q47's %10 so the two queries don't share a result ----
+    QuerySpec(
+      "q87_decontaminate_bloom",
+      Some("""
+        WITH norm AS (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+          FROM documents
+        ), block AS (
+          SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 7 = 0
+        )
+        SELECT doc_id FROM norm
+        WHERE NOT EXISTS (SELECT 1 FROM block WHERE block.h = norm.h)"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Dedup.decontaminateBloom(docs, "text",
+          docs.filter(col("doc_id") % 7 === 0), "text")
+          .select("doc_id")
+      }),
+
     // ---- q86: quantized exact search — embeddings int-quantized
     // (floor(x*1000+0.5), deterministic from the float bits) then
     // scored by EXACT integer dot product: the int8-style quantization

@@ -327,7 +327,10 @@ object TextAnalysis {
           "query_id", "embedding", k = 5)
       }),
 
-    // ---- q42: LSH-bucketed cosine top-k (scale path) ----
+    // ---- q42: LSH-bucketed cosine top-k (scale path). probeBits=1
+    // (multi-probe, round 4): same bit-identical results, but the
+    // corpus explodes into 4 chunks instead of 7 and each chunk widens
+    // 2→4 bits — probe rows move to the broadcast query side ----
     QuerySpec(
       "q42_ann_lsh_topk",
       None,
@@ -336,7 +339,8 @@ object TextAnalysis {
         Similarity.lshTopK(
           emb, "vec_id",
           emb.filter(col("vec_id") < 20).withColumnRenamed("vec_id", "query_id"),
-          "query_id", "embedding", k = 5, planes = 16, maxHamming = 6)
+          "query_id", "embedding", k = 5, planes = 16, maxHamming = 6,
+          probeBits = 1)
       }),
 
     // ---- q44: IVF-accelerated cosine top-k (coarse quantize + probe) ----

@@ -149,6 +149,24 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L), "case/whitespace variant of blocked text must drop")
   }
 
+  test("decontaminateBloom == decontaminate, even under a collision-heavy filter") {
+    val corpus = (0L until 400L).map(i => (i, s"document number $i body")).toDF("doc_id", "text")
+    val block = (0L until 400L by 7).map(i => s"Document   NUMBER $i BODY").toDF("text")
+    val exact = Dedup.decontaminate(corpus, "text", block, "text")
+    // generous filter: false positives rare, exact join still corrects
+    val viaBloom = Dedup.decontaminateBloom(corpus, "text", block, "text")
+    assertSameRows(viaBloom, exact, "bloom path vs plain anti-join")
+    // 64-bit filter: nearly everything is a false positive → the exact
+    // verification join must carry the result alone
+    val viaTinyBloom = Dedup.decontaminateBloom(corpus, "text", block, "text",
+      expectedItems = 4L, numBits = 64L)
+    assertSameRows(viaTinyBloom, exact, "bloom exactness must not depend on fpp")
+    // empty blocklist: identity
+    val empty = Dedup.decontaminateBloom(corpus, "text",
+      block.filter(lit(false)), "text")
+    assertSameRows(empty, corpus, "empty blocklist drops nothing")
+  }
+
   test("decontaminateNgrams: 13-token overlap drops, 12-token overlap survives") {
     val evalDoc = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike"
     val thirteen = evalDoc // exactly the 13 shared tokens

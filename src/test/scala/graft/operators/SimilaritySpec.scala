@@ -129,6 +129,49 @@ class SimilaritySpec extends SparkSpec {
     assertSameRows(viaBanding, viaExhaustive, "banded vs exhaustive LSH")
   }
 
+  test("multi-probe LSH (probeBits=1) == plain banding == exhaustive scan") {
+    val queries = corpus.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "query_id")
+    val plain = Similarity.lshTopK(corpus, "vec_id", queries, "query_id",
+      "embedding", k = 4, planes = 12, maxHamming = 4)
+    val multi = Similarity.lshTopK(corpus, "vec_id", queries, "query_id",
+      "embedding", k = 4, planes = 12, maxHamming = 4, probeBits = 1)
+    assertSameRows(multi, plain, "multi-probe vs plain banding")
+    // and the multi-probe plan is still a hash join, never a BNLJ
+    val p = multi.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && p.contains("BroadcastHashJoin"),
+      s"multi-probe candidates must stay an equi-join:\n$p")
+  }
+
+  test("multi-probe LSH catches pairs at the full Hamming budget (pigeonhole holds)") {
+    // maxHamming=5, probeBits=1 → 3 chunks of 4 bits over 12 planes; a
+    // pair differing by exactly 5 bits spread 2+2+1 across the chunks
+    // agrees with NO chunk exactly, but every chunk is within 1 bit of
+    // some probe → only multi-probe's widened chunk match finds it.
+    // Build the scenario directly over signatures via the banding math:
+    // equality with the exhaustive filter at the same budget is the
+    // property that matters, on a corpus big enough to hit all spreads.
+    val rng = new scala.util.Random(11L)
+    val big = (0 until 300).map(i => (i.toLong, Seq.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = big.filter(col("vec_id") < 8)
+      .withColumnRenamed("vec_id", "query_id")
+    val multi = Similarity.lshTopK(big, "vec_id", queries, "query_id",
+      "embedding", k = 50, planes = 12, maxHamming = 5, probeBits = 1)
+    val csig = big.select(col("vec_id"), col("embedding").as("_cvec"),
+      V.hyperplaneSignature(col("embedding"), 12).as("_csig"))
+    val qsig = queries.select(col("query_id"), col("embedding").as("_qvec"),
+      V.hyperplaneSignature(col("embedding"), 12).as("_qsig"))
+    val exhaustive = csig.crossJoin(broadcast(qsig))
+      .filter(col("vec_id") =!= col("query_id"))
+      .filter(V.hammingDistance(col("_csig"), col("_qsig")) <= 5)
+      .select(col("query_id"), col("vec_id"),
+        V.cosine(col("_cvec"), col("_qvec")).as("cosine"))
+    assertSameRows(multi,
+      Similarity.topKPerQueryWindow(exhaustive, "query_id", "vec_id", 50),
+      "multi-probe vs exhaustive at the full budget")
+  }
+
   test("IVF top-k finds the planted nearest neighbor") {
     val queries = corpus.filter(col("vec_id") === 0)
       .withColumnRenamed("vec_id", "query_id")
