@@ -594,6 +594,69 @@ object Extended {
           .select("doc_id")
       }),
 
+    // ---- q88: batch range join — points matched to every containing
+    // interval via bucket decomposition (Spark's native plan for the
+    // inequality would be the BNLJ PlanSpec bans; DuckDB's native
+    // inequality join is the oracle). Campaign shape: every 1000th
+    // event opens a 2-hour window; count the events inside each ----
+    QuerySpec(
+      "q88_range_join_campaigns",
+      Some("""
+        WITH pts AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+             ivals AS (SELECT event_id AS ival_id, epoch_us(ts) AS s,
+                              epoch_us(ts) + 7200000000 AS e
+                       FROM events WHERE event_id % 1000 = 0)
+        SELECT ival_id, COUNT(*) AS n_points,
+               MIN(event_id) AS min_event, MAX(event_id) AS max_event
+        FROM pts JOIN ivals ON pts.us BETWEEN ivals.s AND ivals.e
+        GROUP BY ival_id"""),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        val ivals = e.filter(col("event_id") % 1000 === 0)
+          .select(col("event_id").as("id"), col("us").as("s"),
+            (col("us") + 7200000000L).as("e"))
+        graft.operators.RangeJoin.pointInInterval(
+            e, "us", ivals, "s", "e", bucket = 3600000000L)
+          .groupBy(col("ival_id"))
+          .agg(count(lit(1)).as("n_points"),
+            min(col("event_id")).as("min_event"),
+            max(col("event_id")).as("max_event"))
+      }),
+
+    // ---- q89: training-sequence packing — the corpus token stream in
+    // deterministic hash order cut into 2048-token sequences (docs
+    // belong to the sequence their first token lands in). Spark runs
+    // the distributed prefix sum (operators.Packing); DuckDB replays
+    // the same stream with one global window — fine at oracle scale,
+    // the single-reducer shape the operator exists to avoid ----
+    QuerySpec(
+      "q89_pack_sequences",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN nrm = '' THEN 0
+                      ELSE CAST(LEN(STRING_SPLIT(nrm, ' ')) AS BIGINT) END AS n_tokens,
+                 ${graft.Exact.hashOrderSql("doc_id", 97)} AS hb
+          FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
+                FROM documents)
+        ), ordered AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY hb, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM toks
+        )
+        SELECT CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+               COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM ordered GROUP BY 1"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_toks"))
+        graft.operators.Packing.packSequences(docs, "doc_id", "n_toks",
+          budget = 2048L)
+      }),
+
     // ---- q86: quantized exact search — embeddings int-quantized
     // (floor(x*1000+0.5), deterministic from the float bits) then
     // scored by EXACT integer dot product: the int8-style quantization
