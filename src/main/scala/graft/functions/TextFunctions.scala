@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** First 64 bits of md5 as a signed long — the cross-engine-checkable
+    * 64-bit hash family: both Spark and DuckDB compute md5 over UTF-8
+    * bytes natively, so any operator built on it can carry a DuckDB
+    * oracle (q37; same rationale as q85's md5 grams). conv() reads the
+    * 16 hex chars as unsigned; decimal(20,0) holds 2⁶⁴ exactly and the
+    * CASE re-wraps to the signed long DuckDB's oracle mirrors. Good
+    * avalanche (unlike a bare polynomial hash), so simhash bit votes
+    * stay independent. */
+  def md5Hash64(c: Column): Column = {
+    val dec = conv(substring(md5(c), 1, 16), 16, 10)
+      .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+    when(dec >= lit(BigDecimal("9223372036854775808")),
+      (dec - lit(BigDecimal("18446744073709551616"))).cast("long"))
+      .otherwise(dec.cast("long"))
+  }
+
   /** Lowercase, trim, collapse runs of whitespace — canonical text form
     * used by dedup so cosmetic differences don't defeat hashing. */
   def normalizeText(c: Column): Column =

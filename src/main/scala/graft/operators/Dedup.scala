@@ -278,10 +278,13 @@ object Dedup {
     * Catalyst expression — see [[graft.functions.SimHash64]]). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     GraftFunctions.register(df.sparkSession)
+    // md5-prefix token hashes (not xxhash64): same voting semantics,
+    // but the family is computable by DuckDB too, so q37 carries a
+    // full hash oracle — see TextFunctions.md5Hash64
     df.select(
       col(idCol),
       GraftFunctions.simhash64(
-        transform(T.tokens(col(textCol)), t => xxhash64(t))).as("simhash"))
+        transform(T.tokens(col(textCol)), t => T.md5Hash64(t))).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, using

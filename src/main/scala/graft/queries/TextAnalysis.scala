@@ -199,10 +199,39 @@ object TextAnalysis {
             GraftFunctions.fingerprint64(T.normalizeText(col("text"))).as("fingerprint"))
       }),
 
-    // ---- q37: per-doc SimHash (custom Catalyst expression) ----
+    // ---- q37: per-doc SimHash (custom Catalyst expression SimHash64
+    // does the voting in one pass on the Spark side). Token hashes are
+    // md5 prefixes — a family BOTH engines compute natively — so the
+    // oracle can replay the whole thing: per-token md5 folded to a
+    // HUGEINT, 64 per-bit majority votes (ties set the bit, matching
+    // votes(b) >= 0), re-wrapped to the signed long ----
     QuerySpec(
       "q37_simhash",
-      None,
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, CASE WHEN nrm = '' THEN [] ELSE string_split(nrm, ' ') END AS t
+          FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm
+                FROM documents)
+        ), hashes AS (
+          SELECT doc_id,
+                 list_transform(t, tok -> list_reduce(
+                   list_prepend(CAST(0 AS HUGEINT),
+                     list_transform(range(1, 17),
+                       i -> CAST(strpos('0123456789abcdef', md5(tok)[i]) - 1 AS HUGEINT))),
+                   (acc, d) -> acc * 16 + d)) AS hs
+          FROM toks
+        ), votes AS (
+          SELECT doc_id,
+                 list_transform(range(0, 64), b ->
+                   CASE WHEN len(list_filter(hs,
+                          h -> (h // (CAST(1 AS HUGEINT) << b)) % 2 = 1)) * 2 >= len(hs)
+                        THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS bits
+          FROM hashes
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN v >= 9223372036854775808
+                         THEN v - 18446744073709551616 ELSE v END AS BIGINT) AS simhash
+        FROM (SELECT doc_id, list_sum(bits) AS v FROM votes)"""),
       (s, dir) => Dedup.simhashes(Tables.load(s, dir, "documents"), "doc_id", "text")),
 
     // ---- q38: MinHash-LSH near-dedup, keeper per doc ----
