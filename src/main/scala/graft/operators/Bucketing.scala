@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout operators for shuffle elimination at scale.
   *
@@ -35,4 +36,40 @@ object Bucketing {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Morton (Z-order) key of two non-negative dimensions: bit-interleave
+    * the low 32 bits of each, `a` on even positions, `b` on odd. Pure
+    * codegen'd built-ins (shift/and/or ladder) — no custom expression,
+    * no UDF. Quantize real domains to small non-negative ints first
+    * (e.g. `hashOrder`, `DIV` time buckets). */
+  def zorderKey(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** Spread the low 32 bits of a long across the even bit positions of
+    * a 64-bit value (the classic magic-mask ladder). */
+  private def spreadBits(c: Column): Column = {
+    val v0 = c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    val v1 = v0.bitwiseOR(shiftleft(v0, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val v2 = v1.bitwiseOR(shiftleft(v1, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val v3 = v2.bitwiseOR(shiftleft(v2, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val v4 = v3.bitwiseOR(shiftleft(v3, 2)).bitwiseAND(lit(0x3333333333333333L))
+    v4.bitwiseOR(shiftleft(v4, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Write `df` Z-ordered on two dimensions: range-partition and sort by
+    * the Morton key, so every output file (= row group at this size)
+    * covers a compact rectangle-ish region of (dimA, dimB) space and its
+    * parquet min/max stats are tight in BOTH dimensions. A scan with
+    * predicates on both dims then skips the row groups a single-column
+    * sort can't (1-D sort gives tight stats on one dim and useless ones
+    * on the other). This is the open-format equivalent of Delta/Iceberg
+    * OPTIMIZE ZORDER — same curve, plain parquet. Pruning win asserted
+    * in LayoutSpec via records-read metrics. */
+  def writeZOrdered(df: DataFrame, path: String,
+      dimA: String, dimB: String, numFiles: Int): Unit =
+    df.withColumn("_z", zorderKey(col(dimA), col(dimB)))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }
