@@ -372,7 +372,11 @@ object Dedup {
     hashed.filter(!mightContain(col("_block_hash")))
       .unionByName(
         hashed.filter(mightContain(col("_block_hash")))
-          .join(bl, Seq("_block_hash"), "left_anti")) // deliberately NOT broadcast
+          // no broadcast() hint: in the operator's regime the blocklist
+          // exceeds the threshold and Catalyst picks a shuffle join over
+          // the (tiny) bloom-positive slice; locally it auto-broadcasts,
+          // which is equally correct
+          .join(bl, Seq("_block_hash"), "left_anti"))
       .drop("_block_hash")
   }
 

@@ -704,6 +704,94 @@ object Extended {
           .filter(col("rank") <= 5)
       }),
 
+    // ---- q90: quantized IVF search — the q86 trick extended from the
+    // brute baseline to the IVF TOPOLOGY: coarse-quantize onto 16
+    // lowest-id centroid lists (q44's untrained choice), probe the 6
+    // best lists per query, score candidates — every step in integer
+    // arithmetic (floor(x*1000+0.5) quantization, integer dots, id
+    // tiebreaks), so DuckDB replays assignment, probing, and final
+    // top-k bit-for-bit. q44/q49 remain the float/scale path (their
+    // TopKAggregator bounds the exchange); this twin exists to put the
+    // assign→probe→join→rank shape itself under the hash gate ----
+    QuerySpec(
+      "q90_ann_ivf_quantized_topk",
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), cents AS (
+          SELECT vec_id AS list_id, v AS centv FROM qz ORDER BY vec_id LIMIT 16
+        ), adot AS (
+          SELECT c.vec_id, c.v, ct.list_id,
+                 CAST(list_sum(list_transform(generate_series(1, len(c.v)),
+                   i -> c.v[i] * ct.centv[i])) AS BIGINT) AS d
+          FROM qz c, cents ct
+        ), assigned AS (
+          SELECT vec_id, v, list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY d DESC, list_id) AS r FROM adot)
+          WHERE r = 1
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 20
+        ), pdot AS (
+          SELECT q.query_id, q.qv, ct.list_id,
+                 CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+                   i -> q.qv[i] * ct.centv[i])) AS BIGINT) AS d
+          FROM q, cents ct
+        ), probes AS (
+          SELECT query_id, qv, list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY d DESC, list_id) AS r FROM pdot)
+          WHERE r <= 6
+        ), scored AS (
+          SELECT p.query_id, a.vec_id,
+                 CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+                   i -> a.v[i] * p.qv[i])) AS BIGINT) AS dot
+          FROM assigned a JOIN probes p ON a.list_id = p.list_id
+          WHERE a.vec_id <> p.query_id
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY dot DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, dot, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5"""),
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        def dot(a: String, b: String) = expr(
+          s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+        val corpus = emb.select(col("vec_id"), quant.as("cv"))
+        val cents = corpus.orderBy("vec_id").limit(16)
+          .select(col("vec_id").as("list_id"), col("cv").as("centv"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d").desc, col("list_id"))
+        val assigned = corpus.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cv"), col("list_id"),
+            dot("cv", "centv").as("d"))
+          .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+          .select(col("vec_id"), col("cv"), col("list_id"))
+        val queries = corpus.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("cv").as("qv"))
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("d").desc, col("list_id"))
+        val probes = queries.crossJoin(broadcast(cents))
+          .select(col("query_id"), col("qv"), col("list_id"),
+            dot("qv", "centv").as("d"))
+          .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 6)
+          .select(col("query_id"), col("qv"), col("list_id"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("dot").desc, col("vec_id"))
+        assigned.join(broadcast(probes), Seq("list_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), dot("cv", "qv").as("dot"))
+          .withColumn("rank", row_number().over(wTop).cast("long"))
+          .filter(col("rank") <= 5)
+      }),
+
     // ---- q59: correlated scalar subquery — customers above their
     // nation's average balance (exact: integer-cents sum/count makes
     // the average bit-identical across engines) ----

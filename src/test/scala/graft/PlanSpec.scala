@@ -107,7 +107,8 @@ class PlanSpec extends SparkSpec {
       "q41_ann_bruteforce_topk",   // exact ANN ground truth
       "q44_ann_ivf_topk",          // centroid assignment: corpus x 16 centroids
       "q49_ann_ivf_kmeans_topk",   // same, trained centroids
-      "q86_ann_quantized_exact_topk") // quantized exact search baseline
+      "q86_ann_quantized_exact_topk", // quantized exact search baseline
+      "q90_ann_ivf_quantized_topk")   // centroid assignment, quantized twin
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(deliberate)
       .flatMap { name =>
