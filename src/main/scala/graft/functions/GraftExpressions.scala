@@ -184,17 +184,8 @@ case class MinHashSignature(child: Expression, k: Int)
       s"$prettyName requires array<bigint>, got ${other.sql}")
   }
 
-  @transient private lazy val coeffs: (Array[Long], Array[Long]) = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val a = Array.tabulate(k)(i => mix(2L * i) | 1L) // odd multiplier
-    val b = Array.tabulate(k)(i => mix(2L * i + 1))
-    (a, b)
-  }
+  @transient private lazy val coeffs: (Array[Long], Array[Long]) =
+    MinHashSignature.coefficients(k)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -219,6 +210,23 @@ case class MinHashSignature(child: Expression, k: Int)
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature =
     copy(child = c)
+}
+
+object MinHashSignature {
+  /** Position-seeded (splitmix64) affine coefficients — public so the
+    * q91 DuckDB oracle can inline the SAME constants rather than
+    * duplicate the mix (one source of truth for the hash family). */
+  def coefficients(k: Int): (Array[Long], Array[Long]) = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = Array.tabulate(k)(i => mix(2L * i) | 1L) // odd multiplier
+    val b = Array.tabulate(k)(i => mix(2L * i + 1))
+    (a, b)
+  }
 }
 
 /** Column-level accessors (via the classic Expression↔Column shim) and

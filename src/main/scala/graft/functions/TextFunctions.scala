@@ -77,6 +77,13 @@ object TextFunctions {
   def shingleHashesHof(c: Column, n: Int): Column =
     transform(array_distinct(shingles(c, n)), s => xxhash64(s))
 
+  /** md5-prefix shingle hash family ([[md5Hash64]] over the distinct
+    * string shingles) — slower per row than [[shingleHashes]] but
+    * replayable by DuckDB, which puts the minhash dedup pipeline under
+    * the hash oracle (q91). */
+  def md5ShingleHashes(c: Column, n: Int): Column =
+    transform(array_distinct(shingles(c, n)), s => md5Hash64(s))
+
   /** MinHash signature over HASHED shingles (`array<long>`): k affine
     * hash minima in one pass (custom expression [[MinHashSignature]]).
     * Output array<long> of length k. No shuffle. */

@@ -112,7 +112,9 @@ object Dedup {
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7, hotBucketCap: Int = 4096): DataFrame = {
+      threshold: Double = 0.7, hotBucketCap: Int = 4096,
+      shingleHasher: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+        T.shingleHashes): DataFrame = {
     // shingles are hashed to longs up front: signatures, the candidate
     // join, and exact-Jaccard verification all run over compact long
     // arrays instead of wide string arrays (64-bit collisions are
@@ -126,7 +128,7 @@ object Dedup {
     // reuse can't deduplicate them.
     val sh = df.select(
       col(idCol),
-      T.shingleHashes(col(textCol), shingleSize).as("sh"))
+      shingleHasher(col(textCol), shingleSize).as("sh"))
     val sig = sh.select(
       col(idCol), T.minhashSignature(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
@@ -266,13 +268,22 @@ object Dedup {
       .withColumn("is_duplicate", col(idCol) =!= col("keep_id"))
   }
 
-  /** MinHash-LSH near-dedup end to end: one row per input row. */
+  /** MinHash-LSH near-dedup end to end: one row per input row.
+    * `shingleHasher` selects the shingle hash family: the default
+    * ShingleHashes64 is the one-pass scale path (q38); the md5-prefix
+    * twin (`TextFunctions.md5ShingleHashes`) trades per-row cost for a
+    * family DuckDB can replay, putting the WHOLE pipeline — signatures,
+    * banding, verification, keeper election — under the hash oracle
+    * (q91). */
   def minhashLsh(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame =
+      threshold: Double = 0.7,
+      shingleHasher: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+        T.shingleHashes): DataFrame =
     keeperFrom(df, idCol,
-      minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands, threshold))
+      minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands,
+        threshold, shingleHasher = shingleHasher))
 
   /** Per-row 64-bit SimHash over token hashes (custom single-pass
     * Catalyst expression — see [[graft.functions.SimHash64]]). */
