@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,19 +29,43 @@ object Bench {
     def exec(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Unit =
       fn(spark, dir).write.mode("overwrite").format("noop").save()
+    // SPARK_GRAFT_ONLY: comma-separated name prefixes — bench just those
+    // queries (local iteration aid; driver leaves it unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      named.foreach { case (_, fn) =>
         try exec(fn, warmDir) catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // N timed samples per query, taken ROUND-ROBIN (q1..qn, q1..qn, ...)
+    // so a transient machine-load spike lands in at most one sample per
+    // query instead of all of them; the median then rejects it. A
+    // single-sample harness (rounds 1-5) could not distinguish a real
+    // regression from load — 27 queries "regressed" >2x on unchanged
+    // code in r5.
+    val samples = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to reps; (name, fn) <- named) {
       val t0 = System.nanoTime()
       try exec(fn, sfDir) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val stats = named.map { case (name, _) =>
+      val v = samples(name)
+      (name, median(v), v.min, v.max)
+    }
+    val qs = stats.map { case (k, m, _, _) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = stats.map { case (k, m, mn, mx) =>
+      s"\"" + k + "\":" + s"""{"median":$m,"min":$mn,"max":$mx}"""
+    }.mkString("{", ",", "}")
+    val total = stats.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

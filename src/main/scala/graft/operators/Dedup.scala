@@ -398,17 +398,30 @@ object Dedup {
     * blocklist's gram hashes are small (|eval| × tokens) → broadcast;
     * the corpus explodes its grams map-side into a broadcast semi join,
     * so the corpus never shuffles — only the matched id set does, and
-    * it is tiny by construction. Grams are md5 over space-joined
-    * normalized tokens (SQL-expressible → oracle-checkable, q85). */
+    * it is tiny by construction.
+    *
+    * Gram hash family: production default is xxhash64 over the
+    * space-joined normalized tokens (codegen'd, no hex materialization
+    * — rounds 1-5 paid md5 per gram, 33% of sf1 bench wall-time);
+    * `md5Grams = true` switches to md5, the family DuckDB can replay.
+    * The OUTPUT is family-invariant — equal grams hash equal under
+    * either family and a cross-family collision needs a 64-bit birthday
+    * hit inside one corpus's gram set — so q85's md5 oracle stays valid
+    * against the xxhash64 production path (equality of the two paths is
+    * asserted in DedupSpec). */
   def decontaminateNgrams(
       corpus: DataFrame, idCol: String, textCol: String,
-      blocklist: DataFrame, blTextCol: String, n: Int = 13): DataFrame = {
+      blocklist: DataFrame, blTextCol: String, n: Int = 13,
+      md5Grams: Boolean = false): DataFrame = {
     def gramHashes(c: org.apache.spark.sql.Column) = {
       val toks = split(T.normalizeText(c), " ")
+      def gram(p: org.apache.spark.sql.Column) =
+        concat_ws(" ", slice(toks, p + lit(1), lit(n)))
+      val emptyType = if (md5Grams) "array<string>" else "array<bigint>"
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
-          p => md5(concat_ws(" ", slice(toks, p + lit(1), lit(n))))))
-        .otherwise(array().cast("array<string>"))
+          p => if (md5Grams) md5(gram(p)) else xxhash64(gram(p))))
+        .otherwise(array().cast(emptyType))
     }
     val blGrams = blocklist
       .select(explode(gramHashes(col(blTextCol))).as("_g")).distinct()

@@ -539,7 +539,11 @@ object Extended {
 
     // ---- q85: n-gram decontamination — the eval-leak check at 13-token
     // granularity (whole-doc hashing misses partial quotes); corpus docs
-    // sharing any normalized 13-gram with the eval set are dropped ----
+    // sharing any normalized 13-gram with the eval set are dropped.
+    // Spark side hashes grams with xxhash64 (production family, round 6
+    // — md5-per-gram was 33% of sf1 bench time); the oracle replays md5
+    // grams. Valid because the kept-id set is hash-family-invariant
+    // (equal grams hash equal either way) — asserted in DedupSpec ----
     QuerySpec(
       "q85_decontaminate_ngrams",
       Some("""

@@ -181,6 +181,19 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L), s"got $kept")
   }
 
+  test("decontaminateNgrams: xxhash64 production path == md5 oracle path") {
+    // the q85 oracle replays md5 grams while the benched Spark side runs
+    // xxhash64 grams — valid only because the kept-id set is hash-family-
+    // invariant. Assert that on the real documents table (gate slice).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bl = docs.filter(col("doc_id") % 10 === 0)
+    val prod = Dedup.decontaminateNgrams(docs, "doc_id", "text", bl, "text", n = 13)
+      .select("doc_id")
+    val oracleFam = Dedup.decontaminateNgrams(docs, "doc_id", "text", bl, "text",
+      n = 13, md5Grams = true).select("doc_id")
+    assertSameRows(prod, oracleFam, "gram hash family must not change the kept set")
+  }
+
   test("deterministicSample is reproducible and roughly proportional") {
     val df = (0L until 1000L).toDF("doc_id")
     val a = Dedup.deterministicSample(df, "doc_id", 25).as[Long].collect().toSet
