@@ -473,6 +473,34 @@ object Extended {
             col("q").getItem(1).as("p50_cents"),
             col("q").getItem(2).as("p75_cents"))),
 
+    // ---- q94: the SQL-standard PERCENTILE_CONT ... WITHIN GROUP form
+    // (SURVEY A10 parity alias, VERDICT r5 item 8) — same result set as
+    // q81, but exercised through spark.sql's ordered-set aggregate
+    // syntax instead of the DataFrame percentile() function, so a user
+    // porting ANSI SQL runs the standard spelling unchanged. Exact for
+    // the same reason as q81: integer-cents input makes the linear
+    // interpolation bit-identical across engines ----
+    QuerySpec(
+      "q94_percentile_cont_sql",
+      Some(s"""
+        SELECT event_type,
+               QUANTILE_CONT(${graft.Exact.centsSql("value")}, 0.25) AS p25_cents,
+               QUANTILE_CONT(${graft.Exact.centsSql("value")}, 0.5)  AS p50_cents,
+               QUANTILE_CONT(${graft.Exact.centsSql("value")}, 0.75) AS p75_cents
+        FROM events GROUP BY event_type"""),
+      (s, dir) => {
+        Tables.load(s, dir, "events").createOrReplaceTempView("events_q94")
+        s.sql("""
+          SELECT event_type,
+                 percentile_cont(0.25) WITHIN GROUP
+                   (ORDER BY CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS p25_cents,
+                 percentile_cont(0.50) WITHIN GROUP
+                   (ORDER BY CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS p50_cents,
+                 percentile_cont(0.75) WITHIN GROUP
+                   (ORDER BY CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS p75_cents
+          FROM events_q94 GROUP BY event_type""")
+      }),
+
     // ---- q82: RANGE window frame — time-valued sliding sum (1 hour
     // PRECEDING..CURRENT ROW over epoch-µs); the catalog's other frames
     // are all ROWS, this is the value-based variant ----
@@ -793,6 +821,182 @@ object Extended {
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"), dot("cv", "qv").as("dot"))
           .withColumn("rank", row_number().over(wTop).cast("long"))
+          .filter(col("rank") <= 5)
+      }),
+
+    // ---- q92: quantized embedding near-dup — q40's exact TOPOLOGY
+    // (two-band hyperplane signature → band equi-join → cosine-verify →
+    // single-hop keeper) in all-integer arithmetic so DuckDB replays
+    // every step (VERDICT r5 item 5). Embeddings int-quantized as in
+    // q86; the "hyperplanes" are a deterministic LCG coefficient grid
+    // coef(p,i) = (1103515245·(p·64+i) + 12345) mod 2¹⁶ − 2¹⁵ computed
+    // identically by both engines (no float planes to drift); band key
+    // b ∈ {0,1} packs the sign bits of planes b·8..b·8+7; verification
+    // is the integer form of cosine ≥ 0.4: dot > 0 ∧ 25·dot² ≥ 4·nа·nb
+    // (0.4² = 4/25 — exact, no float division). Unit-norm embeddings
+    // quantized ×1000 keep every product ≤ ~2.5e13, far inside int64.
+    // q40 stays the float/production path; this twin pins its shape
+    // under the hash gate the way q90 pins IVF's ----
+    QuerySpec(
+      "q92_dedup_embedding_quantized",
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), n2 AS (
+          SELECT vec_id, v,
+                 CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS nn
+          FROM qz
+        ), banded AS (
+          SELECT vec_id, b,
+                 CAST(list_sum(list_transform(range(0, 8), j ->
+                   CASE WHEN CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                          v[i] * ((CAST(1103515245 AS BIGINT) * ((b*8 + j)*64 + i - 1)
+                                   + 12345) % 65536 - 32768))) AS BIGINT) >= 0
+                        THEN (1 << j) ELSE 0 END)) AS BIGINT) AS key
+          FROM qz, (SELECT unnest(range(0, 2)) AS b)
+        ), pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+          FROM banded a JOIN banded bb
+            ON a.b = bb.b AND a.key = bb.key AND a.vec_id < bb.vec_id
+        ), scored AS (
+          SELECT p.id_a, p.id_b, x.nn AS na, y.nn AS nb,
+                 CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                   x.v[i] * y.v[i])) AS BIGINT) AS dot
+          FROM pairs p
+          JOIN n2 x ON x.vec_id = p.id_a
+          JOIN n2 y ON y.vec_id = p.id_b
+        ), verified AS (
+          SELECT id_a, id_b FROM scored
+          WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb
+        ), best AS (
+          SELECT id_b AS vec_id, MIN(id_a) AS partner_min FROM verified GROUP BY 1
+        )
+        SELECT e.vec_id,
+               LEAST(COALESCE(partner_min, e.vec_id), e.vec_id) AS keep_id,
+               LEAST(COALESCE(partner_min, e.vec_id), e.vec_id) <> e.vec_id AS is_duplicate
+        FROM embeddings e LEFT JOIN best USING (vec_id)"""),
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        def bandKey(b: Int) = expr(s"""
+          CAST(aggregate(transform(sequence(0, 7), j ->
+            CASE WHEN aggregate(zip_with(v, transform(sequence(0, 63), i ->
+                   (CAST(1103515245 AS BIGINT) * ((($b*8 + j)*64) + i) + 12345) % 65536 - 32768),
+                 (a, c) -> a * c), 0L, (acc, x) -> acc + x) >= 0
+                 THEN CAST(shiftleft(1, j) AS BIGINT) ELSE 0L END),
+            0L, (a, x) -> a + x) AS BIGINT)""")
+        val base = emb.select(col("vec_id"), quant.as("v"))
+          .withColumn("nn", expr("CAST(aggregate(v, 0L, (acc, x) -> acc + x * x) AS BIGINT)"))
+        val banded = base.select(col("vec_id"),
+          posexplode(array(bandKey(0), bandKey(1))))
+          .select(col("vec_id"), col("pos").as("b"), col("col").as("key"))
+        val pairs = banded.select(col("b"), col("key"), col("vec_id").as("id_a"))
+          .join(banded.select(col("b"), col("key"), col("vec_id").as("id_b")),
+            Seq("b", "key"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val verified = pairs
+          .join(base.select(col("vec_id").as("id_a"), col("v").as("va"),
+            col("nn").as("na")), Seq("id_a"))
+          .join(base.select(col("vec_id").as("id_b"), col("v").as("vb"),
+            col("nn").as("nb")), Seq("id_b"))
+          .withColumn("dot", expr(
+            "CAST(aggregate(zip_with(va, vb, (a, c) -> a * c), 0L, (acc, x) -> acc + x) AS BIGINT)"))
+          .filter(col("dot") > 0 && expr("25 * dot * dot") >= expr("4 * na * nb"))
+          .select("id_a", "id_b")
+        graft.operators.Dedup.keeperFrom(emb, "vec_id", verified)
+      }),
+
+    // ---- q93: quantized LSH top-k — q42's exact TOPOLOGY (hyperplane
+    // signature → pigeonhole chunk equi-join → Hamming postfilter →
+    // score survivors → top-k) in all-integer arithmetic (VERDICT r5
+    // item 5). 16-plane signature from the q92 LCG coefficient grid,
+    // split into 4 chunks of 4 bits (maxHamming=3 pigeonhole: a pair
+    // ≤3 bits apart must agree exactly on ≥1 chunk); candidates from
+    // the (chunk, value) equi-join, postfiltered by bit_count(xor) ≤ 3,
+    // then scored by exact integer dot (q86's kernel) and ranked with
+    // the id tiebreak. q42 stays the float/production path (its
+    // TopKAggregator bounds the exchange; PlanSpec bans BNLJ) — this
+    // twin pins candidate-generation itself under the hash gate ----
+    QuerySpec(
+      "q93_ann_lsh_quantized_topk",
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), sigs AS (
+          SELECT vec_id, v,
+                 CAST(list_sum(list_transform(range(0, 16), j ->
+                   CASE WHEN CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                          v[i] * ((CAST(1103515245 AS BIGINT) * (j*64 + i - 1)
+                                   + 12345) % 65536 - 32768))) AS BIGINT) >= 0
+                        THEN (1 << j) ELSE 0 END)) AS BIGINT) AS sig
+          FROM qz
+        ), cband AS (
+          SELECT vec_id, v, sig, c, (sig >> (c*4)) & 15 AS cv
+          FROM sigs, (SELECT unnest(range(0, 4)) AS c)
+        ), qband AS (
+          SELECT vec_id AS query_id, v AS qv, sig AS qsig, c, (sig >> (c*4)) & 15 AS cv
+          FROM sigs, (SELECT unnest(range(0, 4)) AS c)
+          WHERE vec_id < 20
+        ), cands AS (
+          SELECT DISTINCT q.query_id, cb.vec_id, q.qv, cb.v
+          FROM cband cb JOIN qband q ON cb.c = q.c AND cb.cv = q.cv
+          WHERE cb.vec_id <> q.query_id
+            AND bit_count(xor(cb.sig, q.qsig)) <= 3
+        ), scored AS (
+          SELECT query_id, vec_id,
+                 CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                   v[i] * qv[i])) AS BIGINT) AS dot
+          FROM cands
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY dot DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, dot, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5"""),
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        val sigExpr = expr("""
+          CAST(aggregate(transform(sequence(0, 15), j ->
+            CASE WHEN aggregate(zip_with(v, transform(sequence(0, 63), i ->
+                   (CAST(1103515245 AS BIGINT) * (j*64 + i) + 12345) % 65536 - 32768),
+                 (a, c) -> a * c), 0L, (acc, x) -> acc + x) >= 0
+                 THEN CAST(shiftleft(1, j) AS BIGINT) ELSE 0L END),
+            0L, (a, x) -> a + x) AS BIGINT)""")
+        val sigs = emb.select(col("vec_id"), quant.as("v"))
+          .withColumn("sig", sigExpr)
+        def chunks(idCol: String) = sigs.select(
+          col("vec_id").as(idCol), col("v"), col("sig"),
+          posexplode(array((0 until 4).map(c =>
+            shiftrightunsigned(col("sig"), c * 4).bitwiseAND(lit(15L))): _*)))
+          .select(col(idCol), col("v"), col("sig"),
+            col("pos").as("c"), col("col").as("cv"))
+        val cb = chunks("vec_id")
+        val qb = chunks("query_id")
+          .filter(col("query_id") < 20)
+          .select(col("query_id"), col("v").as("qv"), col("sig").as("qsig"),
+            col("c"), col("cv"))
+        val cands = cb.join(broadcast(qb), Seq("c", "cv"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= 3)
+          .select("query_id", "vec_id", "qv", "v").distinct()
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("dot").desc, col("vec_id"))
+        cands
+          .select(col("query_id"), col("vec_id"), expr(
+            "CAST(aggregate(zip_with(v, qv, (a, c) -> a * c), 0L, (acc, x) -> acc + x) AS BIGINT)")
+            .as("dot"))
+          .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)
       }),
 
