@@ -99,9 +99,101 @@ object Multimodal {
       }
   }
 
+  /** Decoded-pixel feature row: real dimensions plus channel means and
+    * a 16-bin luma histogram — the cheap per-image features a training
+    * pipeline filters on (blank/over-dark detection, aspect outliers). */
+  case class PixelMeta(
+      doc_id: Long, format: String, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double, luma_hist: Seq[Long])
+
+  /** REAL pixel decode — round 6 upgrade of the former stub tier. The
+    * JDK itself ships PNG/JPEG/GIF/BMP codecs (javax.imageio in
+    * java.desktop): no external library, works headless, so the decode
+    * is genuine, not simulated. Partition-batched: headless/cache
+    * configuration happens once per partition (the "decoder init" slot
+    * a JNI codec would use), then each payload decodes in-memory.
+    * Undecodable payloads (not an image, truncated) yield a
+    * (format, 0×0, NaN-free zero) row rather than failing the task —
+    * at corpus scale a poison payload must not kill the job. */
+  def decodePixels(df: DataFrame, idCol: String): Dataset[PixelMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init: headless AWT, no temp-file cache
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val fmt = sniffFormat(payload)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null) PixelMeta(id, fmt, 0, 0, 0.0, 0.0, 0.0, Seq.fill(16)(0L))
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            val hist = new Array[Long](16)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+                sr += r; sg += g; sb += b
+                // ITU-R BT.601 integer luma, binned to 16 levels
+                hist(((r * 299 + g * 587 + b * 114) / 1000) >> 4) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            PixelMeta(id, fmt, w, h, sr.toDouble / n, sg.toDouble / n,
+              sb.toDouble / n, hist.toSeq)
+          }
+        }
+      }
+  }
+
+  /** REAL resize: decode → bilinear-interpolated redraw at (w, h) →
+    * re-encode PNG (lossless, so tests can decode and check pixels).
+    * Output keeps the id plus the resized payload; undecodable inputs
+    * pass through as null payloads for downstream filtering. */
+  def resizeImages(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null) (id, null: Array[Byte])
+          else {
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g2 = out.createGraphics()
+            g2.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g2.drawImage(img, 0, 0, w, h, null)
+            g2.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
   /** Partition-batched "decode": one pass per partition over the binary
-    * payloads. STUB — a real implementation replaces the body of
-    * `decodeOne` with an actual image decode; everything around it
+    * payloads. STUB — retained as the template for formats the JDK
+    * cannot decode (video/audio codecs); images now have the REAL
+    * [[decodePixels]] path above. Everything around `decodeOne`
     * (iterator shape, per-partition batching, output encoder) is the
     * production plumbing. */
   def decodeStub(df: DataFrame, idCol: String): Dataset[MediaMeta] = {

@@ -87,4 +87,61 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(3L).format == "jpeg" && metas(3L).height == 480)
     assert(metas(4L).format == "wav" && metas(4L).width == 0)
   }
+
+  /** Deterministic 2-color test image encoded with the JDK's own codec:
+    * left half solid (r0,g0,b0), right half solid (r1,g1,b1). */
+  private def encodeImage(w: Int, h: Int, fmt: String,
+      left: Int, right: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) left else right)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("decodePixels: REAL decode — exact dims and channel means for lossless PNG") {
+    val red = 0xFF0000; val blue = 0x0000FF
+    val png = encodeImage(16, 10, "png", red, blue)   // half red, half blue
+    val gray = encodeImage(8, 8, "png", 0x808080, 0x808080)
+    val jpeg = encodeImage(32, 24, "jpeg", 0x404040, 0x404040)
+    val junk = "definitely not an image".getBytes("UTF-8")
+    val media = Seq((1L, png), (2L, gray), (3L, jpeg), (4L, junk))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodePixels(media, "doc_id")
+      .collect().map(m => m.doc_id -> m).toMap
+    // PNG is lossless: means are exact
+    assert(out(1L).format == "png" && out(1L).width == 16 && out(1L).height == 10)
+    assert(out(1L).mean_r == 127.5 && out(1L).mean_g == 0.0 && out(1L).mean_b == 127.5,
+      s"half-red/half-blue means, got ${out(1L)}")
+    assert(out(2L).mean_r == 128.0 && out(2L).mean_g == 128.0 && out(2L).mean_b == 128.0)
+    // luma histogram sums to the pixel count and lands in the right bins:
+    // red luma 76 → bin 4, blue luma 29 → bin 1 (BT.601 integer)
+    assert(out(1L).luma_hist.sum == 160L)
+    assert(out(1L).luma_hist(4) == 80L && out(1L).luma_hist(1) == 80L,
+      s"luma bins, got ${out(1L).luma_hist}")
+    // JPEG is lossy: dims exact, flat-gray mean within codec tolerance
+    assert(out(3L).width == 32 && out(3L).height == 24)
+    assert(math.abs(out(3L).mean_r - 64.0) < 2.0, s"jpeg mean_r ${out(3L).mean_r}")
+    // junk payload: survives as a zero row, never kills the task
+    assert(out(4L).width == 0 && out(4L).height == 0 && out(4L).luma_hist.sum == 0L)
+  }
+
+  test("resizeImages: REAL resize — output re-decodes at target dims, solid color preserved") {
+    val solid = encodeImage(40, 30, "png", 0x20A040, 0x20A040)
+    val media = Seq((1L, solid), (2L, "junk".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val resized = Multimodal.resizeImages(media, "doc_id", 8, 6)
+    val rows = resized.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(rows(2L) == null, "undecodable payload passes through as null")
+    val outBytes = rows(1L)
+    // header parse agrees with the requested target
+    assert(Multimodal.parseDimensions(outBytes).contains((8, 6)))
+    // solid color survives bilinear resample exactly
+    val back = Multimodal.decodePixels(
+      Seq((1L, outBytes)).toDF("doc_id", "payload"), "doc_id").head()
+    assert(back.width == 8 && back.height == 6)
+    assert(back.mean_r == 0x20.toDouble && back.mean_g == 0xA0.toDouble &&
+      back.mean_b == 0x40.toDouble, s"solid color must survive resize, got $back")
+  }
 }

@@ -68,6 +68,73 @@ class TableSourceSpec extends SparkSpec {
     }
   }
 
+  /** The topic as a 3-partition Kafka LOG: records assigned round-robin,
+    * offsets DENSE per partition from 0 — the invariants a real broker
+    * guarantees and `startingOffsets=earliest` (the reference's Kinesis
+    * `initialPosition=earliest`, Kinesis_Processing.ipynb:519) relies
+    * on. Deterministic: row identity comes from the payload hash, not
+    * file order. */
+  private def multiPartitionLog(t: PipelineTable, nParts: Int = 3): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("partition")).orderBy(col("_h"))
+    spark.read.text(s"$base/topics/${t.name}/partition=*")
+      .select(col("value").as("_payload"), xxhash64(col("value")).as("_h"))
+      .withColumn("partition", pmod(col("_h"), lit(nParts)).cast("int"))
+      .withColumn("offset", row_number().over(w).cast("long") - 1)
+      .select(
+        lit(null).cast("binary").as("key"),
+        encode(col("_payload"), "UTF-8").as("value"),
+        lit(t.name).as("topic"), col("partition"), col("offset"),
+        current_timestamp().as("timestamp"), lit(0).as("timestampType"))
+  }
+
+  test("Kafka earliest-offset replay: multi-partition log is complete, dense, and idempotent") {
+    val t = PipelineTable.Pin
+    val log = multiPartitionLog(t)
+    // dense offsets from 0 per partition — the invariant earliest-replay
+    // consumes (an offset gap would mean silently dropped records)
+    val perPart = log.groupBy("partition")
+      .agg(count(lit(1)).as("n"), min("offset").as("lo"), max("offset").as("hi"))
+      .collect()
+    assert(perPart.length == 3, "expected 3 partitions")
+    perPart.foreach { r =>
+      assert(r.getAs[Long]("lo") == 0L, s"partition ${r.get(0)}: earliest offset must be 0")
+      assert(r.getAs[Long]("hi") == r.getAs[Long]("n") - 1,
+        s"partition ${r.get(0)}: offsets must be dense")
+    }
+    // replay completeness: decoding the whole log == decoding each
+    // partition's earliest→latest slice, unioned in any order
+    val whole = KafkaTableSource.decode(log, t.schema)
+    val bySlices = (0 until 3).map(p =>
+        KafkaTableSource.decode(log.filter(col("partition") === p), t.schema))
+      .reduce(_ unionByName _)
+    assertSameRows(whole, bySlices, "whole-log decode vs per-partition slices")
+    // idempotent: a second replay from earliest is bit-identical
+    assertSameRows(whole, KafkaTableSource.decode(multiPartitionLog(t), t.schema),
+      "two earliest replays must agree")
+    // and the log carries exactly the landed topic's records
+    assertSameRows(whole, FileJsonTableSource(base).readBatch(spark, t),
+      "replayed log vs landed files")
+  }
+
+  test("Kafka resume contract: splitting each partition at an arbitrary offset loses nothing") {
+    val t = PipelineTable.Geo
+    val log = multiPartitionLog(t)
+    // a checkpointed consumer resumes from per-partition offsets; the
+    // pre-checkpoint batch plus the post-checkpoint batch must equal an
+    // uninterrupted earliest read. Split points deliberately differ per
+    // partition (offset < 7/13/29).
+    val splitAt = Map(0 -> 7L, 1 -> 13L, 2 -> 29L)
+    val splitCol = splitAt.foldLeft(lit(Long.MaxValue)) { case (acc, (p, o)) =>
+      when(col("partition") === p, lit(o)).otherwise(acc)
+    }
+    val before = KafkaTableSource.decode(log.filter(col("offset") < splitCol), t.schema)
+    val after = KafkaTableSource.decode(log.filter(col("offset") >= splitCol), t.schema)
+    assertSameRows(before.unionByName(after),
+      KafkaTableSource.decode(log, t.schema),
+      "resume-split decode vs uninterrupted decode")
+  }
+
   test("Kafka decode contract: streaming micro-batch decodes like batch") {
     import spark.implicits._
     val jsons = spark.read.text(s"$base/topics/pin/partition=*")
