@@ -44,7 +44,15 @@ object MakeScale {
     // like the driver's sf dirs
     def write(name: String, df: DataFrame): Unit = {
       val tmp = s"$out/_tmp_$name"
-      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      // SMALL row groups (1 MiB uncompressed vs the 128 MiB default):
+      // a parquet scan parallelizes across row groups, never within
+      // one, and coalesce(1) + default block size wrote every sf1
+      // table as a SINGLE row group — making all round-4 sf1 scans
+      // single-task no matter what maxPartitionBytes asked for (found
+      // round 6 via a q91 thread-dump: one task, 10+ min of CPU).
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", 1024 * 1024)
+        .parquet(tmp)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))

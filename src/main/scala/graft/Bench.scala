@@ -16,7 +16,10 @@ object Bench {
       // split size would scan each on ONE core. 4 MiB spreads the scan
       // across the local executor threads. (At production scale the
       // default is right — this sizes splits to the actual SF.)
-      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
+      // SPARK_GRAFT_MAX_PART_BYTES overrides for scale-up dirs whose
+      // files are bigger (sf1: 512k keeps text-heavy scans wide).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", s"${4 * 1024 * 1024}"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup pass at the smallest sf: JIT + whole-stage-codegen compile

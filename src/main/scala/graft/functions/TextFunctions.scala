@@ -18,12 +18,29 @@ object TextFunctions {
   /** First 64 bits of md5 as a signed long — the cross-engine-checkable
     * 64-bit hash family: both Spark and DuckDB compute md5 over UTF-8
     * bytes natively, so any operator built on it can carry a DuckDB
-    * oracle (q37; same rationale as q85's md5 grams). conv() reads the
-    * 16 hex chars as unsigned; decimal(20,0) holds 2⁶⁴ exactly and the
-    * CASE re-wraps to the signed long DuckDB's oracle mirrors. Good
-    * avalanche (unlike a bare polynomial hash), so simhash bit votes
-    * stay independent. */
+    * oracle (q37; same rationale as q85's md5 grams). Good avalanche
+    * (unlike a bare polynomial hash), so simhash bit votes stay
+    * independent.
+    *
+    * Kernel (round 6): the hex prefix is read as TWO 32-bit halves —
+    * `conv` of 8 hex chars each, cast straight to long — recombined as
+    * `hi·2³² + lo`, which overflows-and-wraps into exactly the signed
+    * two's-complement value of the full 64-bit prefix (ANSI off; Java
+    * long semantics). The previous kernel round-tripped all 16 chars
+    * through decimal(20,0) — a per-value `BigDecimal` string parse that
+    * dominated q91's profile at scale (one thread-dump frame:
+    * `Decimal.fromString` 630 s of one task's CPU at sf1). Values are
+    * bit-identical (property-tested against the decimal form). */
   def md5Hash64(c: Column): Column = {
+    val hex = md5(c)
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32) + lo
+  }
+
+  /** The pre-round-6 decimal-kernel form of [[md5Hash64]], kept ONLY as
+    * the property-test witness that the fast kernel is value-identical. */
+  private[graft] def md5Hash64ViaDecimal(c: Column): Column = {
     val dec = conv(substring(md5(c), 1, 16), 16, 10)
       .cast(org.apache.spark.sql.types.DecimalType(20, 0))
     when(dec >= lit(BigDecimal("9223372036854775808")),

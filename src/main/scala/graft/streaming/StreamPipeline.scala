@@ -104,6 +104,46 @@ object StreamPipeline {
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** ST6 extension — STREAMING decontamination: the streaming twin of
+    * [[graft.operators.Dedup.decontaminateBloom]]. The blocklist is
+    * STATIC (eval sets change per release, not per micro-batch): its
+    * normalized-content hashes fold ONCE into a bloom filter on the
+    * driver before the query starts; each streamed row then tests the
+    * broadcast bits map-side, and definite negatives — almost the whole
+    * stream — pass through with no join at all. Bloom-positives (true
+    * matches plus the fpp sliver) are corrected by a stream-static
+    * LEFT ANTI join, so the kept set equals the batch operator's
+    * exactly, for ANY filter size. Fully stateless: no watermark, no
+    * state store — safe under replay because dropping is deterministic
+    * per row. Scale note: the anti join's static side is the full
+    * blocklist, but only bloom-positive rows reach it, so the per-batch
+    * join input is tiny regardless of stream rate. */
+  def decontaminateStream(corpus: DataFrame, textCol: String,
+      blocklist: DataFrame, blTextCol: String,
+      expectedItems: Long = 1000000L, numBits: Long = 1L << 23): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    import org.apache.spark.sql.graft.shim
+    val bl = blocklist
+      .select(md5(T.normalizeText(col(blTextCol))).as("_block_hash"))
+      .distinct()
+    val bloomBytes = bl.select(shim.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          shim.expression(xxhash64(col("_block_hash"))),
+          shim.expression(lit(expectedItems)), shim.expression(lit(numBits)))
+          .toAggregateExpression()).as("_bf"))
+      .head().getAs[Array[Byte]]("_bf")
+    if (bloomBytes == null) return corpus // empty blocklist: nothing to drop
+    def mightContain(h: org.apache.spark.sql.Column) = shim.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        shim.expression(lit(bloomBytes)), shim.expression(xxhash64(h))))
+    val hashed = corpus.withColumn("_block_hash", md5(T.normalizeText(col(textCol))))
+    hashed.filter(!mightContain(col("_block_hash")))
+      .unionByName(
+        hashed.filter(mightContain(col("_block_hash")))
+          .join(bl, Seq("_block_hash"), "left_anti"))
+      .drop("_block_hash")
+  }
+
   /** ST6 extension — stream-stream interval join: each left event pairs
     * with right events of the same key whose time is within
     * `[leftTs - matchWindow, leftTs]`. Watermarks on BOTH sides let the

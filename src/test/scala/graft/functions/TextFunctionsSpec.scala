@@ -102,4 +102,19 @@ class TextFunctionsSpec extends SparkSpec {
       "similar texts must agree on more minhash coordinates")
     assert(sigs(1L).length == 64)
   }
+
+  test("md5Hash64 fast kernel == decimal-kernel witness, incl. sign-wrap cases") {
+    // real corpus text plus adversarial strings; the set must exercise
+    // both hi >= 2^31 (negative result) and hi < 2^31 (positive)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).limit(200)
+      .unionByName(Seq("", "a", "über", "0", " ", "x" * 5000).toDF("text"))
+    val cmp = docs.select(
+      T.md5Hash64(col("text")).as("fast"),
+      T.md5Hash64ViaDecimal(col("text")).as("dec"))
+    assert(cmp.filter(col("fast") =!= col("dec")).count() == 0,
+      "fast kernel must be bit-identical to the decimal form")
+    val signs = cmp.select(countDistinct(col("fast") < 0)).head().getLong(0)
+    assert(signs == 2, "test corpus must cover both sign-wrap branches")
+  }
 }

@@ -217,6 +217,34 @@ class StreamPipelineSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("streaming bloom decontamination == batch operator, incl. collision-heavy filter") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = (0L until 300L).map(i => (i, s"streamed document number $i payload"))
+    val block = (0L until 300L by 7).map(i => s"Streamed   DOCUMENT number $i PAYLOAD")
+      .toDF("text") // normalization must bridge the case/whitespace gap
+    val batchExpected = graft.operators.Dedup.decontaminate(
+      texts.toDF("doc_id", "text"), "text", block, "text")
+
+    def runStream(numBits: Long): org.apache.spark.sql.DataFrame = {
+      val mem = MemoryStream[(Long, String)]
+      mem.addData(texts: _*)
+      val name = s"decon_out_$numBits"
+      val q = StreamPipeline.decontaminateStream(
+        mem.toDF.toDF("doc_id", "text"), "text", block, "text",
+        expectedItems = 50L, numBits = numBits)
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+    }
+
+    // generous filter: bloom rejects most rows map-side
+    assertSameRows(runStream(1L << 20), batchExpected, "streaming vs batch decontamination")
+    // 64-bit filter: nearly every row is a bloom false positive — the
+    // stream-static anti join must carry correctness alone
+    assertSameRows(runStream(64L), batchExpected, "streaming exactness must not depend on fpp")
+  }
+
   test("streaming session_window groups events by inactivity gap (ST6 extension)") {
     implicit val sqlCtx = spark.sqlContext
     // user 1: events at minutes 0, 10 (one session: gap < 30min), then 50
