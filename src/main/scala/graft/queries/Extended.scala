@@ -1019,6 +1019,161 @@ object Extended {
           WHERE CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) > (
             SELECT AVG(CAST(FLOOR(c2.c_acctbal*100 + 0.5) AS BIGINT))
             FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""")
+      }),
+
+    // ---- q95: nation-pair shipping volume (TPC-H Q7 shape) — the
+    // canonical 6-way join: fact⋈fact shuffle (lineitem⋈orders), two
+    // dimension hops each side, self-joined nation. At 100 TB the two
+    // fact tables hash-exchange on orderkey once and every nation hop
+    // is a broadcast; AQE handles the rest. Revenue in integer cents
+    // (q70's convention) so the 4-way group sum is order-insensitive. ----
+    QuerySpec(
+      "q95_nation_pair_volume",
+      Some("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume_cents) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_items
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                 CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT) AS volume_cents
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE n1.n_name <> n2.n_name
+        ) v
+        GROUP BY supp_nation, cust_nation, l_year"""),
+      (s, dir) => {
+        val nation = Tables.load(s, dir, "nation")
+        Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+          .join(broadcast(nation.select(col("n_nationkey").as("cn_key"),
+            col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(graft.Exact.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .cast("long").as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+      }),
+
+    // ---- q96: market share (TPC-H Q8 shape) — one nation's share of a
+    // region's supply revenue per year. Numerator and denominator ship
+    // as separate integer-cents columns: the division is presentation,
+    // the engine work is the conditional aggregation over the same
+    // 6-way join, and integer sums keep the gate bit-exact. ----
+    QuerySpec(
+      "q96_market_share",
+      Some("""
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume_cents ELSE 0 END) AS BIGINT)
+                 AS nation_cents,
+               CAST(SUM(volume_cents) AS BIGINT) AS total_cents
+        FROM (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                 n1.n_name AS supp_nation,
+                 CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT) AS volume_cents
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region   ON n2.n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+        ) v
+        GROUP BY o_year"""),
+      (s, dir) => {
+        val nation = Tables.load(s, dir, "nation")
+        // region filter pushed through the broadcast: only ASIA customer
+        // nations survive the n2 hop, pruning the fact rows early.
+        val asiaNations = nation
+          .join(broadcast(Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))
+        Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(asiaNations), col("c_nationkey") === col("cn_key"))
+          .join(Tables.load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+          .select(year(col("o_orderdate")).cast("long").as("o_year"),
+            col("supp_nation"),
+            graft.Exact.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("volume_cents"))
+          .groupBy(col("o_year"))
+          .agg(sum(when(col("supp_nation") === "NATION_7", col("volume_cents"))
+            .otherwise(lit(0L))).cast("long").as("nation_cents"),
+            sum(col("volume_cents")).cast("long").as("total_cents"))
+      }),
+
+    // ---- q97: multi-column DISTINCT aggregation — two COUNT(DISTINCT)
+    // over different columns plus a plain COUNT in one GROUP BY. Spark
+    // plans this via Expand (one duplicated input stream per distinct
+    // set), a physically different aggregation shape from everything
+    // else in the catalog; at scale the Expand multiplies scan rows by
+    // the number of distinct sets, which is the documented cost of
+    // exactness (q17's single-column form and HLL sketches are the
+    // cheap alternatives). ----
+    QuerySpec(
+      "q97_multi_distinct",
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) AS n_custs,
+               COUNT(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)) AS n_years,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority"""),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(count_distinct(col("o_custkey")).as("n_custs"),
+            count_distinct(year(col("o_orderdate")).cast("long")).as("n_years"),
+            count(lit(1)).as("n_orders"))),
+
+    // ---- q98: scalar subquery + NOT EXISTS anti-join (TPC-H Q22
+    // shape) — above-average-balance customers with no completed ('F')
+    // order, grouped by a hash band. Both subqueries stay sub-broadcast
+    // at any sf: the scalar is one row, and the anti-join's right side
+    // is key-distinct before the exchange. SQL-form like q59 so
+    // Catalyst's subquery decorrelation is what's being exercised. ----
+    QuerySpec(
+      "q98_antijoin_above_avg",
+      Some("""
+        SELECT c_custkey % 7 AS band,
+               COUNT(*) AS n_custs,
+               CAST(SUM(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+        FROM customer c
+        WHERE CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) > (
+            SELECT AVG(CAST(FLOOR(c2.c_acctbal*100 + 0.5) AS BIGINT))
+            FROM customer c2 WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        GROUP BY band"""),
+      (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT c_custkey % 7 AS band,
+                 COUNT(*) AS n_custs,
+                 SUM(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)) AS bal_cents
+          FROM customer c
+          WHERE CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) > (
+              SELECT AVG(CAST(FLOOR(c2.c_acctbal*100 + 0.5) AS BIGINT))
+              FROM customer c2 WHERE c2.c_acctbal > 0)
+            AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          GROUP BY band""")
       })
   )
 }
