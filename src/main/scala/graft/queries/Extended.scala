@@ -1174,6 +1174,174 @@ object Extended {
               SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
           GROUP BY band""")
-      })
+      }),
+
+    // ---- q99: inter-event gap analysis — LAG over a per-user time
+    // order, aggregated per event type. The window partitions by
+    // user_id, so at 100 TB the sort is per-user-partition (bounded by
+    // one user's history), never global; the tiebreak on event_id makes
+    // LAG deterministic under equal timestamps. Gaps in integer
+    // microseconds so the sums are order-insensitive and bit-exact. ----
+    QuerySpec(
+      "q99_event_gaps",
+      Some("""
+        SELECT event_type, COUNT(*) AS n_gaps,
+               CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        FROM (
+          SELECT event_type,
+                 epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events) g
+        WHERE gap_us IS NOT NULL
+        GROUP BY event_type"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+          .filter(col("gap_us").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("gap_us")).cast("long").as("sum_gap_us"),
+            max(col("gap_us")).cast("long").as("max_gap_us"))
+      }),
+
+    // ---- q100: ordered string aggregation (STRING_AGG ... ORDER BY) —
+    // Spark has no ordered aggregate, so the engine form is
+    // collect_list → array_sort → array_join, which is semantically the
+    // sorted-roster idiom. Scale note: collect_list buffers one group in
+    // memory — valid only where the group is known-bounded (here ≤25
+    // nations per region); unbounded rosters belong in q55-style
+    // explode+count shapes instead. ----
+    QuerySpec(
+      "q100_region_nation_roster",
+      Some("""
+        SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name"""),
+      (s, dir) =>
+        Tables.load(s, dir, "nation")
+          .join(broadcast(Tables.load(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+            count(lit(1)).as("n_nations"))),
+
+    // ---- q101: calendar gap-fill — zero-fill missing days in a sparse
+    // daily rollup via sequence()+explode (generate_series in DuckDB).
+    // The filter keeps ~5 events at sf0.01 so most days ARE missing and
+    // the fill path is actually exercised. The generated calendar is
+    // one row per day (tiny at any sf); the left join broadcasts it
+    // against the aggregated dailies, so the fact table never re-shuffles
+    // for the fill. ----
+    QuerySpec(
+      "q101_gapfill_days",
+      Some("""
+        WITH ev AS (SELECT * FROM events
+                    WHERE event_type = 'purchase' AND value > 300),
+        bounds AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM ev),
+        days AS (SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                 FROM bounds),
+        daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM ev GROUP BY 1)
+        SELECT day, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+        FROM days LEFT JOIN daily USING (day)"""),
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase" && col("value") > 300)
+        val daily = ev.groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+        val days = ev.agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        days.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).as("n_events"))
+      }),
+
+    // ---- q102: nested IN-subqueries with aggregate HAVING (TPC-H Q20
+    // shape) — suppliers who shipped a heavy volume of any matching
+    // part. Catalyst decorrelates both INs to left-semi joins: part's
+    // filter broadcasts into the lineitem aggregate, and the aggregated
+    // (suppkey, partkey) volumes semi-join supplier — the fact table is
+    // scanned once, aggregated before any join crosses the network. ----
+    QuerySpec(
+      "q102_heavy_part_suppliers",
+      Some("""
+        SELECT s_name, s_nationkey FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(l_quantity) > 100)"""),
+      (s, dir) => {
+        Seq("supplier", "lineitem", "part")
+          .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql("""
+          SELECT s_name, s_nationkey FROM supplier
+          WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(l_quantity) > 100)""")
+      }),
+
+    // ---- q103: correlated EXISTS + NOT EXISTS self-joins (TPC-H Q21
+    // shape) — the sole supplier whose items were returned on a
+    // multi-supplier order. Both subqueries correlate on l_orderkey, so
+    // Catalyst plans them as hash semi/anti self-joins on the orderkey
+    // exchange — the inequality on suppkey rides along as a join
+    // residual, never a BNL. At 100 TB this is three co-partitioned
+    // passes over the same orderkey shuffle. ----
+    QuerySpec(
+      "q103_sole_returned_supplier",
+      Some("""
+        SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+        FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name"""),
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        Tables.load(s, dir, "supplier").createOrReplaceTempView("supplier")
+        s.sql("""
+          SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+          FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+          WHERE l1.l_returnflag = 'R'
+            AND EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND l3.l_returnflag = 'R')
+          GROUP BY s_name""")
+      }),
+
+    // ---- q104: semi-structured extraction — pull a typed field out of
+    // the JSON props column and aggregate it, without a full from_json
+    // schema (the reference's Kinesis payloads carry exactly this kind
+    // of ragged side-channel, Kinesis_Processing.ipynb:508-528).
+    // get_json_object is a codegen'd path expression: single pass, no
+    // intermediate struct materialization, pushdown-friendly. ----
+    QuerySpec(
+      "q104_json_props_stats",
+      Some("""
+        SELECT event_type,
+               COUNT(json_extract_string(props, '$.k')) AS n_with_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events
+        GROUP BY event_type"""),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(col("k")).as("n_with_k"),
+            sum(col("k")).cast("long").as("sum_k")))
   )
 }
