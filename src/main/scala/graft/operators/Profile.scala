@@ -51,4 +51,40 @@ object Profile {
     val d = df.distinct().count()
     Seq((n, d, n - d)).toDF("n_rows", "n_distinct_rows", "n_duplicate_rows")
   }
+
+  /** Per-slice HLL sketches (DataSketches HllSketch via
+    * `hll_sketch_agg`) — the INCREMENTAL distinct-count path at 100 TB:
+    * sketch each slice (day / source / partition) once at landing,
+    * persist the binary, and answer any later cross-slice distinct
+    * question by unioning sketches instead of rescanning the lake.
+    * `lgK = 12` → 4 KiB per sketch, ~1.6% relative standard error. */
+  def hllSlices(df: DataFrame, sliceCol: String, targetCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(col(sliceCol))
+      .agg(hll_sketch_agg(col(targetCol), lit(lgK)).as("sketch"))
+
+  /** Merge per-slice sketches to one global distinct estimate. HLL
+    * union is lossless over same-lgK sketches (register-wise max), so
+    * this equals sketching the union directly — asserted in
+    * ProfileSpec, along with the error bound vs the exact count. */
+  def hllMergedDistinct(slices: DataFrame): DataFrame =
+    slices.agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+      .as("n_distinct"))
+
+  /** Count-min sketch over `column` — bounded-memory frequency
+    * estimation with one-sided error (estimate ≥ truth, overshoot
+    * ≤ eps·N at `confidence`). The aggregation is distributed
+    * (map-side partial merge); only the final w×d counter grid —
+    * size fixed by (eps, confidence), independent of data — reaches
+    * the driver, the same bounded-result class as [[rowStats]]. */
+  def countMinSketch(df: DataFrame, column: String, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42)
+      : org.apache.spark.util.sketch.CountMinSketch = {
+    val bytes = df
+      .agg(count_min_sketch(col(column), lit(eps), lit(confidence), lit(seed))
+        .as("cms"))
+      .head().getAs[Array[Byte]](0)
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
 }

@@ -1342,6 +1342,60 @@ object Extended {
             get_json_object(col("props"), "$.k").cast("long").as("k"))
           .groupBy(col("event_type"))
           .agg(count(col("k")).as("n_with_k"),
-            sum(col("k")).cast("long").as("sum_k")))
+            sum(col("k")).cast("long").as("sum_k"))),
+
+    // ---- q105: correlated scalar AGGREGATE subquery (TPC-H Q17
+    // shape) — small-quantity revenue vs each part's own average.
+    // Catalyst decorrelates the per-part AVG into one grouped
+    // aggregate joined back on partkey: the fact table is scanned
+    // twice but shuffled on l_partkey once each, never per-row. AVG
+    // stays exact across engines because l_quantity is integer-valued
+    // (sum exact below 2^53, one IEEE division both sides). ----
+    QuerySpec(
+      "q105_small_quantity_revenue",
+      Some("""
+        SELECT CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l_partkey)"""),
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        Tables.load(s, dir, "part").createOrReplaceTempView("part")
+        s.sql("""
+          SELECT SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS revenue_cents,
+                 COUNT(*) AS n_items
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_brand = 'Brand#3'
+            AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+                              WHERE l2.l_partkey = l_partkey)""")
+      }),
+
+    // ---- q106: IN over a grouped-HAVING subquery joined back to
+    // detail (TPC-H Q18 shape) — large orders with their customers.
+    // The engine form skips the IN round-trip: aggregate once, inner-
+    // join the (orderkey, total) survivors straight back — the same
+    // plan Catalyst reaches after decorrelating, written directly. ----
+    QuerySpec(
+      "q106_large_orders",
+      Some("""
+        SELECT c_custkey, o_orderkey, CAST(total_qty AS BIGINT) AS total_qty
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty FROM lineitem
+              GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) big
+          ON o_orderkey = big.l_orderkey"""),
+      (s, dir) => {
+        val big = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 150)
+        Tables.load(s, dir, "orders")
+          .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .select(col("c_custkey"), col("o_orderkey"),
+            col("total_qty").cast("long").as("total_qty"))
+      })
   )
 }

@@ -35,4 +35,43 @@ class ProfileSpec extends SparkSpec {
     val r = Profile.rowStats(dup).head()
     assert(r.getLong(0) == 5L && r.getLong(1) == 4L && r.getLong(2) == 1L)
   }
+
+  // Real-table sketch tests: the events table at sf0.001 (10k rows,
+  // ~1k distinct users over 30 days) — big enough that HLL actually
+  // estimates, small enough for an exact reference count.
+  private lazy val events =
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+
+  test("hllSlices + hllMergedDistinct: union of per-day sketches == one-shot sketch, within HLL error of exact") {
+    import org.apache.spark.sql.functions._
+    val exact = events.select(countDistinct(col("user_id"))).head().getLong(0)
+    val slices = Profile.hllSlices(
+      events.withColumn("day", to_date(col("ts"))), "day", "user_id")
+    val merged = Profile.hllMergedDistinct(slices).head().getLong(0)
+    val oneShot = events
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))))
+      .head().getLong(0)
+    // HLL union is register-wise max over same-lgK sketches, so the
+    // merged estimate must EQUAL the single-pass sketch — the property
+    // that makes incremental per-slice sketching sound at 100 TB.
+    assert(merged == oneShot,
+      s"union-of-sketches $merged != sketch-of-union $oneShot")
+    // lgK=12 → ~1.6% RSE; 5% is > 3 standard errors
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged estimate $merged vs exact $exact beyond 5%")
+  }
+
+  test("countMinSketch: one-sided error bound against exact counts") {
+    import org.apache.spark.sql.functions._
+    val cms = Profile.countMinSketch(events, "event_type", eps = 0.001)
+    val exact = events.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    exact.foreach { case (k, n) =>
+      val est = cms.estimateCount(k)
+      assert(est >= n, s"CMS under-counted $k: $est < $n")
+      assert(est <= n + (0.001 * total).ceil.toLong,
+        s"CMS overshoot on $k: $est vs $n (bound ${(0.001 * total).ceil})")
+    }
+  }
 }
