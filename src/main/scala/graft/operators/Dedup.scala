@@ -454,4 +454,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         T.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
+
+  /** Sub-document (paragraph/chunk) dedup signal — the CCNet/Dolma-style
+    * "duplicated paragraph fraction" quality feature. Documents are cut
+    * into fixed `chunkTokens`-token chunks (the synthetic corpus has no
+    * newline paragraph breaks, so the chunk grid stands in for paragraph
+    * boundaries; with real text, swap the splitter for split on \n\n and
+    * nothing else changes); the first occurrence corpus-wide (min of an
+    * order-encoded (doc_id, chunk_idx)) is the keeper and every later
+    * occurrence counts as duplicated. Returns one row per document:
+    * (id, n_chunks, n_dup).
+    *
+    * Scale shape: chunks explode to ~tokens/chunkTokens rows, then ONE
+    * hash exchange (the window over the chunk hash — the same exchange
+    * any exact dedup pays) and one group-back on the id. No joins, no
+    * driver state. The id×1e6 order encoding requires chunk_idx < 1e6,
+    * i.e. docs under ~chunkTokens·1e6 tokens — cheap insurance vs
+    * carrying a struct ordering that the DuckDB oracle can't replay. */
+  def chunkDupStats(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+    val chunks = transform(
+      sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
+    val encoded = col(idCol) * 1000000L + col("chunk_idx")
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .withColumn("_keeper", min(encoded).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("chunk")))))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(encoded === col("_keeper"), 0L).otherwise(1L)).as("n_dup"))
+  }
 }

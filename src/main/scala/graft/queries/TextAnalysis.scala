@@ -497,6 +497,32 @@ object TextAnalysis {
           .select(
             col("doc_id"),
             octet_length(col("payload")).cast("long").as("byte_len"),
-            col("format")))
+            col("format"))),
+
+    // ---- q117: sub-document chunk dedup — the CCNet/Dolma-style
+    // "duplicated paragraph fraction" quality signal, with fixed
+    // 10-token chunks standing in for paragraphs (the synthetic corpus
+    // has no newlines). Keeper = corpus-wide first occurrence in
+    // (doc_id, chunk_idx) order; the oracle replays the identical
+    // chunk grid via DuckDB list slicing over a lateral range(). ----
+    QuerySpec(
+      "q117_chunk_dup_stats",
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        chunks AS (
+          SELECT doc_id, i AS chunk_idx,
+                 array_to_string(ts[(i*10+1):(i*10+10)], ' ') AS chunk
+          FROM toks, UNNEST(range(CAST(CEIL(LEN(ts)/10.0) AS BIGINT))) AS t(i)),
+        flagged AS (
+          SELECT doc_id, chunk_idx,
+                 CASE WHEN doc_id*1000000 + chunk_idx
+                      = MIN(doc_id*1000000 + chunk_idx) OVER (PARTITION BY md5(chunk))
+                      THEN 0 ELSE 1 END AS dup
+          FROM chunks)
+        SELECT doc_id, COUNT(*) AS n_chunks, CAST(SUM(dup) AS BIGINT) AS n_dup
+        FROM flagged GROUP BY doc_id"""),
+      (s, dir) =>
+        Dedup.chunkDupStats(
+          Tables.load(s, dir, "documents"), "doc_id", "text", chunkTokens = 10))
   )
 }

@@ -210,4 +210,30 @@ class DedupSpec extends SparkSpec {
       .select("jaccard").as[Double].head()
     assert(math.abs(j - 0.5) < 1e-12)
   }
+
+  test("chunk dedup: hand-computed duplicated-chunk counts") {
+    // chunkTokens=2 → doc 1: [a b][c d], doc 2: [a b][x y], doc 3:
+    // [c d][a b][z] — "a b" keeper is (1,0), "c d" keeper is (1,1),
+    // so doc 1 has 0 dups, doc 2 has 1 ("a b"), doc 3 has 2.
+    val tiny = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "c d a b z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDupStats(tiny, "doc_id", "text", chunkTokens = 2)
+      .select("doc_id", "n_chunks", "n_dup")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L) == (2L, 0L))
+    assert(out(2L) == (2L, 1L))
+    assert(out(3L) == (3L, 2L))
+  }
+
+  test("chunk dedup: keeper choice is partitioning-invariant") {
+    val docs = (0L until 200L).map(i => (i, (s"tok${i % 7} " * 12).trim))
+      .toDF("doc_id", "text")
+    val a = Dedup.chunkDupStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Dedup.chunkDupStats(docs.repartition(13), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+    assert(a.map(_._3).sum > 0, "fixture must contain duplicated chunks")
+  }
 }
