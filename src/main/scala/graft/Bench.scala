@@ -12,6 +12,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // 345 query executions share this JVM: shuffle files are only
+      // reclaimed when the ContextCleaner GCs their RDDs — hourly by
+      // default, i.e. never within a bench run. 10min keeps disk state
+      // bounded without the measurable stop-the-world System.gc()
+      // stalls a 1min cadence injected into individual samples.
+      .config("spark.cleaner.periodicGC.interval", sys.env.getOrElse("SPARK_GRAFT_GC", "10min"))
       // test tables are single small parquet files; default 128 MiB
       // split size would scan each on ONE core. 4 MiB spreads the scan
       // across the local executor threads. (At production scale the
@@ -30,8 +36,18 @@ object Bench {
     // subtrees — several operators would be "benchmarked" without
     // executing at all.
     def exec(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
-        dir: String): Unit =
+        dir: String): Unit = {
       fn(spark, dir).write.mode("overwrite").format("noop").save()
+      // free per-invocation state: operators that persist/localCheckpoint
+      // intermediates (sessionizeBucketed, cappedBucketPairs, kmeans)
+      // create NEW cache entries on every call — across 115 queries × 3
+      // reps those accumulate until storage memory is full and later
+      // samples measure spill, not the query (r6 diagnosis: q91 median
+      // 274 s with min 8.6 s — rep 1 fast, reps 2-3 degraded). A real
+      // deployment runs one job per session; the harness must too.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     // SPARK_GRAFT_ONLY: comma-separated name prefixes — bench just those
     // queries (local iteration aid; driver leaves it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)

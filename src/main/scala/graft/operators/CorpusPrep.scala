@@ -29,7 +29,7 @@ object CorpusPrep {
       minTokens: Int = 5, maxTokens: Int = 5000,
       quotaPerLang: Int = 50): DataFrame = {
     val norm = T.normalizeText(GraftFunctions.nfc(col(textCol)))
-    val normalized = docs.select(
+    val normalized = Fanout.forKernel(docs).select(
       col(idCol), col(langCol), norm.as("_norm"),
       md5(norm).as("_h"))
     // exact dedup: keeper = min id per content hash (one window shuffle)

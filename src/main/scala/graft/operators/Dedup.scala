@@ -126,7 +126,8 @@ object Dedup {
     // band, hash, bucket stats) is cached inside cappedBucketPairs,
     // since both sides of the candidate self-join read it and exchange
     // reuse can't deduplicate them.
-    val sh = df.select(
+    val src = Fanout.forKernel(df)
+    val sh = src.select(
       col(idCol),
       shingleHasher(col(textCol), shingleSize).as("sh"))
     val sig = sh.select(
@@ -292,7 +293,7 @@ object Dedup {
     // md5-prefix token hashes (not xxhash64): same voting semantics,
     // but the family is computable by DuckDB too, so q37 carries a
     // full hash oracle — see TextFunctions.md5Hash64
-    df.select(
+    Fanout.forKernel(df).select(
       col(idCol),
       GraftFunctions.simhash64(
         transform(T.tokens(col(textCol)), t => T.md5Hash64(t))).as("simhash"))
@@ -338,7 +339,7 @@ object Dedup {
     val bl = blocklist
       .select(md5(T.normalizeText(col(blocklistTextCol))).as("_block_hash"))
       .distinct()
-    corpus
+    Fanout.forKernel(corpus)
       .withColumn("_block_hash", md5(T.normalizeText(col(textCol))))
       .join(broadcast(bl), Seq("_block_hash"), "left_anti")
       .drop("_block_hash")
@@ -379,7 +380,8 @@ object Dedup {
     def mightContain(h: org.apache.spark.sql.Column) = shim.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         shim.expression(lit(bloomBytes)), shim.expression(xxhash64(h))))
-    val hashed = corpus.withColumn("_block_hash", md5(T.normalizeText(col(textCol))))
+    val hashed = Fanout.forKernel(corpus)
+      .withColumn("_block_hash", md5(T.normalizeText(col(textCol))))
     hashed.filter(!mightContain(col("_block_hash")))
       .unionByName(
         hashed.filter(mightContain(col("_block_hash")))
@@ -425,7 +427,7 @@ object Dedup {
     }
     val blGrams = blocklist
       .select(explode(gramHashes(col(blTextCol))).as("_g")).distinct()
-    val contaminated = corpus
+    val contaminated = Fanout.forKernel(corpus)
       .select(col(idCol), explode(gramHashes(col(textCol))).as("_g"))
       .join(broadcast(blGrams), Seq("_g"), "left_semi")
       .select(col(idCol).as("_cid")).distinct()
@@ -480,7 +482,8 @@ object Dedup {
       sequence(lit(0), nChunks - 1),
       i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
     val encoded = col(idCol) * 1000000L + col("chunk_idx")
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+    Fanout.forKernel(df)
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
       .withColumn("_keeper", min(encoded).over(
         org.apache.spark.sql.expressions.Window.partitionBy(md5(col("chunk")))))
       .groupBy(col(idCol))

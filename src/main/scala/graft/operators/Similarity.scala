@@ -24,7 +24,8 @@ object Similarity {
       corpus: DataFrame, corpusId: String,
       queries: DataFrame, queryId: String,
       vecCol: String, k: Int): DataFrame =
-    topKPerQuery(scoreAll(corpus, corpusId, queries, queryId, vecCol),
+    topKPerQuery(
+      scoreAll(Fanout.forKernel(corpus), corpusId, queries, queryId, vecCol),
       queryId, corpusId, k)
 
   /** LSH-accelerated cosine top-k: a `planes`-bit hyperplane signature is
@@ -79,7 +80,7 @@ object Similarity {
     def chunkCols(sig: org.apache.spark.sql.Column) = bounds.map { case (off, w) =>
       shiftrightunsigned(sig, off).bitwiseAND(lit((1L << w) - 1))
     }
-    val csig = corpus.select(
+    val csig = Fanout.forKernel(corpus).select(
       col(corpusId), col(vecCol).as("_cvec"),
       V.hyperplaneSignature(col(vecCol), planes).as("_csig"))
     val qsig = queries.select(
@@ -179,12 +180,13 @@ object Similarity {
   def kmeansCentroids(
       corpus: DataFrame, corpusId: String, vecCol: String,
       k: Int, iters: Int = 3): DataFrame = {
+    val wide = Fanout.forKernel(corpus)
     var centroids = corpus
       .orderBy(xxhash64(col(corpusId)), col(corpusId)).limit(k)
       .select(col(corpusId).cast("long").as("_list"), col(vecCol).as("_centroid"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
-      val assignScores = corpus.select(col(corpusId), col(vecCol).as("_cvec"))
+      val assignScores = wide.select(col(corpusId), col(vecCol).as("_cvec"))
         .crossJoin(broadcast(centroids))
         .select(col(corpusId), col("_list"),
           V.cosine(col("_cvec"), col("_centroid")).as("cosine"))
@@ -223,7 +225,8 @@ object Similarity {
       .select(col(corpusId).cast("long").as("_list"), col(vecCol).as("_centroid")))
     // assign: one broadcast pass over the corpus scores each row against
     // all nLists centroids; bounded-heap k=1 keeps the nearest list
-    val assignScores = corpus.select(col(corpusId), col(vecCol).as("_cvec"))
+    val assignScores = Fanout.forKernel(corpus)
+      .select(col(corpusId), col(vecCol).as("_cvec"))
       .crossJoin(broadcast(centroids))
       .select(col(corpusId), col("_list"),
         V.cosine(col("_cvec"), col("_centroid")).as("cosine"))
@@ -255,7 +258,7 @@ object Similarity {
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planesPerBand: Int = 12): DataFrame = {
-    val sigs = df.select(
+    val sigs = Fanout.forKernel(df).select(
       col(idCol), col(vecCol).as("_vec"),
       V.hyperplaneSignature(col(vecCol), planesPerBand).as("_s0"),
       // second, independent plane family: offset the plane index space
