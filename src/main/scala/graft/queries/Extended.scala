@@ -349,7 +349,7 @@ object Extended {
                MIN(sq_norm) AS lo, MAX(sq_norm) AS hi
         FROM sq GROUP BY 1"""),
       (s, dir) =>
-        Tables.load(s, dir, "embeddings")
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
           .select(col("vec_id"),
             expr("""aggregate(
                       transform(embedding,
@@ -719,7 +719,7 @@ object Extended {
         SELECT query_id, vec_id, dot, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 5"""),
       (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
         val quant = expr(
           "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
         val corpus = emb.select(col("vec_id"), quant.as("cv"))
@@ -791,7 +791,7 @@ object Extended {
         SELECT query_id, vec_id, dot, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 5"""),
       (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
         val quant = expr(
           "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
         def dot(a: String, b: String) = expr(
@@ -879,7 +879,7 @@ object Extended {
                LEAST(COALESCE(partner_min, e.vec_id), e.vec_id) <> e.vec_id AS is_duplicate
         FROM embeddings e LEFT JOIN best USING (vec_id)"""),
       (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
         val quant = expr(
           "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
         def bandKey(b: Int) = expr(s"""
@@ -963,7 +963,7 @@ object Extended {
         SELECT query_id, vec_id, dot, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 5"""),
       (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
         val quant = expr(
           "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
         val sigExpr = expr("""
@@ -1396,6 +1396,86 @@ object Extended {
           .join(big, col("o_orderkey") === col("l_orderkey"))
           .select(col("c_custkey"), col("o_orderkey"),
             col("total_qty").cast("long").as("total_qty"))
+      }),
+
+    // ---- q118: PERCENT_RANK + CUME_DIST — the remaining analytic
+    // ranking pair (rank/dense_rank/ntile/row_number are elsewhere in
+    // the catalog). Both are exact rationals evaluated in binary
+    // double from the same integer (rank, count) inputs, so the
+    // IEEE result is bit-identical across engines; the custkey
+    // tiebreak makes the rank itself deterministic. ----
+    QuerySpec(
+      "q118_acctbal_percentile_rank",
+      Some("""
+        SELECT c_custkey, c_mktsegment,
+               PERCENT_RANK() OVER w AS pr,
+               CUME_DIST()    OVER w AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT), c_custkey)"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(floor(col("c_acctbal") * 100 + 0.5).cast("long"), col("c_custkey"))
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      }),
+
+    // ---- q119: FIRST_VALUE / LAST_VALUE with an explicit full frame —
+    // per-user session bookends (first and last event type). The
+    // default window frame (unbounded preceding..current row) would
+    // make LAST_VALUE echo the current row; the full frame is the
+    // deliberate, cross-engine-identical form. DISTINCT collapses to
+    // one row per user. ----
+    QuerySpec(
+      "q119_user_bookends",
+      Some("""
+        SELECT DISTINCT user_id,
+               FIRST_VALUE(event_type) OVER w AS first_ev,
+               LAST_VALUE(event_type)  OVER w AS last_ev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            first(col("event_type")).over(w).as("first_ev"),
+            last(col("event_type")).over(w).as("last_ev"))
+          .distinct()
+      }),
+
+    // ---- q120: edit-distance profiling between successive documents
+    // of the same language (levenshtein is the exact-verification
+    // kernel under fuzzy dedup; both engines implement the classic
+    // integer DP, so values match exactly). LAG pairs each doc with
+    // its id-order predecessor — a linear windowed pass, NOT the
+    // quadratic all-pairs shape (that lives in q39's quarantined
+    // brute baseline). Prefixes bound the DP cost per row. ----
+    QuerySpec(
+      "q120_neighbor_edit_distance",
+      Some("""
+        SELECT lang, COUNT(*) AS n_pairs,
+               CAST(SUM(d) AS BIGINT) AS sum_dist, CAST(MIN(d) AS BIGINT) AS min_dist
+        FROM (SELECT lang,
+                     levenshtein(substr(text, 1, 40),
+                                 LAG(substr(text, 1, 40))
+                                   OVER (PARTITION BY lang ORDER BY doc_id)) AS d
+              FROM documents)
+        WHERE d IS NOT NULL
+        GROUP BY lang"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .select(col("lang"),
+            levenshtein(substring(col("text"), 1, 40),
+              lag(substring(col("text"), 1, 40), 1).over(w)).as("d"))
+          .filter(col("d").isNotNull)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("d")).cast("long").as("sum_dist"),
+            min(col("d")).cast("long").as("min_dist"))
       })
   )
 }

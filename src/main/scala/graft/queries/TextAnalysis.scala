@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QuerySpec, Tables}
 import graft.functions.{GraftFunctions, TextFunctions => T}
 import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over the `documents` and
@@ -23,7 +24,7 @@ object TextAnalysis {
         SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n
         FROM documents GROUP BY 1"""),
       (s, dir) =>
-        Tables.load(s, dir, "documents")
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
           .groupBy(md5(col("text")).as("content_md5"))
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))),
 
@@ -35,7 +36,7 @@ object TextAnalysis {
                MIN(doc_id) AS keep_id, COUNT(*) AS n
         FROM documents GROUP BY 1"""),
       (s, dir) =>
-        Tables.load(s, dir, "documents")
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
           .groupBy(md5(T.normalizeText(col("text"))).as("content_md5"))
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))),
 
@@ -50,7 +51,7 @@ object TextAnalysis {
         FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
               FROM documents)"""),
       (s, dir) =>
-        Tables.load(s, dir, "documents")
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
           .select(
             col("doc_id"),
             T.tokenCount(col("text")).as("n_tokens"),
@@ -106,7 +107,7 @@ object TextAnalysis {
         FROM best"""
       },
       (s, dir) =>
-        Tables.load(s, dir, "documents")
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
           .select(col("doc_id"), T.langId(col("text")).as("lang_pred"))),
 
     // ---- q33: quality scoring — the DuckDB oracle mirrors the exact
@@ -157,7 +158,7 @@ object TextAnalysis {
                + ((1.0 - LEAST(punct / safe_chars * 5, 1.0)) * 0.1) AS quality_score
         FROM derived"""),
       (s, dir) =>
-        Tables.load(s, dir, "documents")
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
           .select(col("doc_id"), T.qualityMetrics(col("text")).as("m"))
           .select(col("doc_id"), col("m.*"))),
 
@@ -193,7 +194,7 @@ object TextAnalysis {
         FROM folded"""),
       (s, dir) => {
         GraftFunctions.register(s)
-        Tables.load(s, dir, "documents")
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
           .select(
             col("doc_id"),
             GraftFunctions.fingerprint64(T.normalizeText(col("text"))).as("fingerprint"))
@@ -335,7 +336,7 @@ object TextAnalysis {
                  '[0-9]{9,}', '<NUM>', 'g') AS redacted
         FROM documents"""),
       (s, dir) =>
-        Tables.load(s, dir, "documents")
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
           .select(col("doc_id"), T.redact(col("text")).as("redacted"))),
 
     // ---- q47: benchmark decontamination (anti-join on content hash) ----
@@ -523,6 +524,149 @@ object TextAnalysis {
         FROM flagged GROUP BY doc_id"""),
       (s, dir) =>
         Dedup.chunkDupStats(
-          Tables.load(s, dir, "documents"), "doc_id", "text", chunkTokens = 10))
+          Tables.load(s, dir, "documents"), "doc_id", "text", chunkTokens = 10)),
+
+    // ---- q121: Gopher/Dolma-style repetition signals — per-doc counts
+    // behind the "fraction of tokens in the most common token / bigram"
+    // quality filters. All-integer output (counts, not ratios) so the
+    // oracle hashes exactly; callers derive the fractions. Scale shape:
+    // token and bigram explodes feed (doc_id, gram)-keyed partial
+    // aggregations — two exchanges on near-uniform high-cardinality
+    // keys, no joins wider than the doc-grain stats. ----
+    QuerySpec(
+      "q121_repetition_signals",
+      Some("""
+        WITH norm AS (
+          SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, string_split(nrm, ' ') AS t FROM norm
+        ), tok AS (
+          SELECT doc_id, unnest(t) AS w FROM toks
+        ), tc AS (
+          SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        ), tstats AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(MAX(c) AS BIGINT) AS top_token_count
+          FROM tc GROUP BY 1
+        ), bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - 1),
+                   p -> array_to_string(t[p:p+1], ' '))) AS b
+          FROM toks
+        ), bc AS (
+          SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2
+        ), bstats AS (
+          SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count FROM bc GROUP BY 1
+        )
+        SELECT t.doc_id, n_tokens, top_token_count,
+               COALESCE(top_bigram_count, CAST(0 AS BIGINT)) AS top_bigram_count
+        FROM tstats t LEFT JOIN bstats USING (doc_id)"""),
+      (s, dir) => {
+        val toks = graft.operators.Fanout
+          .forKernel(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"), split(T.normalizeText(col("text")), " ").as("t"))
+        val tstats = toks.select(col("doc_id"), explode(col("t")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).cast("long").as("n_tokens"),
+            max(col("c")).cast("long").as("top_token_count"))
+        val bstats = toks.select(col("doc_id"), explode(
+            when(size(col("t")) < 2, array().cast("array<string>"))
+              .otherwise(transform(sequence(lit(0), size(col("t")) - 2),
+                i => concat_ws(" ", slice(col("t"), i + 1, lit(2)))))).as("b"))
+          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).cast("long").as("top_bigram_count"))
+        tstats.join(bstats, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"), col("top_token_count"),
+            coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"))
+      }),
+
+    // ---- q122: token-budget mix sampling — the "data mixing" pass: per
+    // language, admit documents in deterministic pseudo-random order
+    // until a token budget fills (a doc is admitted if it STARTS before
+    // the budget line, so the budget is met, not undershot). One window
+    // shuffle on lang; the running sum is the same frame as q18. ----
+    QuerySpec(
+      "q122_token_budget_sample",
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CASE WHEN nrm = '' THEN 0
+                      ELSE CAST(LEN(STRING_SPLIT(nrm, ' ')) AS BIGINT) END AS n_tokens
+          FROM (SELECT doc_id, lang,
+                       regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
+                FROM documents)
+        ), c AS (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY ${graft.Exact.hashOrderSql("doc_id", 1000000)}, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+          FROM t
+        )
+        SELECT doc_id, lang, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens - n_tokens < 2000"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(graft.Exact.hashOrder(col("doc_id"), 1000000), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"), T.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
+          .filter(col("cum_tokens") - col("n_tokens") < 2000)
+      }),
+
+    // ---- q123: contamination overlap REPORT — per eval document, how
+    // many corpus documents share ≥1 13-gram and how many distinct
+    // grams leak (q85 filters; audits need the counts). Production
+    // family (xxhash64 grams) on the Spark side; the oracle replays md5
+    // grams — the OUTPUT (distinct doc/gram counts) is family-invariant,
+    // same argument as q85. Eval grams broadcast; the corpus explodes
+    // map-side into the join and only matches shuffle (keyed by the
+    // tiny eval id set — bounded by |eval| × grams). ----
+    QuerySpec(
+      "q123_contamination_stats",
+      Some("""
+        WITH norm AS (
+          SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, string_split(nrm, ' ') AS t FROM norm
+        ), grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - 12),
+                   p -> md5(array_to_string(t[p:p+12], ' ')))) AS g
+          FROM toks
+        ), eg AS (
+          SELECT DISTINCT doc_id AS eval_id, g FROM grams WHERE doc_id % 10 = 0
+        ), cg AS (
+          SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 <> 0
+        )
+        SELECT eval_id, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_hit,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS n_grams_hit
+        FROM eg JOIN cg USING (g) GROUP BY 1"""),
+      (s, dir) => {
+        val docs = graft.operators.Fanout
+          .forKernel(Tables.load(s, dir, "documents"))
+        def grams(df: org.apache.spark.sql.DataFrame) = {
+          val toks = split(T.normalizeText(col("text")), " ")
+          df.select(col("doc_id"), explode(
+              when(size(toks) >= 13,
+                transform(sequence(lit(0), size(toks) - 13),
+                  p => xxhash64(concat_ws(" ", slice(toks, p + 1, lit(13))))))
+                .otherwise(array().cast("array<bigint>"))).as("g"))
+            .distinct()
+        }
+        val eg = grams(docs.filter(col("doc_id") % 10 === 0))
+          .withColumnRenamed("doc_id", "eval_id")
+        val cg = grams(docs.filter(col("doc_id") % 10 =!= 0))
+        cg.join(broadcast(eg), Seq("g"))
+          .groupBy(col("eval_id"))
+          .agg(countDistinct(col("doc_id")).as("n_docs_hit"),
+            countDistinct(col("g")).as("n_grams_hit"))
+      })
   )
 }
