@@ -63,6 +63,33 @@ object Multimodal {
     }
   }
 
+  /** REAL audio metadata from a RIFF/WAVE header: walks the chunk list
+    * to `fmt ` (channels, sample rate, bits per sample) and `data`
+    * (payload size → frame count). Dependency-free little-endian byte
+    * reader, same tier as [[parseDimensions]]; None when the payload is
+    * not a well-formed WAV. Returns (sampleRate, channels,
+    * bitsPerSample, nFrames). */
+  def parseWavMeta(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (sniffFormat(b) != "wav") return None
+    def u(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u(i) | (u(i + 1) << 8)
+    def le32(i: Int) = u(i).toLong | (u(i + 1).toLong << 8) |
+      (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+    var (i, rate, ch, bits) = (12, -1, -1, -1)
+    var dataLen = -1L
+    while (i + 8 <= b.length && (rate < 0 || dataLen < 0)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val len = le32(i + 4)
+      if (id == "fmt " && i + 8 + 16 <= b.length) {
+        ch = le16(i + 10); rate = le32(i + 12).toInt; bits = le16(i + 22)
+      } else if (id == "data") dataLen = len
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (rate <= 0 || ch <= 0 || bits <= 0 || dataLen < 0) None
+    else Some((rate, ch, bits, dataLen / (ch.toLong * (bits / 8).max(1))))
+  }
+
   /** Decoded-media metadata row (what a real decoder would emit). */
   case class MediaMeta(
       doc_id: Long, byte_len: Long, format: String,

@@ -667,6 +667,80 @@ object TextAnalysis {
           .groupBy(col("eval_id"))
           .agg(countDistinct(col("doc_id")).as("n_docs_hit"),
             countDistinct(col("g")).as("n_grams_hit"))
+      }),
+
+    // ---- q124: rare-token / document-frequency profile — the
+    // integer-exact stand-in for LM-perplexity quality filtering
+    // (transcendental log diverges in the last ulp across engines, so
+    // the CCNet-style score ships as counts: distinct vocabulary size,
+    // hapax-legomena count, and summed corpus document frequency —
+    // callers derive rarity ratios). Shape: distinct (doc, token)
+    // explode, one token-keyed exchange for DF, one token-keyed join
+    // back, one doc-keyed group — all near-uniform keys. ----
+    QuerySpec(
+      "q124_rare_token_profile",
+      Some("""
+        WITH norm AS (
+          SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, string_split(nrm, ' ') AS t FROM norm
+        ), tok AS (
+          SELECT DISTINCT doc_id, w
+          FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+        ), df AS (
+          SELECT w, COUNT(*) AS df FROM tok GROUP BY 1
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+               CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               CAST(SUM(df) AS BIGINT) AS sum_df
+        FROM tok JOIN df USING (w)
+        GROUP BY 1"""),
+      (s, dir) => {
+        val tok = graft.operators.Fanout
+          .forKernel(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"),
+            explode(split(T.normalizeText(col("text")), " ")).as("w"))
+          .distinct()
+        val df = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        tok.join(df, Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_distinct_tokens"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),
+            sum(col("df")).cast("long").as("sum_df"))
+      }),
+
+    // ---- q125: leakage-safe train/valid/test split — duplicate groups
+    // must co-assign or eval leaks through near-copies of training
+    // docs. Exact-dup groups (q30's content-hash keeper) share their
+    // keeper id, and the split is the keeper's deterministic hash
+    // bucket — one window exchange on the content hash, no joins, the
+    // same overflow-proof hash order as q48/q122. ----
+    QuerySpec(
+      "q125_leakage_safe_split",
+      Some(s"""
+        WITH k AS (
+          SELECT doc_id,
+                 MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+          FROM documents
+        )
+        SELECT doc_id, keep_id,
+               CASE WHEN hb < 80 THEN 'train'
+                    WHEN hb < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, keep_id,
+                     ${graft.Exact.hashOrderSql("keep_id", 100)} AS hb
+              FROM k)"""),
+      (s, dir) => {
+        val hb = graft.Exact.hashOrder(col("keep_id"), 100)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            min(col("doc_id")).over(
+              Window.partitionBy(md5(col("text")))).as("keep_id"))
+          .select(col("doc_id"), col("keep_id"),
+            when(hb < 80, "train").when(hb < 90, "valid")
+              .otherwise("test").as("split"))
       })
   )
 }

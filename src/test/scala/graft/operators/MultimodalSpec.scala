@@ -88,6 +88,26 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(4L).format == "wav" && metas(4L).width == 0)
   }
 
+  test("WAV chunk walk is REAL: fmt/data chunks parse; malformed inputs yield None") {
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // canonical 44.1 kHz stereo 16-bit file with an ODD-sized junk
+    // chunk first (exercises word-alignment padding) and 1764 data
+    // bytes = 441 frames
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "junk".getBytes("US-ASCII") ++ le32(3) ++ Array[Byte](1, 2, 3, 0) ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(1764)
+    assert(Multimodal.parseWavMeta(wav).contains((44100, 2, 16, 441L)))
+    // not a wav / truncated / no fmt chunk
+    assert(Multimodal.parseWavMeta("RIFFxxxxWEBP".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseWavMeta(
+      "RIFF".getBytes("US-ASCII") ++ le32(4) ++ "WAVE".getBytes("US-ASCII")).isEmpty)
+  }
+
   /** Deterministic 2-color test image encoded with the JDK's own codec:
     * left half solid (r0,g0,b0), right half solid (r1,g1,b1). */
   private def encodeImage(w: Int, h: Int, fmt: String,
