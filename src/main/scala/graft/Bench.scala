@@ -65,25 +65,29 @@ object Bench {
     // code in r5.
     val samples = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    val failed = collection.mutable.Set.empty[String]
     for (_ <- 1 to reps; (name, fn) <- named) {
       val t0 = System.nanoTime()
-      try exec(fn, sfDir) catch { case _: Throwable => () }
+      try exec(fn, sfDir) catch { case _: Throwable => failed += name }
       samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
     def median(v: Vector[Double]): Double = {
       val s = v.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // contract: a query that threw on ANY rep reports -1, never a
+    // time-of-failure that would read as a (fast) success
     val stats = named.map { case (name, _) =>
       val v = samples(name)
-      (name, median(v), v.min, v.max)
+      if (failed(name)) (name, -1.0, -1.0, -1.0)
+      else (name, median(v), v.min, v.max)
     }
     val qs = stats.map { case (k, m, _, _) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val spread = stats.map { case (k, m, mn, mx) =>
       s"\"" + k + "\":" + s"""{"median":$m,"min":$mn,"max":$mx}"""
     }.mkString("{", ",", "}")
-    val total = stats.map(_._2).sum
+    val total = stats.filter(_._2 >= 0).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }

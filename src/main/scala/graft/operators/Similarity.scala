@@ -180,7 +180,14 @@ object Similarity {
   def kmeansCentroids(
       corpus: DataFrame, corpusId: String, vecCol: String,
       k: Int, iters: Int = 3): DataFrame = {
-    val wide = Fanout.forKernel(corpus)
+    // iterative refinement re-reads the SAME (id, vec) projection
+    // 2× per round (assign + re-center) — persist it once for the
+    // operator's lifetime (MLlib's KMeans does the same; at scale this
+    // dodges `iters`×2 remote scans) and release it before returning:
+    // every round's centroids are localCheckpoint-ed, so nothing in the
+    // returned frame's lineage reaches back into the cache.
+    val wide = Fanout.forKernel(corpus.select(col(corpusId), col(vecCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids = corpus
       .orderBy(xxhash64(col(corpusId)), col(corpusId)).limit(k)
       .select(col(corpusId).cast("long").as("_list"), col(vecCol).as("_centroid"))
@@ -192,7 +199,7 @@ object Similarity {
           V.cosine(col("_cvec"), col("_centroid")).as("cosine"))
       val assigned = topKPerQuery(assignScores, corpusId, "_list", 1)
         .select(col(corpusId), col("_list"))
-      centroids = corpus.select(col(corpusId), posexplode(col(vecCol)))
+      centroids = wide.select(col(corpusId), posexplode(col(vecCol)))
         .join(assigned, Seq(corpusId))
         .groupBy(col("_list"), col("pos"))
         .agg(avg(col("col")).as("_m"))
@@ -202,6 +209,7 @@ object Similarity {
           x => x.getField("_m").cast("float")).as("_centroid"))
         .localCheckpoint()
     }
+    wide.unpersist(blocking = false)
     centroids
   }
 
