@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: prints the formatted physical plan for the catalog
+  * queries whose names start with a SPARK_GRAFT_ONLY prefix (all when
+  * unset) against SPARK_GRAFT_SF_DIR. This is how "the plan you'd
+  * want" gets checked by eye — PlanSpec pins the invariants that must
+  * never regress; this shows everything else. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .foreach { case (name, fn) =>
+        println(s"\n========== $name ==========")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"[explain] failed: ${e.getMessage}") }
+      }
+    spark.stop()
+  }
+}
