@@ -270,4 +270,34 @@ class StreamPipelineSpec extends SparkSpec {
         (2L, 1L, 300L, 300L + 1800L)), s"got $got")
     } finally q.stop()
   }
+
+  test("fused signal kernels run unchanged on a stream (stream == batch)") {
+    import graft.functions.{GraftFunctions, TextFunctions => T}
+    implicit val sqlCtx = spark.sqlContext
+    GraftFunctions.register(spark)
+    // stateless projection == q126's kernel set; micro-batch execution
+    // must produce the batch result bit-for-bit (incl. the codegen'd
+    // fingerprint64 custom expression inside a streaming plan)
+    def signals(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      T.qualityMetrics(col("text")).as("m"),
+      T.langId(col("text")).as("lang_pred"),
+      GraftFunctions.fingerprint64(T.normalizeText(col("text"))).as("fingerprint"))
+      .select(col("doc_id"), col("m.*"), col("lang_pred"), col("fingerprint"))
+    val data = Seq(
+      (1L, "the quick brown fox and the lazy dog jumped over it"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, ""),
+      (4L, "  Whitespace   And CASE  folding\ttest  "))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(data: _*)
+    val q = signals(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.queryName("fused_sig").format("memory")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assertSameRows(spark.table("fused_sig"),
+        signals(data.toDF("doc_id", "text")), "fused signals stream vs batch")
+    } finally q.stop()
+  }
 }
