@@ -78,6 +78,59 @@ object StreamPipeline {
       }
   }
 
+  /** Streaming MinHash-LSH near-dup candidates — the incremental twin
+    * of `Dedup.minhashCandidatePairs`'s banded join. Signatures and
+    * band hashes are the SAME stateless per-row expressions as batch;
+    * the bucket join becomes keyed state: one id list per (band, hash)
+    * bucket, and each arriving doc pairs against the bucket's existing
+    * members (so a near-dup is flagged the micro-batch its twin
+    * arrives, not at the next nightly run). State per bucket is capped
+    * at `bucketCap` ids — a degenerate bucket (boilerplate band) stops
+    * accumulating and stars new arrivals to its representative
+    * (min id seen), the same skew escape as the batch operator; with a
+    * cold cap the emitted pair SET equals the batch candidate set
+    * (asserted in tests). At scale, add watermark-based state TTL the
+    * same way [[dedupStream]] documents. Downstream verifies candidates
+    * (exact Jaccard vs the stored texts) exactly as in batch. */
+  def minhashCandidatesStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      bucketCap: Int = 4096): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col(idCol).cast("long").as("id"),
+        posexplode(T.bandHashes(
+          T.minhashSignature(T.shingleHashes(col(textCol), shingleSize), numHashes),
+          numHashes, bands)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, bh) => (band, bh) }
+      .flatMapGroupsWithState[List[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          val seen = state.getOption.getOrElse(Nil)
+          val incoming = rows.map(_._1).toSeq.distinct.sorted
+            .filterNot(seen.contains)
+          val out = List.newBuilder[(Long, Long)]
+          var acc = seen
+          for (n <- incoming) {
+            if (acc.size < bucketCap) {
+              acc.foreach(s => out += ((math.min(s, n), math.max(s, n))))
+              acc = n :: acc
+            } else {
+              val rep = acc.min
+              if (rep != n) out += ((math.min(rep, n), math.max(rep, n)))
+            }
+          }
+          state.update(acc)
+          out.result().iterator
+      }
+      .toDF("id_a", "id_b")
+  }
+
   /** Optional extension (SURVEY §2.9 ST6 — absent in the reference):
     * watermarked event-time tumbling-window counts per country —
     * bounded state (windows evict once the watermark passes). */

@@ -271,6 +271,40 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MinHash candidates across micro-batches == batch candidate set") {
+    implicit val sqlCtx = spark.sqlContext
+    // near-dup family split ACROSS micro-batches (the case a nightly
+    // batch job can't flag until the next run) + unrelated docs
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (10L, "completely unrelated text about distributed query engines and shuffles"))
+    val batch2 = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "another unrelated document mentioning parquet row groups only"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamPipeline.minhashCandidatesStream(
+        mem.toDF.toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.queryName("mh_cand").format("memory")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("mh_cand")
+        .as[(Long, Long)].collect().toSet
+      // batch reference: same banded candidates (threshold 0 keeps every
+      // bucket-colliding pair)
+      val all = (batch1 ++ batch2).toDF("doc_id", "text")
+      val expected = graft.operators.Dedup.minhashCandidatePairs(
+          all, "doc_id", "text", threshold = 0.0)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(streamed == expected,
+        s"stream=$streamed expected=$expected")
+      // the near-dup family must actually be in there
+      assert(streamed.contains((1L, 2L)) && streamed.contains((1L, 3L)))
+    } finally q.stop()
+  }
+
   test("fused signal kernels run unchanged on a stream (stream == batch)") {
     import graft.functions.{GraftFunctions, TextFunctions => T}
     implicit val sqlCtx = spark.sqlContext
