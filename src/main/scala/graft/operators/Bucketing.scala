@@ -72,4 +72,25 @@ object Bucketing {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Compact a dataframe's files to a target size with BOUNDED row
+    * groups — the maintenance pass every landing zone needs in both
+    * directions: thousands of streaming micro-batch files make scans
+    * metadata-bound (too many splits), while a single giant row group
+    * makes them parallelism-bound (a parquet scan splits across row
+    * groups, never within one — the round-6 finding behind
+    * [[Fanout.forKernel]]; this writer is the at-rest fix). File count
+    * comes from the optimizer's size estimate for the input plan;
+    * `rowGroupBytes` caps row-group size so even a one-file output
+    * stays splittable by any later `maxPartitionBytes` setting. */
+  def compact(df: DataFrame, path: String,
+      targetFileBytes: Long = 512L << 20,
+      rowGroupBytes: Int = 8 << 20): Unit = {
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = (estBytes / targetFileBytes).toLong.max(1L).min(1 << 20).toInt
+    df.repartition(nFiles)
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
+  }
 }

@@ -21,6 +21,30 @@ class FanoutSpec extends SparkSpec {
     assertSameRows(wide, df, "fanout must not change content")
   }
 
+  test("single-row-group file widens even when byte-range splits LOOK plentiful") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fanout-rg").toString
+    // one ~1 MB file, ONE row group: with tiny maxPartitionBytes the
+    // planner claims many byte-range partitions, but only the split
+    // holding the row-group midpoint ever produces rows — planned
+    // partitions overestimate effective parallelism and the footer
+    // check must catch it
+    (1 to 30000).map(i => (i.toLong, s"padding payload row $i"))
+      .toDF("id", "s").coalesce(1)
+      .write.option("parquet.block.size", 512 * 1024 * 1024)
+      .parquet(s"$dir/t")
+    val sc = spark.newSession()
+    sc.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+    val df = sc.read.parquet(s"$dir/t")
+    assert(df.queryExecution.toRdd.getNumPartitions >=
+      spark.sparkContext.defaultParallelism,
+      "precondition: planner claims enough byte-range splits")
+    val wide = Fanout.forKernel(df)
+    assert(!(wide eq df), "one effective row group must trigger fan-out")
+    assert(wide.queryExecution.toRdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
+
   test("already-wide input passes through with NO added shuffle") {
     import spark.implicits._
     val df = (1 to 100).toDF("id")

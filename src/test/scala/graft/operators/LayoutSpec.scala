@@ -101,4 +101,33 @@ class LayoutSpec extends SparkSpec {
     assert(zRead < flatRead / 2,
       s"z-order must prune row groups the 1-D sort cannot: z=$zRead flat=$flatRead")
   }
+
+  test("compact: many small files coalesce; one giant row group becomes splittable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val data = (1 to 20000).map(i => (i.toLong, s"row payload number $i padded")).toDF("id", "s")
+
+    // fragmented landing: 64 tiny files
+    data.repartition(64).write.parquet(s"$dir/frag")
+    val frag = spark.read.parquet(s"$dir/frag")
+    Bucketing.compact(frag, s"$dir/compacted")
+    val nOut = new java.io.File(s"$dir/compacted")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nOut == 1, s"small input must compact to one file, got $nOut")
+    assertSameRows(spark.read.parquet(s"$dir/compacted"), data, "compaction content")
+
+    // monolithic landing: coalesce(1) + huge block size = ONE row group
+    // (byte-range splits can't parallelize it — the round-6 layout bug)
+    data.coalesce(1).write
+      .option("parquet.block.size", 512 * 1024 * 1024).parquet(s"$dir/mono")
+    Bucketing.compact(spark.read.parquet(s"$dir/mono"), s"$dir/fixed",
+      rowGroupBytes = 64 * 1024)
+    def groups(p: String) = Fanout.rowGroupCount(
+      spark, spark.read.parquet(p).inputFiles.toSeq, stopAt = 1000)
+    assert(groups(s"$dir/mono") == 1,
+      "precondition: monolith is a single row group")
+    assert(groups(s"$dir/fixed") > 1,
+      s"compacted layout must be splittable across row groups, got ${groups(s"$dir/fixed")}")
+    assertSameRows(spark.read.parquet(s"$dir/fixed"), data, "re-layout content")
+  }
 }
