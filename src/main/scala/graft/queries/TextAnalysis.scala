@@ -741,6 +741,34 @@ object TextAnalysis {
           .select(col("doc_id"), col("keep_id"),
             when(hb < 80, "train").when(hb < 90, "valid")
               .otherwise("test").as("split"))
-      })
+      }),
+
+    // ---- q127: fuzzy prefix matching — edit-distance-1 pairs over
+    // normalized 24-char prefixes via FuzzyJoin's symmetric-delete
+    // candidates (signature explode → variant equi-join → levenshtein
+    // verify; never a cross join). The ORACLE is the quadratic spec —
+    // a brute levenshtein over all pairs, affordable at gate scale —
+    // so the hash gate proves the optimized path computes exactly the
+    // naive definition. ----
+    QuerySpec(
+      "q127_fuzzy_prefix_pairs",
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                        1, 24) AS s
+          FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        FROM p a JOIN p b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.s, b.s) <= 1"""),
+      (s, dir) =>
+        graft.operators.FuzzyJoin.editDistance1SelfPairs(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"),
+              substring(T.normalizeText(col("text")), 1, 24).as("s")),
+          "doc_id", "s")
+          .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist")))
   )
 }
