@@ -1257,6 +1257,84 @@ object Extended {
           .select(col("day"), coalesce(col("n"), lit(0L)).as("n_events"))
       }),
 
+    // ---- q128: linear interpolation over a gap-filled per-user daily
+    // series — the time-series repair pass (fill sensor/metric gaps
+    // before training). Per user: gap-fill the day grid between the
+    // first and last observed day (bounded by construction, so every
+    // gap has both neighbors), then interpolate missing days from the
+    // bracketing known points. The bracket values come from
+    // last/first-with-IGNORE-NULLS window frames — two passes over the
+    // same user-day sort, no joins beyond the grid fill. All inputs to
+    // the arithmetic are exact integers (cents, day offsets), so the
+    // IEEE double interpolation is bit-identical cross-engine. ----
+    QuerySpec(
+      "q128_interpolate_daily",
+      Some("""
+        WITH ev AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+          FROM ev GROUP BY 1, 2),
+        grid AS (
+          SELECT user_id,
+                 CAST(UNNEST(generate_series(MIN(day), MAX(day),
+                                             INTERVAL 1 DAY)) AS DATE) AS day
+          FROM daily GROUP BY user_id),
+        filled AS (
+          SELECT g.user_id, g.day, d.v,
+                 LAST_VALUE(d.v IGNORE NULLS) OVER
+                   (PARTITION BY g.user_id ORDER BY g.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                 LAST_VALUE(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                 FIRST_VALUE(d.v IGNORE NULLS) OVER
+                   (PARTITION BY g.user_id ORDER BY g.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                 FIRST_VALUE(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.day
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+          FROM grid g LEFT JOIN daily d USING (user_id, day))
+        SELECT user_id, day,
+               CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                    ELSE CAST(pv AS DOUBLE)
+                         + CAST(nv - pv AS DOUBLE)
+                           * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                              / CAST(date_diff('day', pd, nd) AS DOUBLE))
+               END AS val,
+               v IS NULL AS interpolated
+        FROM filled"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(graft.Exact.cents(col("value"))).cast("long").as("v"))
+        val grid = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        val wP = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wN = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val markedDay = when(col("v").isNotNull, col("day"))
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"), col("v"),
+            last(col("v"), ignoreNulls = true).over(wP).as("pv"),
+            last(markedDay, ignoreNulls = true).over(wP).as("pd"),
+            first(col("v"), ignoreNulls = true).over(wN).as("nv"),
+            first(markedDay, ignoreNulls = true).over(wN).as("nd"))
+          .select(col("user_id"), col("day"),
+            when(col("v").isNotNull, col("v").cast("double"))
+              .otherwise(col("pv").cast("double")
+                + (col("nv") - col("pv")).cast("double")
+                  * (datediff(col("day"), col("pd")).cast("double")
+                    / datediff(col("nd"), col("pd")).cast("double")))
+              .as("val"),
+            col("v").isNull.as("interpolated"))
+      }),
+
     // ---- q102: nested IN-subqueries with aggregate HAVING (TPC-H Q20
     // shape) — suppliers who shipped a heavy volume of any matching
     // part. Catalyst decorrelates both INs to left-semi joins: part's
