@@ -769,6 +769,37 @@ object TextAnalysis {
             .select(col("doc_id"),
               substring(T.normalizeText(col("text")), 1, 24).as("s")),
           "doc_id", "s")
-          .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist")))
+          .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))),
+
+    // ---- q129: per-language frequent tokens via the Misra-Gries
+    // bounded-state aggregator — the token grain never shuffles (each
+    // partition reduces to a ≤k-entry summary map-side; only summaries
+    // cross the exchange). Capacity 1024 ≫ the corpus vocabulary, so
+    // this gate instance runs in MG's EXACT regime and the oracle is
+    // the plain count — the approximate regime's n/(k+1) guarantee is
+    // asserted in FrequentItemsSpec with tiny k. ----
+    QuerySpec(
+      "q129_frequent_tokens_by_lang",
+      Some("""
+        SELECT lang, w, COUNT(*) AS cnt
+        FROM (SELECT lang,
+                     unnest(string_split(
+                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                       ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2"""),
+      (s, dir) => {
+        import s.implicits._
+        val mg = new graft.operators.MisraGries(1024)
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
+          .select(col("lang"),
+            explode(split(T.normalizeText(col("text")), " ")).as("w"))
+          .as[(String, String)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(mg.toColumn)
+          .flatMap { case (lang, counts) =>
+            counts.iterator.map { case (w, c) => (lang, w, c) } }
+          .toDF("lang", "w", "cnt")
+      })
   )
 }

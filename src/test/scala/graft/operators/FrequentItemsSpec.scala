@@ -1,0 +1,28 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class FrequentItemsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact regime: capacity >= distinct items reproduces exact counts") {
+    val words = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(7)("c") ++
+      Seq.fill(13)("d")
+    val got = words.toDS.repartition(5)
+      .select(new MisraGries(64).toColumn).head()
+    assert(got == Map("a" -> 50L, "b" -> 30L, "c" -> 7L, "d" -> 13L))
+  }
+
+  test("approximate regime: MG frequency guarantee holds under partitioned merge") {
+    // n = 100, k = 2 -> threshold n/(k+1) = 33.3: "a" (50) MUST survive;
+    // reported counts under-estimate by at most the threshold
+    val words = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
+      (1 to 20).map(i => s"u$i")
+    val got = words.toDS.repartition(7)
+      .select(new MisraGries(2).toColumn).head()
+    assert(got.size <= 2, s"state must stay bounded: $got")
+    assert(got.contains("a"), s"item above n/(k+1) must survive: $got")
+    assert(got("a") <= 50 && got("a") >= 50 - 34,
+      s"count must under-estimate by at most n/(k+1): $got")
+  }
+}
