@@ -122,4 +122,33 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unexpected nested-loop/cartesian joins in: $offenders")
   }
+
+  test("q126: fused signal pass is ONE scan with zero aggregation exchanges") {
+    val p = plan("q126_fused_signal_pass")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"fused pass must read the corpus once:\n$p")
+    // the only exchange permitted is the kernel fan-out's round-robin —
+    // no hash exchange means no aggregation/join shuffles in the pass
+    assert(!p.contains("hashpartitioning"),
+      s"fused pass must not shuffle by key:\n$p")
+  }
+
+  test("q123: eval grams broadcast; the corpus side never hash-exchanges pre-join") {
+    val p = plan("q123_contamination_stats")
+    assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
+  }
+
+  test("q129: Misra-Gries aggregates partially map-side (object hash agg)") {
+    val p = plan("q129_frequent_tokens_by_lang")
+    val objAggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs >= 2,
+      s"expected partial+final ObjectHashAggregate (bounded summaries cross the exchange):\n$p")
+  }
+
+  test("q127: fuzzy pairs plan is an equi-join on the variant key, not a theta join") {
+    val p = plan("q127_fuzzy_prefix_pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"variant match must be an equi-join:\n$p")
+  }
 }
