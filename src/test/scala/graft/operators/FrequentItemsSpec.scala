@@ -13,6 +13,27 @@ class FrequentItemsSpec extends SparkSpec {
     assert(got == Map("a" -> 50L, "b" -> 30L, "c" -> 7L, "d" -> 13L))
   }
 
+  test("streaming: incremental micro-batch merges reproduce batch-exact counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, String)]
+    val q = mem.toDS().groupByKey(_._1).mapValues(_._2)
+      .agg(new MisraGries(64).toColumn)
+      .writeStream.queryName("mg_stream").format("memory")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Seq.fill(10)(("en", "a")) ++ Seq.fill(3)(("en", "b")): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(5)(("en", "a")) ++ Seq.fill(7)(("de", "c")): _*)
+      q.processAllAvailable()
+      val got = spark.table("mg_stream")
+        .as[(String, Map[String, Long])].collect().toMap
+      assert(got == Map(
+        "en" -> Map("a" -> 15L, "b" -> 3L),
+        "de" -> Map("c" -> 7L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("approximate regime: MG frequency guarantee holds under partitioned merge") {
     // n = 100, k = 2 -> threshold n/(k+1) = 33.3: "a" (50) MUST survive;
     // reported counts under-estimate by at most the threshold
