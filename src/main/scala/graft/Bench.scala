@@ -5,6 +5,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // Wall-clock budget for TIMED SAMPLES (seconds). Once cumulative
+    // sample time exceeds it, later passes stop early so the cheapest
+    // queries degrade from `reps` samples to 1 — sub-second queries
+    // cannot materially breach a 2x gate, while the expensive queries
+    // (where a median matters most) keep their full rep count because
+    // passes >= 2 visit queries most-expensive-first. r6 post-mortem:
+    // the driver's bench timed out (rc=124) and, because the summary
+    // printed once at the END, the artifact was empty. Now every
+    // completed pass re-prints a full summary line, so a kill at any
+    // point leaves the latest complete summary on stdout.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "240").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,16 +46,19 @@ object Bench {
     // Catalyst delete provably-cardinality-preserving joins and whole
     // subtrees — several operators would be "benchmarked" without
     // executing at all.
-    def exec(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
-        dir: String): Unit = {
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Unit =
       fn(spark, dir).write.mode("overwrite").format("noop").save()
-      // free per-invocation state: operators that persist/localCheckpoint
-      // intermediates (sessionizeBucketed, cappedBucketPairs, kmeans)
-      // create NEW cache entries on every call — across 115 queries × 3
-      // reps those accumulate until storage memory is full and later
-      // samples measure spill, not the query (r6 diagnosis: q91 median
-      // 274 s with min 8.6 s — rep 1 fast, reps 2-3 degraded). A real
-      // deployment runs one job per session; the harness must too.
+    // free per-invocation state: operators that persist/localCheckpoint
+    // intermediates (sessionizeBucketed, cappedBucketPairs, kmeans)
+    // create NEW cache entries on every call — across 127 queries × 3
+    // reps those accumulate until storage memory is full and later
+    // samples measure spill, not the query (r6 diagnosis: q91 median
+    // 274 s with min 8.6 s — rep 1 fast, reps 2-3 degraded). A real
+    // deployment runs one job per session; the harness must too.
+    // Runs OUTSIDE the timed window: teardown cost belongs to the
+    // harness, not the next query's sample.
+    def teardown(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
@@ -55,7 +69,7 @@ object Bench {
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       named.foreach { case (_, fn) =>
-        try exec(fn, warmDir) catch { case _: Throwable => () }
+        try { run(fn, warmDir); teardown() } catch { case _: Throwable => () }
       }
     // N timed samples per query, taken ROUND-ROBIN (q1..qn, q1..qn, ...)
     // so a transient machine-load spike lands in at most one sample per
@@ -66,29 +80,51 @@ object Bench {
     val samples = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     val failed = collection.mutable.Set.empty[String]
-    for (_ <- 1 to reps; (name, fn) <- named) {
-      val t0 = System.nanoTime()
-      try exec(fn, sfDir) catch { case _: Throwable => failed += name }
-      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
-    }
+    var spent = 0.0 // cumulative timed-sample seconds, checked vs budgetSec
     def median(v: Vector[Double]): Double = {
       val s = v.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     // contract: a query that threw on ANY rep reports -1, never a
     // time-of-failure that would read as a (fast) success
-    val stats = named.map { case (name, _) =>
-      val v = samples(name)
-      if (failed(name)) (name, -1.0, -1.0, -1.0)
-      else (name, median(v), v.min, v.max)
+    def summaryLine(pass: Int): String = {
+      val stats = named.map { case (name, _) =>
+        val v = samples(name)
+        if (failed(name) || v.isEmpty) (name, -1.0, -1.0, -1.0)
+        else (name, median(v), v.min, v.max)
+      }
+      val qs = stats.map { case (k, m, _, _) => s"\"" + k + "\":" + m }
+        .mkString("{", ",", "}")
+      val spread = stats.map { case (k, m, mn, mx) =>
+        s"\"" + k + "\":" + s"""{"median":$m,"min":$mn,"max":$mx,"n":${samples(k).size}}"""
+      }.mkString("{", ",", "}")
+      val total = stats.filter(_._2 >= 0).map(_._2).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$pass,"sf":"$sfDir"}"""
     }
-    val qs = stats.map { case (k, m, _, _) => s"\"" + k + "\":" + m }
-      .mkString("{", ",", "}")
-    val spread = stats.map { case (k, m, mn, mx) =>
-      s"\"" + k + "\":" + s"""{"median":$m,"min":$mn,"max":$mx}"""
-    }.mkString("{", ",", "}")
-    val total = stats.filter(_._2 >= 0).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
+    def sample(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        pass: Int): Unit = {
+      val t0 = System.nanoTime()
+      try run(fn, sfDir) catch { case _: Throwable => failed += name }
+      val sec = (System.nanoTime() - t0) / 1e9
+      samples(name) = samples(name) :+ sec
+      spent += sec
+      // one JSONL progress line per sample, distinct key from the
+      // summary's "metric" so the driver's summary parse is unaffected
+      // but a timeout still leaves per-query evidence on stdout
+      println(s"""{"bench_sample":{"q":"$name","pass":$pass,"sec":$sec,"ok":${!failed(name)}}}""")
+      teardown()
+    }
+    // pass 1: every query gets one sample regardless of budget —
+    // partial data beats no data
+    for ((name, fn) <- named) sample(name, fn, 1)
+    println(summaryLine(1))
+    // passes 2..reps: most-expensive-first (by pass-1 time), so when the
+    // budget trips, the queries losing reps are the cheapest ones
+    for (pass <- 2 to reps) {
+      val order = named.sortBy { case (n, _) => -samples(n).headOption.getOrElse(0.0) }
+      for ((name, fn) <- order if spent < budgetSec) sample(name, fn, pass)
+      println(summaryLine(pass))
+    }
     spark.stop()
   }
 }

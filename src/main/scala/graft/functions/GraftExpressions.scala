@@ -238,6 +238,14 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // Idempotence guard: several queries call register() defensively;
+    // re-running createOrReplaceTempFunction emits a
+    // SimpleFunctionRegistry "replacing function" warning PER function
+    // PER query — hundreds of noise lines in a full bench/verify run.
+    // One existence probe makes repeat calls a no-op.
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fingerprint64")))
+      return
     reg.createOrReplaceTempFunction(
       "graft_fingerprint64", exprs => Fingerprint64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

@@ -36,6 +36,19 @@ object Fanout {
   def forKernel(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
+    // Under AQE, probing toRdd on a plan that CONTAINS exchanges
+    // materializes its upstream query stages — real shuffle jobs whose
+    // work the caller's own action then repeats. Pass through instead:
+    // a shuffled input already runs at spark.sql.shuffle.partitions
+    // width, so the narrow-layout problem this operator fixes cannot
+    // occur. (sparkPlan only runs the planner; only the exchange-free
+    // probe below touches toRdd, where no stage can materialize.)
+    // String probe because the AQE wrapper hides its plan from tree
+    // traversal (no children; `inputPlan` predates exchange insertion),
+    // but toString prints the initial plan — exchanges included —
+    // without executing anything.
+    if (df.queryExecution.executedPlan.toString.contains("Exchange"))
+      return df
     val planned = df.queryExecution.toRdd.getNumPartitions
     if (planned < target) return df.repartition(target)
     val files = df.inputFiles

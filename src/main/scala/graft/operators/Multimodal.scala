@@ -75,16 +75,25 @@ object Multimodal {
     def le16(i: Int) = u(i) | (u(i + 1) << 8)
     def le32(i: Int) = u(i).toLong | (u(i + 1).toLong << 8) |
       (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
-    var (i, rate, ch, bits) = (12, -1, -1, -1)
+    // Long cursor: chunk sizes are UNSIGNED 32-bit, so a crafted or
+    // corrupt size near 2^32 would wrap an Int cursor negative — a zero
+    // advance (infinite loop) or a negative index (IOOBE) on untrusted
+    // payload bytes. The Long sum always advances by a strictly
+    // positive amount and the `i + 8 <= length` check then terminates.
+    var i = 12L
+    var (rate, ch, bits) = (-1, -1, -1)
     var dataLen = -1L
     while (i + 8 <= b.length && (rate < 0 || dataLen < 0)) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val len = le32(i + 4)
-      if (id == "fmt " && i + 8 + 16 <= b.length) {
-        ch = le16(i + 10); rate = le32(i + 12).toInt; bits = le16(i + 22)
+      val at = i.toInt
+      val id = new String(b, at, 4, "US-ASCII")
+      val len = le32(at + 4) // 0 .. 2^32-1, non-negative in a Long
+      // fmt parse needs the 16 PCM header bytes both present in the
+      // buffer AND covered by the chunk's own declared length
+      if (id == "fmt " && len >= 16 && i + 8 + 16 <= b.length) {
+        ch = le16(at + 10); rate = le32(at + 12).toInt; bits = le16(at + 22)
       } else if (id == "data") dataLen = len
       // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + len.toInt + (len.toInt & 1)
+      i += 8L + len + (len & 1L)
     }
     if (rate <= 0 || ch <= 0 || bits <= 0 || dataLen < 0) None
     else Some((rate, ch, bits, dataLen / (ch.toLong * (bits / 8).max(1))))

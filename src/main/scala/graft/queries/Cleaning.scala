@@ -25,6 +25,13 @@ object Cleaning {
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- q20: LIKE-pattern garbage null-out ----
+    // The oracle keeps COUNT(*) OVER () — semantically a grand total on
+    // every row — but the Spark plan must NOT: an unpartitioned window
+    // moves the whole table into ONE partition (the "WindowExec: No
+    // Partition Defined" warning), a single-reducer stage at 100 TB.
+    // Instead the total is a 1-row partial+final aggregate broadcast
+    // back via cross join: the document scan stays fully parallel and
+    // the only exchange is the 1-row broadcast.
     QuerySpec(
       "q20_like_nullout",
       Some("""
@@ -32,14 +39,16 @@ object Cleaning {
                CASE WHEN text LIKE 'the %' THEN NULL ELSE text END AS cleaned_text,
                COUNT(*) OVER () AS total
         FROM documents"""),
-      (s, dir) =>
-        Tables.load(s, dir, "documents")
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val total = docs.groupBy().agg(count(lit(1)).as("total"))
+        docs
           .select(
             col("doc_id"),
             when(col("text").like("the %"), lit(null)).otherwise(col("text"))
-              .as("cleaned_text"),
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy()).as("total"))),
+              .as("cleaned_text"))
+          .crossJoin(broadcast(total))
+      }),
 
     // ---- q21: regexp_replace prefix strip + whitespace collapse ----
     QuerySpec(

@@ -674,9 +674,23 @@ object TextAnalysis {
     // (transcendental log diverges in the last ulp across engines, so
     // the CCNet-style score ships as counts: distinct vocabulary size,
     // hapax-legomena count, and summed corpus document frequency —
-    // callers derive rarity ratios). Shape: distinct (doc, token)
-    // explode, one token-keyed exchange for DF, one token-keyed join
-    // back, one doc-keyed group — all near-uniform keys. ----
+    // callers derive rarity ratios).
+    //
+    // SKEW-SPLIT join (the default path since r7): the token-keyed
+    // join-back's key distribution is Zipfian — a stopword like "the"
+    // appears in nearly every document, so the plain tok⋈df equi-join
+    // ships |corpus| rows of ONE key to one reducer at 100 TB. A
+    // Misra-Gries pre-pass (bounded ≤k state, summaries merge
+    // map-side, q129's aggregator) finds the heavy head; every token
+    // OUTSIDE the head is guaranteed df ≤ n/(k+1), so:
+    //   heavy tokens → exact dfs aggregated (partial agg collapses the
+    //     hot keys map-side) and BROADCAST back — the hot keys never
+    //     shuffle the (doc,token) frame;
+    //   light tokens → the normal equi-join, now provably unskewed.
+    // Both branches compute exact counts, so the union is bit-identical
+    // to the naive plan and the oracle (the exact spec) stays the gate.
+    // MG's candidate SET varies with partition order; the output does
+    // not. At 100 TB, persist `tok` across the two passes. ----
     QuerySpec(
       "q124_rare_token_profile",
       Some("""
@@ -698,13 +712,23 @@ object TextAnalysis {
         FROM tok JOIN df USING (w)
         GROUP BY 1"""),
       (s, dir) => {
+        import s.implicits._
         val tok = graft.operators.Fanout
           .forKernel(Tables.load(s, dir, "documents"))
           .select(col("doc_id"),
             explode(split(T.normalizeText(col("text")), " ")).as("w"))
           .distinct()
-        val df = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
-        tok.join(df, Seq("w"))
+        // bounded-state heavy-hitter head (≤1024 driver-side strings)
+        val head = tok.select(col("w")).as[String]
+          .select(new graft.operators.MisraGries(1024).toColumn)
+          .head().keys.toSeq
+        val heavy = broadcast(head.toDF("w"))
+        val tokHeavy = tok.join(heavy, Seq("w"), "left_semi")
+        val tokLight = tok.join(heavy, Seq("w"), "left_anti")
+        val dfHeavy = tokHeavy.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        val dfLight = tokLight.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        tokLight.join(dfLight, Seq("w"))
+          .unionByName(tokHeavy.join(broadcast(dfHeavy), Seq("w")))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_distinct_tokens"),
             sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),

@@ -131,10 +131,12 @@ object Warehouse {
       }),
 
     // ---- q111: equals-max join-back (TPC-H Q15) — the supplier(s)
-    // whose quarterly revenue equals the global max, ties kept via
-    // RANK over an empty partition (single-reducer on a |suppliers|-
-    // sized aggregate, not on the fact table — the heavy lifting is
-    // the partial-agg'd groupBy(l_suppkey) underneath). ----
+    // whose quarterly revenue equals the global max, ties kept by
+    // joining the supplier-grain aggregate against its own broadcast
+    // 1-row MAX (rev_cents = max_rev). The oracle keeps the RANK()=1
+    // spelling; the Spark plan deliberately avoids the global-window
+    // single-reducer — partial+final agg to one row, broadcast back,
+    // the supplier-grain frame never leaves its partitions. ----
     QuerySpec(
       "q111_top_revenue_supplier",
       Some(s"""
@@ -155,9 +157,9 @@ object Warehouse {
           .groupBy(col("l_suppkey"))
           .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
             .cast("long")).as("rev_cents"))
-          .withColumn("rk", rank().over(Window.orderBy(col("rev_cents").desc)))
-          .filter(col("rk") === 1)
-        rev.join(broadcast(Tables.load(s, dir, "supplier")),
+        val maxRev = rev.groupBy().agg(max(col("rev_cents")).as("max_rev"))
+        rev.join(broadcast(maxRev), col("rev_cents") === col("max_rev"))
+          .join(broadcast(Tables.load(s, dir, "supplier")),
             col("s_suppkey") === col("l_suppkey"))
           .select(col("s_suppkey"), col("s_name"), col("rev_cents"))
       }),

@@ -108,24 +108,31 @@ object StreamPipeline {
       .select(col("id"), col("pos").as("band"), col("col").as("bh"))
       .as[(Long, Int, Long)]
       .groupByKey { case (_, band, bh) => (band, bh) }
-      .flatMapGroupsWithState[List[Long], (Long, Long)](
+      // state = (minId, members): the representative is tracked
+      // SEPARATELY from the capped member list, so an id smaller than
+      // every stored member arriving AFTER the cap still becomes the
+      // bucket's representative — `members.min` alone would freeze the
+      // rep at the min of the first `bucketCap` arrivals and diverge
+      // from the batch capped-regime semantics (star to min id seen).
+      .flatMapGroupsWithState[(Long, List[Long]), (Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, rows, state) =>
-          val seen = state.getOption.getOrElse(Nil)
+          val (seenMin, seen) = state.getOption.getOrElse((Long.MaxValue, Nil))
           val incoming = rows.map(_._1).toSeq.distinct.sorted
             .filterNot(seen.contains)
           val out = List.newBuilder[(Long, Long)]
           var acc = seen
+          var minId = seenMin
           for (n <- incoming) {
             if (acc.size < bucketCap) {
               acc.foreach(s => out += ((math.min(s, n), math.max(s, n))))
               acc = n :: acc
-            } else {
-              val rep = acc.min
-              if (rep != n) out += ((math.min(rep, n), math.max(rep, n)))
+            } else if (minId != n) {
+              out += ((math.min(minId, n), math.max(minId, n)))
             }
+            minId = math.min(minId, n)
           }
-          state.update(acc)
+          state.update((minId, acc))
           out.result().iterator
       }
       .toDF("id_a", "id_b")

@@ -103,6 +103,7 @@ class PlanSpec extends SparkSpec {
     // queries that INTENTIONALLY score all pairs (brute-force ground
     // truth) or broadcast-scan a tiny centroid table: BNLJ is the design
     val deliberate = Set(
+      "q20_like_nullout",          // 1-row grand-total broadcast cross join (replaces global window)
       "q39_jaccard_top_pairs",     // brute Jaccard baseline (bounded slice)
       "q41_ann_bruteforce_topk",   // exact ANN ground truth
       "q44_ann_ivf_topk",          // centroid assignment: corpus x 16 centroids
@@ -121,6 +122,48 @@ class PlanSpec extends SparkSpec {
       }
     assert(offenders.isEmpty,
       s"unexpected nested-loop/cartesian joins in: $offenders")
+  }
+
+  test("catalog-wide guard: no unpartitioned WindowExec (global single-reducer)") {
+    // An empty partitionSpec moves the ENTIRE input to one partition —
+    // the "WindowExec: No Partition Defined" warning, and a
+    // single-reducer stage at 100 TB. The catalog must express grand
+    // totals as 1-row aggregates broadcast back (q20) and global
+    // top-ranks as max-equality join-backs (q111), never as global
+    // windows. Checked on the optimized logical plan (AQE-safe).
+    val deliberate = Set(
+      // Packing's bucket-offset frame: an unpartitioned window over the
+      // per-bucket TOTALS frame — bounded at exactly `buckets` (97)
+      // rows by construction, never row-grain. The distributed prefix
+      // sum exists precisely so the row-grain window is avoided.
+      "q89_pack_sequences")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(deliberate)
+      .flatMap { name =>
+        val plan = try SparkEntry.queries(name)(spark, sf)
+          .queryExecution.optimizedPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        val global = plan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        if (global.nonEmpty) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned (global) window in: $offenders")
+  }
+
+  test("q20: grand total is a broadcast 1-row aggregate, not a global window") {
+    val p = plan("q20_like_nullout")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"total must come back via broadcast join:\n$p")
+    assert(!p.contains("Window"), s"q20 must not contain a window:\n$p")
+  }
+
+  test("q111: top supplier via broadcast max join-back, no global window or SMJ") {
+    val p = plan("q111_top_revenue_supplier")
+    assert(!p.contains("Window"), s"q111 must not rank via global window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"max and supplier join-backs must broadcast:\n$p")
   }
 
   test("q126: fused signal pass is ONE scan with zero aggregation exchanges") {

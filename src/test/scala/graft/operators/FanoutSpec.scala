@@ -53,6 +53,30 @@ class FanoutSpec extends SparkSpec {
     assert(Fanout.forKernel(df) eq df)
   }
 
+  test("plans containing an exchange pass through WITHOUT running jobs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fanout-ex").toString
+    (1 to 1000).toDF("id").coalesce(1).write.mode("overwrite").parquet(s"$dir/t")
+    // a derived frame: narrow scan UNDER an aggregation exchange — the
+    // r6 probe (toRdd under AQE) would materialize the shuffle stage
+    // here, silently executing the upstream work twice for callers like
+    // chunkDupStats / kmeansCentroids
+    val derived = spark.read.parquet(s"$dir/t")
+      .groupBy(($"id" % 7).as("k")).count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = Fanout.forKernel(derived)
+      assert(out eq derived, "exchange-bearing plan must pass through")
+      Thread.sleep(500) // let any (wrongly) submitted job reach the bus
+      assert(jobs.get() == 0, s"probe must not submit jobs, ran ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("streaming frames pass through untouched") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

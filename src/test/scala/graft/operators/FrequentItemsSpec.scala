@@ -34,6 +34,27 @@ class FrequentItemsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q124 skew-split join (MG heavy head broadcast) == naive token join") {
+    import org.apache.spark.sql.functions._
+    // the default path splits the token join-back on a Misra-Gries
+    // head whose candidate SET is partition-order dependent — the
+    // OUTPUT must be bit-identical to the naive single-join plan
+    // regardless of which tokens land in the head
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q124_rare_token_profile")(spark, dir)
+    val tok = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(graft.functions.TextFunctions.normalizeText(col("text")), " "))
+          .as("w"))
+      .distinct()
+    val naive = tok.join(tok.groupBy(col("w")).agg(count(lit(1)).as("df")), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("df")).cast("long").as("sum_df"))
+    assertSameRows(got, naive, "q124 MG-split vs naive")
+  }
+
   test("approximate regime: MG frequency guarantee holds under partitioned merge") {
     // n = 100, k = 2 -> threshold n/(k+1) = 33.3: "a" (50) MUST survive;
     // reported counts under-estimate by at most the threshold

@@ -36,6 +36,31 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!expected.contains((2L, 6L, 2)), "distance-2 decoy must be out")
   }
 
+  test("identical-string hot group: exact output, candidate join at distinct-string grain") {
+    // 200 ids share ONE string (the empty/boilerplate-doc collapse the
+    // advisor flagged): the variant self-join must see it ONCE — the
+    // r6 shape exploded (len+1) variants per copy and joined G^2 rows
+    // per variant key. Output is inherently quadratic (all pairs ARE
+    // distance 0) but the work beyond those rows must not be.
+    val hot = (1L to 200L).map(i => (i, "same boilerplate prefix here"))
+    val rows = (hot ++ Seq((900L, "same boilerplate prefix hers"), // dist 1
+      (901L, "unrelated"))).toDF("id", "s")
+    val got = FuzzyJoin.editDistance1SelfPairs(rows, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    val withinExpected = (for {
+      a <- 1L to 200L; b <- (a + 1) to 200L
+    } yield (a, b, 0)).toSet
+    val crossExpected = (1L to 200L).map(a => (a, 900L, 1)).toSet
+    assert(got == withinExpected ++ crossExpected)
+    // the plan's variant join must be fed by DISTINCT strings: the
+    // deduplicating aggregate sits below the variant explode+join
+    val p = FuzzyJoin.editDistance1SelfPairs(rows, "id", "s")
+      .queryExecution.optimizedPlan
+    val aggs = p.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggs.nonEmpty, "distinct-string pre-aggregation missing from the plan")
+  }
+
   private def brute(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)

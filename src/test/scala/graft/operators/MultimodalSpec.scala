@@ -106,6 +106,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWavMeta("RIFFxxxxWEBP".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.parseWavMeta(
       "RIFF".getBytes("US-ASCII") ++ le32(4) ++ "WAVE".getBytes("US-ASCII")).isEmpty)
+    // ADVERSARIAL sizes: unsigned 32-bit chunk lengths that wrap an Int
+    // cursor — 0xFFFFFFF8 once gave a ZERO advance (infinite loop) and
+    // 0x80000000 a negative one (IndexOutOfBounds). Both must terminate
+    // and yield None, including when a parseable fmt chunk precedes the
+    // bad one (no data chunk ever found).
+    for (bad <- Seq(0xFFFFFFF8L, 0x80000000L, 0xFFFFFFFFL)) {
+      val evil = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "junk".getBytes("US-ASCII") ++ le32(bad) ++ new Array[Byte](64)
+      assert(Multimodal.parseWavMeta(evil).isEmpty, s"len=$bad must yield None")
+      val evilAfterFmt = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+        le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16) ++
+        "junk".getBytes("US-ASCII") ++ le32(bad) ++ new Array[Byte](64)
+      assert(Multimodal.parseWavMeta(evilAfterFmt).isEmpty)
+    }
+    // fmt chunk whose declared length is too short for the PCM header
+    // must not be trusted (the 16 bytes after it belong to other chunks)
+    val shortFmt = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(4) ++ Array[Byte](1, 0, 2, 0) ++
+      "data".getBytes("US-ASCII") ++ le32(4) ++ new Array[Byte](4)
+    assert(Multimodal.parseWavMeta(shortFmt).isEmpty)
   }
 
   /** Deterministic 2-color test image encoded with the JDK's own codec:

@@ -135,6 +135,64 @@ class TableSourceSpec extends SparkSpec {
       "resume-split decode vs uninterrupted decode")
   }
 
+  test("Kafka rebalance: reassignment at committed offsets loses and duplicates nothing") {
+    val t = PipelineTable.User
+    val log = multiPartitionLog(t)
+    // generation 1: consumer A owns {0,1}, consumer B owns {2}; each
+    // commits mid-partition (committed offset = NEXT offset to read,
+    // Kafka semantics). A rebalance then reassigns: A' owns {0},
+    // B' owns {1,2}, and each resumes its partitions AT the committed
+    // offsets — partition 1 moves from A to B' mid-log. The four
+    // consumed slices must tile the log exactly: union == whole,
+    // pairwise disjoint on (partition, offset).
+    val committed = Map(0 -> 11L, 1 -> 5L, 2 -> 17L)
+    def slice(parts: Seq[Int], from: Map[Int, Long], to: Map[Int, Long]) =
+      parts.map { p =>
+        log.filter(col("partition") === p &&
+          col("offset") >= from.getOrElse(p, 0L) &&
+          col("offset") < to.getOrElse(p, Long.MaxValue))
+      }.reduce(_ unionByName _)
+    val zero = Map.empty[Int, Long]
+    val gen1A = slice(Seq(0, 1), zero, committed)
+    val gen1B = slice(Seq(2), zero, committed)
+    val gen2A = slice(Seq(0), committed, zero)
+    val gen2B = slice(Seq(1, 2), committed, zero)
+    val consumed = Seq(gen1A, gen1B, gen2A, gen2B).reduce(_ unionByName _)
+    assertSameRows(KafkaTableSource.decode(consumed, t.schema),
+      KafkaTableSource.decode(log, t.schema),
+      "rebalanced consumption vs uninterrupted log")
+    // no (partition, offset) consumed twice across the generation change
+    assert(consumed.groupBy("partition", "offset").count()
+      .filter(col("count") > 1).isEmpty,
+      "a record was delivered to two consumers across the rebalance")
+  }
+
+  test("Kafka commit recovery: crash before commit re-delivers; offset dedup restores exactly-once") {
+    val t = PipelineTable.Geo
+    val log = multiPartitionLog(t)
+    // at-least-once: the consumer PROCESSES through offset 20 but
+    // crashes having only COMMITTED 12 — restart resumes at 12 and
+    // offsets [12, 20) arrive twice. The raw delivery stream must show
+    // exactly that duplication (nothing lost), and keying by
+    // (partition, offset) — what IdempotentSink does with batch ids —
+    // must collapse it back to exactly-once.
+    val processedTo = 20L
+    val committedTo = 12L
+    val p0 = col("partition") === 0
+    val beforeCrash = log.filter(p0 && col("offset") < processedTo)
+    val afterRestart = log.filter(p0 && col("offset") >= committedTo)
+    val delivered = beforeCrash.unionByName(afterRestart)
+    val redelivered = delivered.groupBy("partition", "offset").count()
+      .filter(col("count") > 1)
+    assert(redelivered.count() == processedTo - committedTo,
+      "exactly the uncommitted processed span must re-deliver")
+    assertSameRows(
+      KafkaTableSource.decode(
+        delivered.dropDuplicates("partition", "offset"), t.schema),
+      KafkaTableSource.decode(log.filter(p0), t.schema),
+      "offset-keyed dedup must restore exactly-once for the partition")
+  }
+
   test("Kafka decode contract: streaming micro-batch decodes like batch") {
     import spark.implicits._
     val jsons = spark.read.text(s"$base/topics/pin/partition=*")

@@ -305,6 +305,29 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("capped bucket stars to the RUNNING min id, not the min of the first cap") {
+    implicit val sqlCtx = spark.sqlContext
+    // identical texts collide in every band bucket; cap=2 fills on the
+    // first batch. A smaller id arriving AFTER the cap must (a) pair
+    // with the current representative and (b) BECOME the representative
+    // for later arrivals — the r6 state (member list only) froze the
+    // rep at min(first cap arrivals), so id 1 would pair with 5, not 2.
+    val text = "the quick brown fox jumps over the lazy dog near the river bank"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamPipeline.minhashCandidatesStream(
+        mem.toDF.toDF("doc_id", "text"), "doc_id", "text", bucketCap = 2)
+      .writeStream.queryName("mh_capped").format("memory")
+      .outputMode("append").start()
+    try {
+      mem.addData((5L, text), (6L, text)); q.processAllAvailable()
+      mem.addData((2L, text)); q.processAllAvailable()
+      mem.addData((1L, text)); q.processAllAvailable()
+      val pairs = spark.table("mh_capped").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((5L, 6L), (2L, 5L), (1L, 2L)),
+        s"got $pairs — (1,2) proves the rep advanced to the running min")
+    } finally q.stop()
+  }
+
   test("fused signal kernels run unchanged on a stream (stream == batch)") {
     import graft.functions.{GraftFunctions, TextFunctions => T}
     implicit val sqlCtx = spark.sqlContext
