@@ -718,8 +718,13 @@ object TextAnalysis {
           .select(col("doc_id"),
             explode(split(T.normalizeText(col("text")), " ")).as("w"))
           .distinct()
-        // bounded-state heavy-hitter head (≤1024 driver-side strings)
-        val head = tok.select(col("w")).as[String]
+        // bounded-state heavy-hitter head (≤1024 driver-side strings),
+        // computed on a 10% SAMPLE: membership only routes keys between
+        // the two exact branches, so a sampled head cannot affect the
+        // result — it only needs to catch the skew-dominating tokens,
+        // which sit far above the sampled n/(k+1) threshold
+        val head = tok.sample(withReplacement = false, 0.1, seed = 42)
+          .select(col("w")).as[String]
           .select(new graft.operators.MisraGries(1024).toColumn)
           .head().keys.toSeq
         val heavy = broadcast(head.toDF("w"))

@@ -151,9 +151,18 @@ object Warehouse {
         FROM ranked JOIN supplier ON s_suppkey = l_suppkey
         WHERE rk = 1"""),
       (s, dir) => {
+        // the explicit suppkey non-null filter (a no-op on TPC-H data —
+        // the key is NOT NULL by spec) matters for the PLAN: without
+        // it, only the join branch infers IsNotNull(l_suppkey) from
+        // its join key, the two branches' scan subtrees canonicalize
+        // differently, and AQE cannot reuse the shuffle stage — the
+        // quarter scan + supplier-grain partial agg would execute
+        // TWICE. With it, the final plan shows ReusedExchange: one
+        // fact-table pass feeds both rev and its max.
         val rev = Tables.load(s, dir, "lineitem")
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp") &&
+            col("l_suppkey").isNotNull)
           .groupBy(col("l_suppkey"))
           .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
             .cast("long")).as("rev_cents"))

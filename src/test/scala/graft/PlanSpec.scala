@@ -164,6 +164,14 @@ class PlanSpec extends SparkSpec {
     val p = plan("q111_top_revenue_supplier")
     assert(!p.contains("Window"), s"q111 must not rank via global window:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"max and supplier join-backs must broadcast:\n$p")
+    // the rev aggregate feeds both the join and its own max: AQE must
+    // REUSE the supplier-grain shuffle stage (one fact-table pass) —
+    // this needs the branches' constraint sets to canonicalize equal,
+    // which the explicit suppkey non-null filter guarantees
+    val df = SparkEntry.queries("q111_top_revenue_supplier")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      s"fact scan must execute once (stage reuse):\n${df.queryExecution.executedPlan}")
   }
 
   test("q126: fused signal pass is ONE scan with zero aggregation exchanges") {
