@@ -56,6 +56,22 @@ object Bucketing {
     v4.bitwiseOR(shiftleft(v4, 1)).bitwiseAND(lit(0x5555555555555555L))
   }
 
+  /** Order-preserving rank quantization of a dimension to `buckets`
+    * equal-population buckets (distinct values → NTILE → broadcast map
+    * back). Z-ORDER DIMS MUST BE QUANTIZED TO COMPARABLE BIT WIDTHS:
+    * interleaving a 37-bit id with a 5-bit day puts every discriminating
+    * bit of the curve on the id, i.e. a plain 1-D sort wearing a Morton
+    * costume — measured at sf1: unquantized win 1.01× vs 1.29× decode
+    * reduction after balancing (SCALING.md round-7 note). The NTILE runs
+    * on the DISTINCT value set, not the corpus (bounded by cardinality),
+    * and this is a one-time write-path cost. */
+  def rankQuantize(df: DataFrame, dim: String, buckets: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(dim))
+    val mapping = df.select(col(dim)).distinct()
+      .withColumn(s"${dim}_q", ntile(buckets).over(w) - 1)
+    df.join(broadcast(mapping), Seq(dim))
+  }
+
   /** Write `df` Z-ordered on two dimensions: range-partition and sort by
     * the Morton key, so every output file (= row group at this size)
     * covers a compact rectangle-ish region of (dimA, dimB) space and its

@@ -52,6 +52,22 @@ class LayoutSpec extends SparkSpec {
     assert(got == Seq(0L, 1L, 2L, 3L, 39L, 0x5555555555555555L), s"got $got")
   }
 
+  test("rankQuantize: order-preserving, equal-population, wide-domain safe") {
+    // strided 37-bit ids (the sf1 MakeScale shape that defeated raw
+    // zorderKey): quantization must preserve order and balance buckets
+    val ids = (0L until 64L).map(i => (i / 8) * 108000000000L + i)
+    val df = ids.toDF("user_id")
+    val q = Bucketing.rankQuantize(df, "user_id", 8)
+      .orderBy("user_id")
+      .select(col("user_id"), col("user_id_q")).as[(Long, Int)].collect()
+    // monotone in user_id
+    assert(q.map(_._2).sliding(2).forall(p => p(0) <= p(1)), q.mkString(","))
+    // equal population: 64 values into 8 buckets = 8 each
+    val pops = q.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(pops.values.toSet == Set(8), s"unbalanced: $pops")
+    assert(pops.keySet == (0 until 8).toSet)
+  }
+
   test("z-order layout prunes 2-D box scans that a 1-D sort cannot") {
     def recordsRead(df: org.apache.spark.sql.DataFrame): Long = {
       val acc = new java.util.concurrent.atomic.AtomicLong
