@@ -110,20 +110,24 @@ object Bench {
       spent += sec
       // one JSONL progress line per sample, distinct key from the
       // summary's "metric" so the driver's summary parse is unaffected
-      // but a timeout still leaves per-query evidence on stdout
+      // but a timeout still leaves per-query evidence on stdout.
+      // Explicit flush: stdout under a pipe is BLOCK-buffered — a
+      // timeout kill would discard everything still in the buffer,
+      // which is exactly the data this line exists to preserve.
       println(s"""{"bench_sample":{"q":"$name","pass":$pass,"sec":$sec,"ok":${!failed(name)}}}""")
+      System.out.flush()
       teardown()
     }
     // pass 1: every query gets one sample regardless of budget —
     // partial data beats no data
     for ((name, fn) <- named) sample(name, fn, 1)
-    println(summaryLine(1))
+    println(summaryLine(1)); System.out.flush()
     // passes 2..reps: most-expensive-first (by pass-1 time), so when the
     // budget trips, the queries losing reps are the cheapest ones
     for (pass <- 2 to reps) {
       val order = named.sortBy { case (n, _) => -samples(n).headOption.getOrElse(0.0) }
       for ((name, fn) <- order if spent < budgetSec) sample(name, fn, pass)
-      println(summaryLine(pass))
+      println(summaryLine(pass)); System.out.flush()
     }
     spark.stop()
   }
