@@ -128,17 +128,12 @@ class PlanSpec extends SparkSpec {
     // An empty partitionSpec moves the ENTIRE input to one partition —
     // the "WindowExec: No Partition Defined" warning, and a
     // single-reducer stage at 100 TB. The catalog must express grand
-    // totals as 1-row aggregates broadcast back (q20) and global
-    // top-ranks as max-equality join-backs (q111), never as global
-    // windows. Checked on the optimized logical plan (AQE-safe).
-    val deliberate = Set(
-      // Packing's bucket-offset frame: an unpartitioned window over the
-      // per-bucket TOTALS frame — bounded at exactly `buckets` (97)
-      // rows by construction, never row-grain. The distributed prefix
-      // sum exists precisely so the row-grain window is avoided.
-      "q89_pack_sequences")
+    // totals as 1-row aggregates broadcast back (q20), global
+    // top-ranks as max-equality join-backs (q111), and global prefix
+    // sums as bucket decompositions with driver-side bounded offsets
+    // (q89) — never as global windows. NO whitelist: zero queries may
+    // plan one. Checked on the optimized logical plan (AQE-safe).
     val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(deliberate)
       .flatMap { name =>
         val plan = try SparkEntry.queries(name)(spark, sf)
           .queryExecution.optimizedPlan
