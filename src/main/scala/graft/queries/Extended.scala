@@ -1362,13 +1362,19 @@ object Extended {
             HAVING SUM(l_quantity) > 100)""")
       }),
 
-    // ---- q103: correlated EXISTS + NOT EXISTS self-joins (TPC-H Q21
-    // shape) — the sole supplier whose items were returned on a
-    // multi-supplier order. Both subqueries correlate on l_orderkey, so
-    // Catalyst plans them as hash semi/anti self-joins on the orderkey
-    // exchange — the inequality on suppkey rides along as a join
-    // residual, never a BNL. At 100 TB this is three co-partitioned
-    // passes over the same orderkey shuffle. ----
+    // ---- q103: correlated EXISTS + NOT EXISTS (TPC-H Q21 shape) —
+    // the sole supplier whose items were returned on a multi-supplier
+    // order. The ORACLE keeps the correlated spec; the engine form
+    // (r7) replaces the decorrelated 3-pass semi/anti join plan with
+    // ONE aggregation pass — the subqueries only ask order-grain
+    // questions, so per orderkey: n_supp (distinct suppliers),
+    // n_late (distinct suppliers with returns), and the single late
+    // supplier via conditional max. A returned row satisfies
+    // EXISTS(other supp) ⟺ n_supp > 1, and NOT EXISTS(other late
+    // supp) ⟺ n_late = 1 (the row's own supplier is in the late set
+    // by premise, so "no other" means "exactly one"). One lineitem
+    // scan, one orderkey exchange (Expand ×2 for the two distincts),
+    // the order-grain survivors broadcast-join supplier. ----
     QuerySpec(
       "q103_sole_returned_supplier",
       Some("""
@@ -1384,20 +1390,20 @@ object Extended {
                             AND l3.l_returnflag = 'R')
         GROUP BY s_name"""),
       (s, dir) => {
-        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-        Tables.load(s, dir, "supplier").createOrReplaceTempView("supplier")
-        s.sql("""
-          SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS n_orders
-          FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
-          WHERE l1.l_returnflag = 'R'
-            AND EXISTS (SELECT 1 FROM lineitem l2
-                        WHERE l2.l_orderkey = l1.l_orderkey
-                          AND l2.l_suppkey <> l1.l_suppkey)
-            AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                            WHERE l3.l_orderkey = l1.l_orderkey
-                              AND l3.l_suppkey <> l1.l_suppkey
-                              AND l3.l_returnflag = 'R')
-          GROUP BY s_name""")
+        val lateSupp = when(col("l_returnflag") === "R", col("l_suppkey"))
+        val orders = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+          .groupBy(col("l_orderkey"))
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(lateSupp).as("n_late"),
+            max(lateSupp).as("late_supp"))
+          .filter(col("n_supp") > 1 && col("n_late") === 1)
+        orders
+          .join(broadcast(Tables.load(s, dir, "supplier")),
+            col("late_supp") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("n_orders"))
       }),
 
     // ---- q104: semi-structured extraction — pull a typed field out of

@@ -169,6 +169,15 @@ class PlanSpec extends SparkSpec {
       s"fact scan must execute once (stage reuse):\n${df.queryExecution.executedPlan}")
   }
 
+  test("q103: Q21 shape is ONE lineitem pass (aggregate form, not 3-way self-join)") {
+    val p = plan("q103_sole_returned_supplier")
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem")) <= 1 &&
+      p.linesIterator.count(_.contains("Scan parquet")) <= 2,
+      s"the correlated subqueries must fold into one order-grain aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier join must broadcast:\n$p")
+  }
+
   test("q126: fused signal pass is ONE scan with zero aggregation exchanges") {
     val p = plan("q126_fused_signal_pass")
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
