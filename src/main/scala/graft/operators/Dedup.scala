@@ -47,6 +47,55 @@ object Dedup {
       idCol, Seq("_norm_text"))
       .drop("_norm_text")
 
+  /** INCREMENTAL ingest dedup — the nightly-batch staple the global
+    * operators above don't cover: a fresh batch arrives, the corpus
+    * already holds an INDEX of content hashes from previous runs, and
+    * the batch must drop (a) within-batch duplicates (keeper = min id,
+    * as [[exact]]) and (b) anything whose content the index already
+    * has. Returns the surviving rows of `incoming` plus their
+    * `content_hash` — exactly what the caller appends to the index for
+    * the next run.
+    *
+    * Scale shape: at 100 TB the index is billions of hashes — far past
+    * broadcast — so the [[decontaminateBloom]] discipline gates the
+    * exact check: a bounded-bytes bloom filter aggregated FROM the
+    * index broadcasts to every task, definite negatives (the
+    * overwhelming majority of a fresh crawl) short-circuit map-side
+    * with zero exchange, and only bloom positives anti-join the index,
+    * co-partitioned on the hash — the one exchange scales with
+    * |positives|, not |batch| or |index|. False positives cost an
+    * exact re-check, never a wrong drop (asserted under a
+    * collision-heavy filter in DedupSpec).
+    *
+    * Hash family: md5 over normalized text — the at-rest index family
+    * a DuckDB oracle can replay (q130); the xxhash64 production family
+    * drops in identically (same discipline as [[decontaminateNgrams]]). */
+  def dedupIncremental(incoming: DataFrame, idCol: String, textCol: String,
+      indexHashes: DataFrame, indexHashCol: String,
+      expectedItems: Long = 1000000L, numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    val idx = indexHashes.select(col(indexHashCol).as("_ih")).distinct()
+    val batchKept = Fanout.forKernel(incoming)
+      .withColumn("content_hash", md5(T.normalizeText(col(textCol))))
+      .withColumn("_keep", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
+      .filter(col(idCol) === col("_keep")).drop("_keep")
+    val bloomBytes = idx.select(shim.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          shim.expression(xxhash64(col("_ih"))),
+          shim.expression(lit(expectedItems)), shim.expression(lit(numBits)))
+          .toAggregateExpression()).as("_bf"))
+      .head().getAs[Array[Byte]]("_bf")
+    if (bloomBytes == null) return batchKept // empty index: batch dedup only
+    def mightContain(h: org.apache.spark.sql.Column) = shim.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        shim.expression(lit(bloomBytes)), shim.expression(xxhash64(h))))
+    batchKept.filter(!mightContain(col("content_hash")))
+      .unionByName(
+        batchKept.filter(mightContain(col("content_hash")))
+          .join(idx, col("content_hash") === col("_ih"), "left_anti"))
+  }
+
   /** Candidate (id_a < id_b) pairs from a banded signature frame via
     * equi-self-join on the bucket keys, with a per-bucket frequency cap:
     * a degenerate bucket (boilerplate band value, empty docs) of size n

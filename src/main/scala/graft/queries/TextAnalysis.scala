@@ -829,6 +829,44 @@ object TextAnalysis {
           .flatMap { case (lang, counts) =>
             counts.iterator.map { case (w, c) => (lang, w, c) } }
           .toDF("lang", "w", "cnt")
+      }),
+
+    // ---- q130: incremental ingest dedup — docs with doc_id % 5 = 0
+    // play the existing corpus INDEX (its stored content hashes); the
+    // rest arrive as tonight's batch. Survivors = batch keepers (min
+    // id per normalized-content group) whose content the index lacks.
+    // The engine runs the bloom-gated path (Dedup.dedupIncremental:
+    // broadcast filter, map-side negatives, positives-only anti-join);
+    // DuckDB replays the definition directly — the hash gate proves
+    // the bloom shortcut computes the exact spec. NOT EXISTS (not
+    // NOT IN): a null hash must behave like the anti-join. ----
+    QuerySpec(
+      "q130_incremental_dedup",
+      Some("""
+        WITH inc AS (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash
+          FROM documents WHERE doc_id % 5 <> 0
+        ), idx AS (
+          SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 5 = 0
+        ), keep AS (
+          SELECT doc_id, content_hash,
+                 MIN(doc_id) OVER (PARTITION BY content_hash) AS keep_id
+          FROM inc
+        )
+        SELECT doc_id, content_hash
+        FROM keep
+        WHERE doc_id = keep_id
+          AND NOT EXISTS (SELECT 1 FROM idx WHERE idx.h = keep.content_hash)"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val index = docs.filter(col("doc_id") % 5 === 0)
+          .select(md5(T.normalizeText(col("text"))).as("h"))
+        graft.operators.Dedup.dedupIncremental(
+            docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+            index, "h")
+          .select(col("doc_id"), col("content_hash"))
       })
   )
 }

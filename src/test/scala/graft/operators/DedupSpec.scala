@@ -167,6 +167,35 @@ class DedupSpec extends SparkSpec {
     assertSameRows(empty, corpus, "empty blocklist drops nothing")
   }
 
+  test("dedupIncremental: batch keepers minus index content, exact under tiny bloom") {
+    // index holds docs 0,2 (by content); tonight's batch: a dup of an
+    // indexed doc (normalized variant), an internal dup pair, and fresh
+    // content — survivors are the min-id keeper of each NEW group
+    val index = Seq("alpha body text", "beta body text").toDF("t")
+      .select(md5(graft.functions.TextFunctions.normalizeText(col("t"))).as("h"))
+    val batch = Seq(
+      (10L, "ALPHA   body TEXT"),   // indexed content, normalized variant → drop
+      (11L, "gamma body text"),     // fresh, dup of 12 → keeper
+      (12L, "Gamma BODY text"),     // within-batch dup → drop
+      (13L, "delta body text")      // fresh singleton → keeper
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupIncremental(batch, "doc_id", "text", index, "h")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 13L), s"got $got")
+    // collision-heavy filter: everything bloom-positive → the exact
+    // anti-join must carry the result alone (false positives may cost a
+    // re-check, never a wrong drop)
+    val tiny = Dedup.dedupIncremental(batch, "doc_id", "text", index, "h",
+      expectedItems = 2L, numBits = 64L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tiny == Set(11L, 13L), s"tiny-bloom got $tiny")
+    // empty index: pure within-batch dedup
+    val noIdx = Dedup.dedupIncremental(batch, "doc_id", "text",
+      index.filter(lit(false)), "h")
+      .select("doc_id").as[Long].collect().toSet
+    assert(noIdx == Set(10L, 11L, 13L), s"empty-index got $noIdx")
+  }
+
   test("decontaminateNgrams: 13-token overlap drops, 12-token overlap survives") {
     val evalDoc = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike"
     val thirteen = evalDoc // exactly the 13 shared tokens
