@@ -169,6 +169,12 @@ class PlanSpec extends SparkSpec {
       s"fact scan must execute once (stage reuse):\n${df.queryExecution.executedPlan}")
   }
 
+  test("q124: skew-split token join — heavy side broadcasts (hot keys never shuffle tok)") {
+    val p = plan("q124_rare_token_profile")
+    assert(p.contains("BroadcastHashJoin"),
+      s"heavy head + heavy DFs must come back via broadcast joins:\n$p")
+  }
+
   test("q103: Q21 shape is ONE lineitem pass (aggregate form, not 3-way self-join)") {
     val p = plan("q103_sole_returned_supplier")
     assert(p.linesIterator.count(l =>
