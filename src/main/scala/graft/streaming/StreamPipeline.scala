@@ -78,6 +78,45 @@ object StreamPipeline {
       }
   }
 
+  /** Streaming ingest dedup against an AT-REST hash index — the
+    * production twin of [[dedupStream]]: instead of unbounded keyed
+    * executor state (one entry per content hash ever seen), the dedup
+    * state lives in parquet. Per micro-batch (foreachBatch):
+    * read the index, run [[graft.operators.Dedup.dedupIncremental]]
+    * (within-batch keepers + bloom-gated index anti-join), land
+    * survivors AND their hashes through [[IdempotentSink]]'s
+    * batch=<id> + _SUCCESS discipline. A replayed batch (foreachBatch
+    * is at-least-once) skips both writes on its markers — exactly-once
+    * output and index growth; survivors commit BEFORE their hashes so
+    * a crash between the two can only replay into a skip, never lose
+    * or double-count. State survives restarts, is shared across jobs,
+    * and costs zero executor memory between batches; a cross-batch
+    * duplicate is dropped because the earlier batch's hash is already
+    * in the index. */
+  def dedupStreamWithIndex(docs: DataFrame, idCol: String, textCol: String,
+      outBase: String, indexBase: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", s"$outBase/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(indexBase)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val index =
+          if (fs.exists(new org.apache.hadoop.fs.Path(indexBase)))
+            spark.read.parquet(indexBase).select(col("h"))
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL("h STRING"))
+        val survivors = graft.operators.Dedup
+          .dedupIncremental(batch, idCol, textCol, index, "h")
+        IdempotentSink.writeBatch(outBase)(survivors, batchId)
+        IdempotentSink.writeBatch(indexBase)(
+          survivors.select(col("content_hash").as("h")), batchId)
+        ()
+      }
+      .start()
+
   /** Streaming MinHash-LSH near-dup candidates — the incremental twin
     * of `Dedup.minhashCandidatePairs`'s banded join. Signatures and
     * band hashes are the SAME stateless per-row expressions as batch;

@@ -305,6 +305,32 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("index-backed streaming dedup: cross-batch dups drop, state survives in parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-inc-out").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-inc-idx").toString + "/index"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamPipeline.dedupStreamWithIndex(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text", out, idx)
+    try {
+      // batch 0: fresh content + an internal dup
+      mem.addData((1L, "alpha body"), (2L, "ALPHA   Body"), (3L, "beta body"))
+      q.processAllAvailable()
+      // batch 1: replding of batch-0 content + fresh
+      mem.addData((4L, "alpha body"), (5L, "gamma body"))
+      q.processAllAvailable()
+      // batch 2: dup of batch-1 survivor + dup within
+      mem.addData((6L, "gamma body"), (7L, "delta body"), (8L, "Delta BODY"))
+      q.processAllAvailable()
+      val survivors = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(survivors == Set(1L, 3L, 5L, 7L),
+        s"first arrival of each content must win: $survivors")
+      // the index holds exactly the survivors' hashes — restart-shared state
+      assert(spark.read.parquet(idx).select("h").distinct().count() == 4)
+    } finally q.stop()
+  }
+
   test("capped bucket stars to the RUNNING min id, not the min of the first cap") {
     implicit val sqlCtx = spark.sqlContext
     // identical texts collide in every band bucket; cap=2 fills on the
