@@ -1390,14 +1390,19 @@ object Extended {
                             AND l3.l_returnflag = 'R')
         GROUP BY s_name"""),
       (s, dir) => {
-        val lateSupp = when(col("l_returnflag") === "R", col("l_suppkey"))
-        val orders = Tables.load(s, dir, "lineitem")
+        // two-level aggregate, NOT two countDistincts in one level: the
+        // distinct pair avoids Catalyst's Expand (×2 exchange rows);
+        // level 1 collapses to (order, supplier) grain map-side, level
+        // 2 is the tiny pair→order rollup
+        val pairs = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-          .groupBy(col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("_late"))
+        val orders = pairs.groupBy(col("l_orderkey"))
           .agg(
-            countDistinct(col("l_suppkey")).as("n_supp"),
-            countDistinct(lateSupp).as("n_late"),
-            max(lateSupp).as("late_supp"))
+            count(lit(1)).as("n_supp"),
+            sum(col("_late")).as("n_late"),
+            max(when(col("_late") === 1, col("l_suppkey"))).as("late_supp"))
           .filter(col("n_supp") > 1 && col("n_late") === 1)
         orders
           .join(broadcast(Tables.load(s, dir, "supplier")),
