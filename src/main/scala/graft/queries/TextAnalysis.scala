@@ -713,11 +713,18 @@ object TextAnalysis {
         GROUP BY 1"""),
       (s, dir) => {
         import s.implicits._
+        // persisted: the (doc_id, w) frame feeds THREE consumers (the
+        // sampled MG head, the heavy semi-join, the light anti-join) —
+        // uncached, each re-runs the explode + distinct exchange. The
+        // frame is NARROW (id + token), the cheap-to-cache case, unlike
+        // the wide shingle arrays SCALING.md warns about. Session-
+        // lifetime cache, per the operator-wide caching note.
         val tok = graft.operators.Fanout
           .forKernel(Tables.load(s, dir, "documents"))
           .select(col("doc_id"),
             explode(split(T.normalizeText(col("text")), " ")).as("w"))
           .distinct()
+          .persist()
         // bounded-state heavy-hitter head (≤1024 driver-side strings),
         // computed on a 10% SAMPLE: membership only routes keys between
         // the two exact branches, so a sampled head cannot affect the
