@@ -874,6 +874,66 @@ object TextAnalysis {
             docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
             index, "h")
           .select(col("doc_id"), col("content_hash"))
-      })
+      }),
+
+    // ---- q131: filter funnel with reason codes — the audit report
+    // every production cleaning pipeline publishes: each document is
+    // tagged with its FIRST-failing rule (too_short → non_english →
+    // low_quality → kept), so per-reason counts explain exactly where
+    // the corpus shrinks and rule ORDER is part of the contract. One
+    // scan, zero exchanges (all kernels per-row; quality_score is
+    // q33's bit-identical IEEE formula, so the 0.8 threshold compares
+    // identically across engines). The kernel-predicted-language
+    // variant of rule 2 is q35's langId; metadata lang keeps this
+    // oracle compact. ----
+    QuerySpec(
+      "q131_filter_funnel",
+      Some("""
+        WITH norm AS (
+          SELECT doc_id, lang,
+                 regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm
+          FROM documents
+        ), base AS (
+          SELECT doc_id, lang,
+                 CAST(LENGTH(nrm) AS DOUBLE) AS n_chars_d,
+                 CASE WHEN LENGTH(nrm) = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE CAST(LEN(STRING_SPLIT(nrm, ' ')) AS DOUBLE) END AS n_toks_d,
+                 CAST(LENGTH(regexp_replace(nrm, '[^a-z]', '', 'g')) AS DOUBLE) AS alpha,
+                 CAST(LENGTH(regexp_replace(nrm, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS punct,
+                 CAST(
+                   CAST((LENGTH(' '||nrm||' ') - LENGTH(REPLACE(' '||nrm||' ', ' the ', '')))/5 AS BIGINT)
+                 + CAST((LENGTH(' '||nrm||' ') - LENGTH(REPLACE(' '||nrm||' ', ' a ', '')))/3 AS BIGINT)
+                 + CAST((LENGTH(' '||nrm||' ') - LENGTH(REPLACE(' '||nrm||' ', ' and ', '')))/5 AS BIGINT)
+                 + CAST((LENGTH(' '||nrm||' ') - LENGTH(REPLACE(' '||nrm||' ', ' of ', '')))/4 AS BIGINT)
+                 + CAST((LENGTH(' '||nrm||' ') - LENGTH(REPLACE(' '||nrm||' ', ' to ', '')))/4 AS BIGINT)
+                 + CAST((LENGTH(' '||nrm||' ') - LENGTH(REPLACE(' '||nrm||' ', ' in ', '')))/4 AS BIGINT)
+                 + CAST((LENGTH(' '||nrm||' ') - LENGTH(REPLACE(' '||nrm||' ', ' is ', '')))/4 AS BIGINT)
+                 AS DOUBLE) AS stop_d
+          FROM norm
+        ), scored AS (
+          SELECT doc_id, lang, n_toks_d,
+                 (CASE WHEN n_toks_d BETWEEN 5 AND 100000
+                        AND (n_chars_d - (n_toks_d - 1)) / GREATEST(n_toks_d, 1.0) BETWEEN 2 AND 12
+                       THEN 1.0 ELSE 0.0 END * 0.4)
+                 + (alpha / GREATEST(n_chars_d, 1.0) * 0.3)
+                 + (LEAST(stop_d / GREATEST(n_toks_d, 1.0) * 5, 1.0) * 0.2)
+                 + ((1.0 - LEAST(punct / GREATEST(n_chars_d, 1.0) * 5, 1.0)) * 0.1) AS q
+          FROM base
+        )
+        SELECT doc_id,
+               CASE WHEN n_toks_d < 24 THEN 'too_short'
+                    WHEN lang <> 'en' THEN 'non_english'
+                    WHEN q < 0.8 THEN 'low_quality'
+                    ELSE 'kept' END AS reason
+        FROM scored"""),
+      (s, dir) =>
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"),
+            T.qualityMetrics(col("text")).as("m"))
+          .select(col("doc_id"),
+            when(col("m.n_tokens") < 24, "too_short")
+              .when(col("lang") =!= "en", "non_english")
+              .when(col("m.quality_score") < 0.8, "low_quality")
+              .otherwise("kept").as("reason")))
   )
 }
