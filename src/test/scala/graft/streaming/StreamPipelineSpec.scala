@@ -354,6 +354,43 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("filter-funnel cascade runs unchanged on a stream (stream == batch)") {
+    import graft.functions.{TextFunctions => T}
+    implicit val sqlCtx = spark.sqlContext
+    // q131's reason cascade is per-row stateless — micro-batch execution
+    // must reproduce the batch tagging bit-for-bit (incl. the IEEE
+    // quality threshold comparison)
+    def funnel(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("lang"), T.qualityMetrics(col("text")).as("m"))
+      .select(col("doc_id"),
+        when(col("m.n_tokens") < 24, "too_short")
+          .when(col("lang") =!= "en", "non_english")
+          .when(col("m.quality_score") < 0.8, "low_quality")
+          .otherwise("kept").as("reason"))
+    val data = Seq(
+      (1L, "en", "tiny"),
+      (2L, "de", Seq.fill(30)("wort").mkString(" ")),
+      (3L, "en", Seq.fill(30)("zz9$").mkString(" ")),
+      (4L, "en", "the cat and the dog walked to the house of a friend and " +
+        "said hello to everyone in the warm room before dinner was served."))
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(data: _*)
+    val q = funnel(mem.toDF.toDF("doc_id", "lang", "text"))
+      .writeStream.queryName("funnel_stream").format("memory")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assertSameRows(spark.table("funnel_stream"),
+        funnel(data.toDF("doc_id", "lang", "text")), "funnel stream vs batch")
+      // the fixture must exercise every cascade arm
+      import spark.implicits._
+      val reasons = spark.table("funnel_stream")
+        .select("reason").as[String].collect().toSet
+      assert(reasons == Set("too_short", "non_english", "low_quality", "kept"),
+        s"fixture must hit all arms: $reasons")
+    } finally q.stop()
+  }
+
   test("fused signal kernels run unchanged on a stream (stream == batch)") {
     import graft.functions.{GraftFunctions, TextFunctions => T}
     implicit val sqlCtx = spark.sqlContext
