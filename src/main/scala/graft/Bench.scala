@@ -101,6 +101,22 @@ object Bench {
       val total = stats.filter(_._2 >= 0).map(_._2).sum
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$pass,"sf":"$sfDir"}"""
     }
+    // Compact twin of summaryLine: total + counts only, NO per-query maps.
+    // r7 post-mortem: the full summary for 129 queries is ~8 KB on one
+    // line, but the driver's tail capture holds ~2.3 KB — the stored tail
+    // began MID-line, so a clean rc=0 run still produced parsed:null (two
+    // rounds running). This line is <200 bytes, printed AFTER the full
+    // summary, so the final line of stdout is always a complete JSON
+    // object no matter how small the tail buffer is. The big line and the
+    // per-sample JSONL stay for humans.
+    def compactLine(pass: Int): String = {
+      val meds = named.map { case (name, _) =>
+        val v = samples(name)
+        if (failed(name) || v.isEmpty) -1.0 else median(v)
+      }
+      val total = meds.filter(_ >= 0).sum
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${named.size},"n_failed":${failed.size},"reps":$pass,"sf":"$sfDir"}"""
+    }
     def sample(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
         pass: Int): Unit = {
       val t0 = System.nanoTime()
@@ -121,13 +137,17 @@ object Bench {
     // pass 1: every query gets one sample regardless of budget —
     // partial data beats no data
     for ((name, fn) <- named) sample(name, fn, 1)
-    println(summaryLine(1)); System.out.flush()
+    println(summaryLine(1)); println(compactLine(1)); System.out.flush()
     // passes 2..reps: most-expensive-first (by pass-1 time), so when the
-    // budget trips, the queries losing reps are the cheapest ones
+    // budget trips, the queries losing reps are the cheapest ones.
+    // Queries already in `failed` are skipped: their summary value is
+    // pinned at -1 regardless, so re-sampling a deterministic failure
+    // only burns budget that healthy expensive queries need for reps.
     for (pass <- 2 to reps) {
-      val order = named.sortBy { case (n, _) => -samples(n).headOption.getOrElse(0.0) }
+      val order = named.filterNot { case (n, _) => failed(n) }
+        .sortBy { case (n, _) => -samples(n).headOption.getOrElse(0.0) }
       for ((name, fn) <- order if spent < budgetSec) sample(name, fn, pass)
-      println(summaryLine(pass)); System.out.flush()
+      println(summaryLine(pass)); println(compactLine(pass)); System.out.flush()
     }
     spark.stop()
   }

@@ -57,19 +57,63 @@ object Bucketing {
   }
 
   /** Order-preserving rank quantization of a dimension to `buckets`
-    * equal-population buckets (distinct values → NTILE → broadcast map
-    * back). Z-ORDER DIMS MUST BE QUANTIZED TO COMPARABLE BIT WIDTHS:
-    * interleaving a 37-bit id with a 5-bit day puts every discriminating
-    * bit of the curve on the id, i.e. a plain 1-D sort wearing a Morton
-    * costume — measured at sf1: unquantized win 1.01× vs 1.29× decode
-    * reduction after balancing (SCALING.md round-7 note). The NTILE runs
-    * on the DISTINCT value set, not the corpus (bounded by cardinality),
-    * and this is a one-time write-path cost. */
+    * equal-population buckets (NTILE semantics: the first n%k buckets
+    * hold one extra value). Z-ORDER DIMS MUST BE QUANTIZED TO COMPARABLE
+    * BIT WIDTHS: interleaving a 37-bit id with a 5-bit day puts every
+    * discriminating bit of the curve on the id, i.e. a plain 1-D sort
+    * wearing a Morton costume — measured at sf1: unquantized win 1.01×
+    * vs 1.29× decode reduction after balancing (SCALING.md round-7
+    * note).
+    *
+    * Through r7 this was `NTILE over an unpartitioned Window` on the
+    * distinct set plus a forced broadcast of the full mapping — for the
+    * motivating case itself (near-unique ids, distinct ≈ \|corpus\|)
+    * that is a global single-reducer window AND an over-limit broadcast,
+    * the exact pathology the catalog-wide guard bans, moved to the
+    * write path. Now the rank is a distributed prefix sum (the Packing
+    * discipline): range-partition the distinct values so partition
+    * index order == value order, per-partition row_number (window
+    * partitioned by _pid — parallel), per-partition counts collected
+    * driver-side (bounded: ≤ defaultParallelism rows) become exclusive
+    * offsets, and the bucket is closed-form from the global rank. The
+    * mapping joins back WITHOUT a forced broadcast — AQE broadcasts it
+    * when small and shuffles when it is corpus-sized. */
   def rankQuantize(df: DataFrame, dim: String, buckets: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(dim))
-    val mapping = df.select(col(dim)).distinct()
-      .withColumn(s"${dim}_q", ntile(buckets).over(w) - 1)
-    df.join(broadcast(mapping), Seq(dim))
+    require(buckets > 0)
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    // persist so the counts collect and the mapping read the SAME
+    // materialization — _pid must not be recomputed under re-sampled
+    // range bounds (reclaimed by teardown/periodic GC like the other
+    // persisting operators)
+    val distinct = df.select(col(dim)).distinct()
+      .repartitionByRange(parts, col(dim))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val counts = distinct.groupBy(col("_pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    var acc = 0L
+    val offsetRows = counts.toSeq.map { case (p, c) =>
+      val row = (p, acc); acc += c; row
+    }
+    import spark.implicits._
+    val offsets = offsetRows.toDF("_pid", "_poff")
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col(dim))
+    // NTILE closed form on the zero-based global rank: with q = n/k and
+    // r = n%k, the first r buckets take q+1 values, the rest q
+    val q = if (buckets > 0) n / buckets else 0L
+    val r = n % buckets
+    val bucket =
+      if (q == 0L) col("_rank").cast("int") // n < k: one value per bucket
+      else when(col("_rank") < lit(r * (q + 1)),
+          expr(s"CAST(_rank DIV ${q + 1} AS INT)"))
+        .otherwise(expr(s"CAST($r + (_rank - ${r * (q + 1)}) DIV $q AS INT)"))
+    val mapping = distinct.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("_rank", row_number().over(local).cast("long") - 1 + col("_poff"))
+      .select(col(dim), bucket.as(s"${dim}_q"))
+    df.join(mapping, Seq(dim))
   }
 
   /** Write `df` Z-ordered on two dimensions: range-partition and sort by

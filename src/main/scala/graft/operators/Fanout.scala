@@ -33,21 +33,34 @@ import org.apache.spark.sql.DataFrame
   * micro-batch parallelism is the source's business.
   */
 object Fanout {
+  // "Exchange " at a word start = ShuffleExchangeExec (any partitioning:
+  // hash/range/single/round-robin); BroadcastExchange / ReusedExchange
+  // both have a letter immediately before "Exchange" and don't match.
+  private val shuffleExchangeProbe = "(?<![A-Za-z])Exchange ".r
+
   def forKernel(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // Under AQE, probing toRdd on a plan that CONTAINS exchanges
-    // materializes its upstream query stages — real shuffle jobs whose
-    // work the caller's own action then repeats. Pass through instead:
-    // a shuffled input already runs at spark.sql.shuffle.partitions
-    // width, so the narrow-layout problem this operator fixes cannot
-    // occur. (sparkPlan only runs the planner; only the exchange-free
-    // probe below touches toRdd, where no stage can materialize.)
+    // Under AQE, probing toRdd on a plan that CONTAINS shuffle
+    // exchanges materializes its upstream query stages — real shuffle
+    // jobs whose work the caller's own action then repeats. Pass
+    // through instead: a shuffled input already runs at
+    // spark.sql.shuffle.partitions width, so the narrow-layout problem
+    // this operator fixes cannot occur. That reasoning holds ONLY for
+    // shuffle exchanges: a narrow scan broadcast-joined to a dim keeps
+    // the scan's 1-partition width, so Broadcast/ReusedExchange must
+    // NOT trip the pass-through (r7 matched the bare substring
+    // "Exchange" and skipped exactly those plans). The probe regex
+    // requires "Exchange" at a word start — "BroadcastExchange" and
+    // "ReusedExchange" have a letter before it. toRdd on a
+    // broadcast-only plan materializes just the small-side broadcast
+    // (bounded by the broadcast threshold), never a shuffle stage.
     // String probe because the AQE wrapper hides its plan from tree
     // traversal (no children; `inputPlan` predates exchange insertion),
     // but toString prints the initial plan — exchanges included —
     // without executing anything.
-    if (df.queryExecution.executedPlan.toString.contains("Exchange"))
+    if (shuffleExchangeProbe
+        .findFirstIn(df.queryExecution.executedPlan.toString).isDefined)
       return df
     val planned = df.queryExecution.toRdd.getNumPartitions
     if (planned < target) return df.repartition(target)

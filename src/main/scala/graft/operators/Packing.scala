@@ -50,7 +50,14 @@ object Packing {
     // totals come straight off `base`, so this job never runs the
     // per-bucket window
     val spark = docs.sparkSession
-    val totals = base.groupBy(col("_hb")).agg(sum(col("_toks")).as("_btot"))
+    // coalesce: a bucket whose docs ALL have null token counts sums to
+    // null (Spark's sum ignores nulls but returns null over zero
+    // non-nulls) — getLong on that row would NPE where the old
+    // window-based path just propagated the null. Contributing 0 to the
+    // offsets preserves that propagation: the null rows' own _lcum/_cum
+    // stay null, and later buckets' offsets are unaffected.
+    val totals = base.groupBy(col("_hb"))
+      .agg(coalesce(sum(col("_toks")), lit(0L)).as("_btot"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)

@@ -162,55 +162,95 @@ object Similarity {
         col(queryId), col(corpusId),
         V.cosine(col("_cvec"), col("_qvec")).as("cosine"))
 
-  /** Distributed Lloyd's k-means over the embedding column — real
-    * centroids for [[ivfTopK]] (upgrading the round-1 lowest-id
-    * stand-in). Each iteration is scale-shaped:
-    *   - assign: one corpus scan against BROADCAST centroids, nearest
-    *     list via the bounded-heap k=1 aggregator (map-side partial);
-    *   - re-center: per-dimension mean via posexplode + groupBy — the
-    *     explode is dim× rows map-side, but hash aggregation combines to
-    *     ≤ k×dim rows per partition before the shuffle, so the exchange
-    *     is tiny regardless of corpus size;
-    *   - the new centroid frame (k rows) is localCheckpoint'd to keep
-    *     the iterative plan flat (same discipline as
-    *     Dedup.connectedComponents).
-    * Init is a deterministic hash-spread sample (orderBy xxhash64 —
-    * reproducible, not clustered by id locality). Cosine is the
-    * assignment metric, matching the search metric. */
+  /** Sampled Lloyd's k-means over the embedding column — real centroids
+    * for [[ivfTopK]] (upgrading the round-1 lowest-id stand-in).
+    *
+    * Training runs on a deterministic hash-spread sample of
+    * `sampleSize` vectors, NOT the corpus: a coarse quantizer's quality
+    * converges with the sample, not the corpus (sampled/mini-batch
+    * k-means — Sculley, WWW'10; FAISS trains IVF quantizers the same
+    * way), while the r7 full-corpus Lloyd cost 2·iters corpus scans
+    * plus a dim× explode per iteration and was the single most
+    * expensive catalog entry at both measured scales — at 100 TB it
+    * would dominate the whole IVF build.
+    *
+    * The cluster does exactly ONE job: the sample scan (orderBy
+    * xxhash64 → limit — reproducible, not clustered by id locality;
+    * TakeOrdered's map-side partial top-m bounds the exchange at
+    * `sampleSize` rows per partition). The sample itself — ≤ sampleSize
+    * (id, vec) rows, ~1 MB at the default — is a BOUNDED driver
+    * action (same class as Packing's bucket offsets and the
+    * Misra-Gries head), and Lloyd iterations run driver-side over it:
+    * k·sampleSize cosines per iteration, microseconds against any
+    * cluster-job floor, zero additional scans, zero shuffles. Training
+    * cost is CONSTANT in corpus size; the one corpus-scale pass in the
+    * IVF build is the list assignment inside [[ivfTopK]], a single
+    * broadcast scan.
+    *
+    * Semantics mirror the r7 distributed form: init is the first k of
+    * the hash order (identical start for sampleSize ≥ k), assignment is
+    * argmax cosine with ties to the smaller list id (the bounded-heap
+    * aggregator's ordering), re-center is the per-dimension double mean
+    * cast to float, and an emptied list drops from the output exactly
+    * as the groupBy did. */
   def kmeansCentroids(
       corpus: DataFrame, corpusId: String, vecCol: String,
-      k: Int, iters: Int = 3): DataFrame = {
-    // iterative refinement re-reads the SAME (id, vec) projection
-    // 2× per round (assign + re-center) — persist it once for the
-    // operator's lifetime (MLlib's KMeans does the same; at scale this
-    // dodges `iters`×2 remote scans) and release it before returning:
-    // every round's centroids are localCheckpoint-ed, so nothing in the
-    // returned frame's lineage reaches back into the cache.
-    val wide = Fanout.forKernel(corpus.select(col(corpusId), col(vecCol)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids = corpus
-      .orderBy(xxhash64(col(corpusId)), col(corpusId)).limit(k)
-      .select(col(corpusId).cast("long").as("_list"), col(vecCol).as("_centroid"))
-      .localCheckpoint()
+      k: Int, iters: Int = 3, sampleSize: Int = 4096): DataFrame = {
+    require(sampleSize >= k, s"sampleSize ($sampleSize) must be >= k ($k)")
+    val spark = corpus.sparkSession
+    val sample: Array[(Long, Array[Float])] =
+      Fanout.forKernel(corpus.select(col(corpusId), col(vecCol)))
+        .select(xxhash64(col(corpusId)).as("_h"),
+          col(corpusId).cast("long").as("_id"), col(vecCol).as("_v"))
+        .orderBy(col("_h"), col("_id")).limit(sampleSize)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+        .sortBy(t => (t._1, t._2)) // don't rely on collect preserving sort
+        .map(t => (t._2, t._3))
+    var centroids: Array[(Long, Array[Float])] =
+      sample.take(k).map { case (id, v) => (id, v.clone()) }
     for (_ <- 0 until iters) {
-      val assignScores = wide.select(col(corpusId), col(vecCol).as("_cvec"))
-        .crossJoin(broadcast(centroids))
-        .select(col(corpusId), col("_list"),
-          V.cosine(col("_cvec"), col("_centroid")).as("cosine"))
-      val assigned = topKPerQuery(assignScores, corpusId, "_list", 1)
-        .select(col(corpusId), col("_list"))
-      centroids = wide.select(col(corpusId), posexplode(col(vecCol)))
-        .join(assigned, Seq(corpusId))
-        .groupBy(col("_list"), col("pos"))
-        .agg(avg(col("col")).as("_m"))
-        .groupBy(col("_list"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("_m")))),
-          x => x.getField("_m").cast("float")).as("_centroid"))
-        .localCheckpoint()
+      val accs = collection.mutable.Map.empty[Long, Array[Double]]
+      val counts = collection.mutable.Map.empty[Long, Long]
+      for ((_, v) <- sample) {
+        var best = Double.NegativeInfinity
+        var bestList = Long.MaxValue
+        for ((lid, c) <- centroids) {
+          val s = cosineDriver(v, c)
+          if (s > best || (s == best && lid < bestList)) {
+            best = s; bestList = lid
+          }
+        }
+        val acc = accs.getOrElseUpdate(bestList, new Array[Double](v.length))
+        var i = 0
+        while (i < v.length && i < acc.length) { acc(i) += v(i); i += 1 }
+        counts(bestList) = counts.getOrElse(bestList, 0L) + 1L
+      }
+      centroids = accs.toArray.sortBy(_._1).map { case (lid, acc) =>
+        val n = counts(lid)
+        (lid, acc.map(x => (x / n).toFloat))
+      }
     }
-    wide.unpersist(blocking = false)
-    centroids
+    import spark.implicits._
+    centroids.toSeq.map { case (l, c) => (l, c.toSeq) }
+      .toDF("_list", "_centroid")
+      .select(col("_list"), col("_centroid").cast("array<float>"))
+  }
+
+  /** Driver mirror of [[VectorFunctions.cosine]]: double accumulator,
+    * zero-norm/mismatched length → 0.0 (not NaN). */
+  private def cosineDriver(a: Array[Float], b: Array[Float]): Double = {
+    if (a.length != b.length) return 0.0
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   /** IVF (inverted-file) top-k: coarse-quantize the corpus onto `nLists`

@@ -26,5 +26,23 @@ object IdempotentSink {
     }
   }
 
+  /** The COMMITTED batch directories under `base`: only those whose
+    * `_SUCCESS` marker exists. This is the read-side half of the sink's
+    * contract — a crash mid-write leaves a `batch=N` dir with data files
+    * but no marker, and any consumer that globs the whole base
+    * (`spark.read.parquet(base)`) silently treats that torn state as
+    * committed. State readers (the streaming dedup index, downstream
+    * jobs) must read exactly this list. */
+  def committedDirs(spark: org.apache.spark.sql.SparkSession, base: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+      .sorted
+  }
+
   /** Attach to a stream: `.writeStream.foreachBatch(IdempotentSink.writeBatch(out) _)` */
 }

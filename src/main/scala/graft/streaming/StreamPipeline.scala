@@ -99,23 +99,38 @@ object StreamPipeline {
     docs.writeStream
       .option("checkpointLocation", s"$outBase/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(indexBase)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val index =
-          if (fs.exists(new org.apache.hadoop.fs.Path(indexBase)))
-            spark.read.parquet(indexBase).select(col("h"))
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType.fromDDL("h STRING"))
-        val survivors = graft.operators.Dedup
-          .dedupIncremental(batch, idCol, textCol, index, "h")
-        IdempotentSink.writeBatch(outBase)(survivors, batchId)
-        IdempotentSink.writeBatch(indexBase)(
-          survivors.select(col("content_hash").as("h")), batchId)
-        ()
+        dedupIndexBatch(batch, batchId, idCol, textCol, outBase, indexBase)
       }
       .start()
+
+  /** One micro-batch of [[dedupStreamWithIndex]] — named so replay
+    * scenarios (crash mid-write → foreachBatch redelivery) are directly
+    * testable. */
+  def dedupIndexBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String,
+      outBase: String, indexBase: String): Unit = {
+    val spark = batch.sparkSession
+    // Read ONLY committed (_SUCCESS-marked) index batches. A bare read
+    // of indexBase would also pick up a torn batch=N left by a crash
+    // mid index-write: the replay would see its own hashes as "already
+    // indexed", shrink the survivor set, and overwrite the torn dir
+    // with the reduced hash set — losing hashes for docs already
+    // committed to outBase (and deleting files the lazy survivors plan
+    // is still reading). Listing the committed dirs explicitly makes
+    // replay read exactly the pre-crash state.
+    val committed = IdempotentSink.committedDirs(spark, indexBase)
+    val index =
+      if (committed.nonEmpty)
+        spark.read.parquet(committed: _*).select(col("h"))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("h STRING"))
+    val survivors = graft.operators.Dedup
+      .dedupIncremental(batch, idCol, textCol, index, "h")
+    IdempotentSink.writeBatch(outBase)(survivors, batchId)
+    IdempotentSink.writeBatch(indexBase)(
+      survivors.select(col("content_hash").as("h")), batchId)
+  }
 
   /** Streaming MinHash-LSH near-dup candidates — the incremental twin
     * of `Dedup.minhashCandidatePairs`'s banded join. Signatures and

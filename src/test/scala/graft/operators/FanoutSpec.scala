@@ -77,6 +77,26 @@ class FanoutSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("broadcast-only plan still widens (no shuffle to hide behind)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val dir = java.nio.file.Files.createTempDirectory("fanout-bc").toString
+    (1 to 100).toDF("id").coalesce(1).write.mode("overwrite").parquet(s"$dir/t")
+    val dim = (1 to 100).map(i => (i, s"tag$i")).toDF("id", "tag")
+    // narrow scan broadcast-joined to a dim: the join preserves the
+    // scan's 1-partition width, so the kernel above it still runs on
+    // one core — the r7 probe matched the substring "Exchange" against
+    // "BroadcastExchange" and wrongly passed this plan through
+    val joined = spark.read.parquet(s"$dir/t").join(broadcast(dim), "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"fixture must broadcast:\n$plan")
+    val wide = Fanout.forKernel(joined)
+    assert(!(wide eq joined), "broadcast-only plan must get the layout probe")
+    assert(wide.queryExecution.toRdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    assertSameRows(wide, joined, "fanout must not change join content")
+  }
+
   test("streaming frames pass through untouched") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -68,6 +68,28 @@ class LayoutSpec extends SparkSpec {
     assert(pops.keySet == (0 until 8).toSet)
   }
 
+  test("rankQuantize plans no global window (near-unique dim is the motivating case)") {
+    // r7 shape: NTILE over Window.orderBy (no partition) + forced
+    // broadcast of the full distinct mapping — for near-unique ids the
+    // distinct set is ~|corpus|, i.e. a single-reducer window and an
+    // over-limit broadcast on the write path. The rewrite must plan
+    // only partitioned windows.
+    val df = (0L until 5000L).map(i => i * 37L).toDF("user_id")
+    val out = Bucketing.rankQuantize(df, "user_id", 16)
+    val global = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "rankQuantize must not plan an unpartitioned window")
+    // and the quantization itself stays correct at this size: NTILE
+    // semantics, 5000 = 16·312 + 8 → the first 8 buckets take 313
+    val pops = out.groupBy("user_id_q").count()
+      .as[(Int, Long)].collect().toMap
+    assert(pops.keySet == (0 until 16).toSet, s"missing buckets: $pops")
+    assert((0 until 16).forall(b => pops(b) == (if (b < 8) 313L else 312L)),
+      s"unbalanced: $pops")
+  }
+
   test("z-order layout prunes 2-D box scans that a 1-D sort cannot") {
     def recordsRead(df: org.apache.spark.sql.DataFrame): Long = {
       val acc = new java.util.concurrent.atomic.AtomicLong

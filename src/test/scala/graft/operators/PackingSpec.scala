@@ -56,6 +56,26 @@ class PackingSpec extends SparkSpec {
       s"sequence ids must be gapless for docs smaller than the budget: ${ids.toSeq}")
   }
 
+  test("an all-null token bucket propagates null instead of throwing") {
+    // With buckets=1 every doc shares one hash bucket; all-null token
+    // counts make that bucket's total null — r7's bare getLong NPE'd on
+    // the driver where the old window path propagated the null.
+    val nullDocs = Seq((1L, None: Option[Long]), (2L, None: Option[Long]))
+      .toDF("doc_id", "n_toks")
+    val out = Packing.packDocs(nullDocs, "doc_id", "n_toks", 1024L, buckets = 1)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("n_tokens"))),
+      "null token counts must stay null in the output")
+    // mixed bucket: the non-null doc still packs normally at offset 0
+    val mixed = Seq((1L, Some(5L)), (2L, None: Option[Long]))
+      .toDF("doc_id", "n_toks")
+    val packed = Packing.packDocs(mixed, "doc_id", "n_toks", 1024L, buckets = 1)
+      .orderBy("doc_id").collect()
+    assert(packed.head.getAs[Long]("token_offset") == 0L)
+    assert(packed.head.getAs[Long]("seq_id") == 0L)
+  }
+
   test("the doc-scale window is partitioned (no global single-reducer stage)") {
     val windows = Packing.packDocs(docs, "doc_id", "n_toks", 1024L)
       .queryExecution.optimizedPlan.collect {

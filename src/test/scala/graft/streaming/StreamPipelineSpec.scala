@@ -331,6 +331,40 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("torn index batch (crash mid index-write) is invisible to replay") {
+    // Crash model: batch 1's survivors committed to outBase, then the
+    // crash hit MID index-write — batch=1 under the index has data files
+    // but no _SUCCESS. foreachBatch redelivers batch 1. Pre-fix, the
+    // bare spark.read.parquet(indexBase) treated the torn hashes as
+    // committed state: the replayed survivors saw their own hashes as
+    // "already indexed", shrank, and the index rewrite lost hashes for
+    // docs already committed — later cross-batch duplicates then passed.
+    val out = java.nio.file.Files.createTempDirectory("graft-torn-out").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-torn-idx").toString + "/index"
+    def batchOf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    StreamPipeline.dedupIndexBatch(
+      batchOf((1L, "alpha body"), (2L, "beta body")), 0L, "doc_id", "text", out, idx)
+    StreamPipeline.dedupIndexBatch(
+      batchOf((3L, "gamma body"), (4L, "alpha body")), 1L, "doc_id", "text", out, idx)
+    // tear index batch=1: data files stay, commit marker gone
+    val marker = new java.io.File(s"$idx/batch=1/_SUCCESS")
+    assert(marker.exists(), "fixture expects a committed batch=1 to tear")
+    assert(marker.delete())
+    // redelivery of batch 1 (out batch=1 is still committed and skips on
+    // its marker; the index write must heal from pre-crash state only)
+    StreamPipeline.dedupIndexBatch(
+      batchOf((3L, "gamma body"), (4L, "alpha body")), 1L, "doc_id", "text", out, idx)
+    val hashes = spark.read.parquet(idx).select("h").distinct().count()
+    assert(hashes == 3, s"alpha, beta, gamma hashes must all be indexed: $hashes")
+    // a later duplicate of batch-1's survivor must still drop
+    StreamPipeline.dedupIndexBatch(
+      batchOf((5L, "gamma body"), (6L, "delta body")), 2L, "doc_id", "text", out, idx)
+    val survivors = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 3L, 6L),
+      s"gamma's replayed hash must suppress doc 5: $survivors")
+  }
+
   test("capped bucket stars to the RUNNING min id, not the min of the first cap") {
     implicit val sqlCtx = spark.sqlContext
     // identical texts collide in every band bucket; cap=2 fills on the
