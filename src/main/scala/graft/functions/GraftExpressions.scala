@@ -320,3 +320,85 @@ object NormalizeNfc {
     }
   }
 }
+
+/** Content-defined chunk boundaries of a text (the CDC half of
+  * substring-level dedup — anchors from Rabin-style rolling hashes, so
+  * identical content produces identical chunks at ANY offset in ANY
+  * document; fixed-grid chunking would mask repeats that straddle grid
+  * lines). `string` → `array<struct<start:int,len:int>>` with 1-based
+  * CODE POINT starts, matching SQL `substring` addressing so downstream
+  * and the DuckDB oracle slice identically.
+  *
+  * Definition (shared verbatim with the oracle SQL): over the code
+  * points c_1..c_n, position i (1-based, 2 ≤ i ≤ n-w+1) is an anchor
+  * iff H(i) % p == 0, where H(i) is the base-B polynomial hash of
+  * c_i..c_{i+w-1} mod M (leading term first — equals a left fold of
+  * acc·B + c starting from c_i). Chunks span between consecutive
+  * boundaries {1} ∪ anchors ∪ {n+1}. One rolling O(n) pass here; the
+  * oracle recomputes each window hash directly — same values. */
+case class CdcChunks(child: Expression, w: Int, p: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w > 1 && w <= 64, "window must be in (1, 64]")
+  require(p > 1, "anchor modulus must be > 1")
+  import CdcChunks.{B, M}
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("start", IntegerType, nullable = false),
+      StructField("len", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // code points, not chars: SQL substring addresses code points in
+    // both engines, so boundaries must too
+    val codes = s.codePoints().toArray
+    val n = codes.length
+    val bounds = scala.collection.mutable.ArrayBuffer(0)
+    if (n >= w) {
+      var h = 0L
+      var j = 0
+      while (j < w) { h = (h * B + codes(j)) % M; j += 1 }
+      // drop the leading term then shift in the next code point:
+      // H(i+1) = (H(i) - c_i·B^(w-1))·B + c_{i+w}  (mod M)
+      val lead = {
+        var x = 1L; var k = 0
+        while (k < w - 1) { x = x * B % M; k += 1 }
+        x
+      }
+      var i = 1 // 0-based window start = 1-based anchor position i+1
+      while (i <= n - w) {
+        h = ((h - codes(i - 1) * lead % M + M) * B + codes(i + w - 1)) % M
+        if (h % p == 0) bounds += i
+        i += 1
+      }
+    }
+    bounds += n
+    val rows = new Array[Any](bounds.length - 1)
+    var k = 0
+    while (k < rows.length) {
+      rows(k) = org.apache.spark.sql.catalyst.InternalRow(
+        bounds(k) + 1, bounds(k + 1) - bounds(k))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
+}
+
+object CdcChunks {
+  /** Polynomial base / modulus — small enough that every intermediate
+    * fits a long with room for the +M de-negation, large enough that
+    * anchor selection is effectively uniform. MUST match the oracle
+    * SQL's constants verbatim. */
+  val B = 31L
+  val M = 1000003L
+}

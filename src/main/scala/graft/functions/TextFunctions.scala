@@ -101,6 +101,15 @@ object TextFunctions {
   def md5ShingleHashes(c: Column, n: Int): Column =
     transform(array_distinct(shingles(c, n)), s => md5Hash64(s))
 
+  /** Content-defined chunk spans of a text ([[CdcChunks]]): 1-based
+    * (start, len) code-point spans whose boundaries come from rolling
+    * w-gram hashes, so identical content chunks identically at any
+    * offset — the candidate grid for substring-level dedup. */
+  def cdcChunks(c: Column, w: Int = 8, p: Int = 32): Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.column(CdcChunks(shim.expression(c), w, p))
+  }
+
   /** MinHash signature over HASHED shingles (`array<long>`): k affine
     * hash minima in one pass (custom expression [[MinHashSignature]]).
     * Output array<long> of length k. No shuffle. */

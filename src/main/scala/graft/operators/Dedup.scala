@@ -540,4 +540,61 @@ object Dedup {
         count(lit(1)).as("n_chunks"),
         sum(when(encoded === col("_keeper"), 0L).otherwise(1L)).as("n_dup"))
   }
+
+  /** Substring-level exact dedup — the suffix-array regime (repeated
+    * long substrings ACROSS documents: boilerplate headers, license
+    * text, templated pages; Lee et al. 2022's "deduplicating training
+    * data" staple) that document- (dedupExact), chunk-grid-
+    * (chunkDupStats) and near- (minhash) grain all miss or blur.
+    * A fixed chunk grid masks repeats that straddle grid lines; here
+    * boundaries are CONTENT-DEFINED ([[graft.functions.CdcChunks]]):
+    * rolling-hash anchors mean two copies of the same substring chunk
+    * identically no matter where they sit in their documents, so repeat
+    * interiors align on chunk equality alone. Per document the output
+    * is each maximal run of chunks whose content occurs elsewhere in
+    * the corpus (≥ 2 occurrences corpus-wide, same-document repeats
+    * included), reported when the run covers ≥ `minLen` code points:
+    * (doc_id, span_start, span_len, n_chunks), 1-based SQL addressing.
+    * Resolution: a repeat shorter than ~2 expected chunk lengths may
+    * contain no full chunk and go unreported, and up to one partial
+    * chunk at each end of a longer repeat is cropped — the standard
+    * CDC trade; shrink `p` (expected chunk length) for finer grain at
+    * more chunk rows.
+    *
+    * Scale shape: the chunk frame carries (id, start, len, md5) — the
+    * text itself never leaves the scan projection. ONE hash exchange on
+    * the chunk hash (duplicate flagging via COUNT over the hash window,
+    * the chunkDupStats discipline), then one exchange on the doc id
+    * that both the run-merge window and the final span aggregate reuse.
+    * No joins, no driver state, no global window. */
+  def substringDups(
+      df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 80, w: Int = 8, p: Int = 32): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("_ch"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_start"))
+    val chunks = Fanout.forKernel(df)
+      .select(col(idCol), col(textCol).as("_t"),
+        posexplode(T.cdcChunks(col(textCol), w, p)))
+      .select(col(idCol), col("col.start").as("_start"), col("col.len").as("_len"),
+        md5(expr("substring(_t, col.start, col.len)")).as("_ch"))
+    chunks
+      .withColumn("_n", count(lit(1)).over(byHash))
+      .filter(col("_n") > 1)
+      // chunks are contiguous within a doc, so a surviving chunk starts
+      // a new run exactly when the previous survivor doesn't end at it
+      .withColumn("_brk",
+        when(col("_start") === lag(col("_start") + col("_len"), 1).over(byDoc), 0L)
+          .otherwise(1L))
+      .withColumn("_run", sum(col("_brk")).over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("_run"))
+      .agg(
+        min(col("_start")).cast("long").as("span_start"),
+        sum(col("_len")).cast("long").as("span_len"),
+        count(lit(1)).as("n_chunks"))
+      .filter(col("span_len") >= minLen)
+      .select(col(idCol), col("span_start"), col("span_len"), col("n_chunks"))
+  }
 }

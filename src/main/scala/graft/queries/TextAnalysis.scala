@@ -934,6 +934,74 @@ object TextAnalysis {
             when(col("m.n_tokens") < 24, "too_short")
               .when(col("lang") =!= "en", "non_english")
               .when(col("m.quality_score") < 0.8, "low_quality")
-              .otherwise("kept").as("reason")))
+              .otherwise("kept").as("reason"))),
+
+    // ---- q132: substring-level exact dedup — repeated long substrings
+    // ACROSS documents (boilerplate/license text, the suffix-array
+    // regime of Lee et al. 2022). Content-defined chunk boundaries
+    // (rolling w-gram hash anchors, CdcChunks) so two copies of a
+    // repeat chunk identically at any offset; per-doc maximal runs of
+    // corpus-duplicated chunks ≥ 80 code points are reported. The
+    // oracle replays the IDENTICAL definition: window hashes via
+    // list_reduce over the same B/M/p constants, chunk identity via
+    // md5 of the same 1-based substring, the same run-merge window.
+    // Spark computes the hash rolling in one O(n) kernel pass; DuckDB
+    // recomputes each window directly — same values by construction. ----
+    QuerySpec(
+      "q132_substring_dups",
+      Some("""
+        WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        hpos AS (
+          SELECT doc_id, i,
+                 list_reduce(
+                   list_transform(generate_series(0, 7),
+                     j -> ascii(substring(text, CAST(i + j AS INT), 1))),
+                   (a, c) -> (a * 31 + c) % 1000003) AS hv
+          FROM d, UNNEST(generate_series(2, n - 7)) AS t(i)
+        ),
+        bounds AS (
+          SELECT doc_id, CAST(1 AS BIGINT) AS b FROM d
+          UNION ALL SELECT doc_id, i FROM hpos WHERE hv % 32 = 0
+          UNION ALL SELECT doc_id, CAST(n + 1 AS BIGINT) FROM d
+        ),
+        chunks AS (
+          SELECT doc_id, b AS cstart,
+                 lead(b) OVER (PARTITION BY doc_id ORDER BY b) - b AS clen
+          FROM bounds
+        ),
+        ch AS (
+          SELECT c.doc_id, cstart, clen,
+                 md5(substring(d.text, CAST(cstart AS INT), CAST(clen AS INT))) AS chash
+          FROM chunks c JOIN d USING (doc_id)
+          WHERE clen IS NOT NULL AND clen > 0
+        ),
+        dup AS (
+          SELECT doc_id, cstart, clen
+          FROM (SELECT doc_id, cstart, clen,
+                       COUNT(*) OVER (PARTITION BY chash) AS cnt FROM ch)
+          WHERE cnt > 1
+        ),
+        runs AS (
+          SELECT doc_id, cstart, clen,
+                 CASE WHEN cstart = lag(cstart + clen)
+                        OVER (PARTITION BY doc_id ORDER BY cstart)
+                      THEN 0 ELSE 1 END AS brk
+          FROM dup
+        ),
+        sp AS (
+          SELECT doc_id, cstart, clen,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY cstart
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM runs
+        )
+        SELECT doc_id, CAST(MIN(cstart) AS BIGINT) AS span_start,
+               CAST(SUM(clen) AS BIGINT) AS span_len,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks
+        FROM sp GROUP BY doc_id, sid
+        HAVING CAST(SUM(clen) AS BIGINT) >= 80"""),
+      (s, dir) =>
+        graft.operators.Dedup.substringDups(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          minLen = 80, w = 8, p = 32))
   )
 }

@@ -265,4 +265,107 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
     assert(a.map(_._3).sum > 0, "fixture must contain duplicated chunks")
   }
+
+  /** Direct (non-rolling) reference of the CDC substring-dup definition:
+    * per-position window hashes, boundary set, md5-free content
+    * multiplicity, run merge — everything the operator computes, written
+    * as plain per-doc loops. Guards the rolling-hash recurrence and the
+    * window/merge plumbing against the declared spec. */
+  private def substringDupsRef(
+      docs: Seq[(Long, String)], minLen: Int, w: Int, p: Int)
+      : Set[(Long, Long, Long, Long)] = {
+    val B = 31L; val M = 1000003L
+    val chunks = docs.flatMap { case (id, t) =>
+      val codes = t.codePoints().toArray
+      val n = codes.length
+      val anchors = (1 to n - w).filter { i =>
+        var h = 0L
+        for (j <- 0 until w) h = (h * B + codes(i + j)) % M
+        h % p == 0
+      }
+      val bounds = (0 +: anchors :+ n).distinct
+      bounds.zip(bounds.tail).collect { case (a, b) if b > a =>
+        (id, a + 1, b - a, new String(codes, a, b - a))
+      }
+    }
+    val mult = chunks.groupBy(_._4).view.mapValues(_.size).toMap
+    docs.map(_._1).flatMap { id =>
+      val dup = chunks.filter(c => c._1 == id && mult(c._4) > 1).sortBy(_._2)
+      val runs = dup.foldLeft(List.empty[List[(Long, Int, Int, String)]]) {
+        case (acc @ (run :: rest), c) if c._2 == run.head._2 + run.head._3 =>
+          (c :: run) :: rest
+        case (acc, c) => List(c) :: acc
+      }
+      runs.map { run =>
+        val sorted = run.sortBy(_._2)
+        (id, sorted.head._2.toLong, sorted.map(_._3).sum.toLong, run.size.toLong)
+      }.filter(_._3 >= minLen)
+    }.toSet
+  }
+
+  test("substringDups == direct per-position reference on a random corpus") {
+    // random low-vocab texts + planted cross-doc boilerplate at varying
+    // offsets — exercises anchors, multiplicity, run merge, minLen
+    val rng = new scala.util.Random(41L)
+    val vocab = Vector("key", "row", "scan", "table", "value", "part", "agg",
+      "fast", "slow", "merge", "batch", "the", "a")
+    // long enough that the CDC interior (minus ~one expected chunk of
+    // crop at each edge) clears minLen=80 in essentially every carrier
+    val license = "this corpus fragment is released under the synthetic " +
+      "commons attribution license version four point zero you may share " +
+      "and adapt the material for any purpose provided that appropriate " +
+      "credit is given a link to the license is provided and changes are " +
+      "indicated see the accompanying terms document for the full text"
+    def words(n: Int) = Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val fixture: Seq[(Long, String)] = (0L until 40L).map { i =>
+      val body = words(40 + rng.nextInt(40))
+      val t =
+        if (i % 3 == 0) words(rng.nextInt(8)) + " " + license + " " + body
+        else if (i % 3 == 1) body + " " + license
+        else body
+      (i, t)
+    }
+    val got = Dedup.substringDups(fixture.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 80, w = 8, p = 32)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = substringDupsRef(fixture, minLen = 80, w = 8, p = 32)
+    assert(got == want, s"got ${got.size} spans, want ${want.size}:\n" +
+      s"extra=${got -- want}\nmissing=${want -- got}")
+    // the planted license must be found in docs that carry it
+    val flagged = got.map(_._1)
+    assert(fixture.count { case (i, _) => i % 3 != 2 && flagged(i) } > 20,
+      s"license carriers must report spans: $flagged")
+    // stability across input partitionings
+    val re = Dedup.substringDups(fixture.toDF("doc_id", "text").repartition(13),
+        "doc_id", "text", minLen = 80, w = 8, p = 32)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(re == got)
+  }
+
+  test("substringDups plans no global window and never shuffles the text") {
+    val q = Dedup.substringDups(docs, "doc_id", "text")
+    val global = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "all windows must be partitioned")
+    // the text column must be projected away before any exchange: no
+    // Exchange subtree may output the raw string, only the md5 hash.
+    // AQE's wrapper hides exchange nodes from tree traversal, so probe
+    // a non-adaptive session's physical plan.
+    val sc = spark.newSession()
+    sc.conf.set("spark.sql.adaptive.enabled", "false")
+    import sc.implicits._
+    val plain = Dedup.substringDups(
+      Seq((0L, baseText), (1L, baseText)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val exchanges = plain.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected the hash and doc-id exchanges")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "_t"),
+        s"text must not cross an exchange: ${e.output}")
+    }
+  }
 }
