@@ -142,6 +142,47 @@ object Multimodal {
       doc_id: Long, format: String, width: Int, height: Int,
       mean_r: Double, mean_g: Double, mean_b: Double, luma_hist: Seq[Long])
 
+  /** Deterministic synthetic-image fixture: one real PNG per row, with
+    * dimensions and every pixel a closed-form integer function of
+    * (id, x, y) — so a SQL oracle can compute the expected pixel
+    * statistics WITHOUT any codec, while the engine path runs the full
+    * encode → [[decodePixels]] (ImageIO) → aggregate loop on genuine
+    * bytes. PNG because it is lossless: decoded RGB equals the formula
+    * exactly. The formula (kept in sync with q133's oracle SQL):
+    *   w = 4 + id%5, h = 4 + id%3,
+    *   r = (7id+13x+31y)%256, g = (11id+17x+23y)%256, b = (5id+19x+29y)%256. */
+  def synthesizeImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = (4 + id % 5).toInt
+          val h = (4 + id % 3).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((7 * id + 13 * x + 31 * y) % 256).toInt
+              val g = ((11 * id + 17 * x + 23 * y) % 256).toInt
+              val b = ((5 * id + 19 * x + 29 * y) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
   /** REAL pixel decode — round 6 upgrade of the former stub tier. The
     * JDK itself ships PNG/JPEG/GIF/BMP codecs (javax.imageio in
     * java.desktop): no external library, works headless, so the decode

@@ -1139,6 +1139,33 @@ object Extended {
             count_distinct(year(col("o_orderdate")).cast("long")).as("n_years"),
             count(lit(1)).as("n_orders"))),
 
+    // ---- q134: sketch distinct under the hash gate via EXACT-REGIME
+    // PINNING (the q129 trick applied to HLL). A DataSketches HLL
+    // sketch is exact while it is still in its coupon (list/set)
+    // phase; the grouped value here is the ORDER YEAR, whose distinct
+    // cardinality is bounded by the attribute domain (≤ ~7 values) at
+    // ANY scale factor — the sketch provably never leaves the exact
+    // regime, so the rounded estimate equals COUNT(DISTINCT) and
+    // DuckDB can oracle it exactly. The production surface
+    // (Profile.hllSlices merge-distinct) stays approximate by
+    // construction; this entry pins the estimate path itself. ----
+    QuerySpec(
+      "q134_sketch_distinct_pinned",
+      Some("""
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)) AS BIGINT) AS n_exact,
+               CAST(COUNT(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)) AS BIGINT) AS n_sketch
+        FROM orders
+        GROUP BY o_orderpriority"""),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count_distinct(year(col("o_orderdate")).cast("long")).as("n_exact"),
+            hll_sketch_estimate(
+              hll_sketch_agg(year(col("o_orderdate")).cast("long"), lit(12)))
+              .as("n_sketch"))),
+
     // ---- q98: scalar subquery + NOT EXISTS anti-join (TPC-H Q22
     // shape) — above-average-balance customers with no completed ('F')
     // order, grouped by a hash band. Both subqueries stay sub-broadcast

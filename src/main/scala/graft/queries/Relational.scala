@@ -499,15 +499,27 @@ object Relational {
           bucket = 86400000000L) // 1-day buckets
       }),
 
-    // ---- q14: anti join — customers with no orders (NOT EXISTS) ----
+    // ---- q14: anti join — customers with no recent urgent order (NOT
+    // EXISTS over a filtered subquery). r7's bare "no orders at all"
+    // form was vacuously green: the generator gives every customer an
+    // order, so the anti-join never produced a row at the gate scale.
+    // The filtered form keeps the identical anti-join topology (filter
+    // pushed below the join's build side) and returns 367/1500
+    // customers at sf0.01 — the hash gate now checks real output. ----
     QuerySpec(
       "q14_customers_without_orders",
       Some("""
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""),
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderpriority = '1-URGENT'
+            AND YEAR(o_orderdate) >= 1997)"""),
       (s, dir) => {
         val customer = Tables.load(s, dir, "customer")
         val orders = Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            year(col("o_orderdate")) >= 1997)
         customer
           .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey", "c_name")

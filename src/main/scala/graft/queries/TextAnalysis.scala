@@ -1002,6 +1002,69 @@ object TextAnalysis {
       (s, dir) =>
         graft.operators.Dedup.substringDups(
           Tables.load(s, dir, "documents"), "doc_id", "text",
-          minLen = 80, w = 8, p = 32))
+          minLen = 80, w = 8, p = 32)),
+
+    // ---- q133: pixel decode under the hash gate — the ImageIO decode
+    // path (Multimodal.decodePixels) was test-only through r7. Each doc
+    // synthesizes a real PNG whose dimensions and pixels are a
+    // closed-form function of (id, x, y) (Multimodal.synthesizeImages);
+    // the engine runs the genuine encode → ImageIO decode → per-image
+    // aggregation loop, while the oracle computes the same statistics
+    // straight from the formula — equal because PNG is lossless. Means
+    // are one IEEE double division of exact integers on both engines;
+    // the 16-bin BT.601 luma histogram flattens to columns so every
+    // bin hashes. ----
+    QuerySpec(
+      "q133_pixel_decode",
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(4 + doc_id % 5 AS INT) AS width,
+                 CAST(4 + doc_id % 3 AS INT) AS height
+          FROM documents),
+        px AS (
+          SELECT doc_id, width, height,
+                 (7*doc_id + 13*x + 31*y) % 256 AS r,
+                 (11*doc_id + 17*x + 23*y) % 256 AS g,
+                 (5*doc_id + 19*x + 29*y) % 256 AS b
+          FROM dims, UNNEST(range(width)) AS tx(x), UNNEST(range(height)) AS ty(y)),
+        lum AS (
+          SELECT doc_id, width, height, r, g, b,
+                 ((r*299 + g*587 + b*114) // 1000) // 16 AS bin
+          FROM px)
+        SELECT doc_id, width, height,
+               CAST(SUM(r) AS DOUBLE) / (width*height) AS mean_r,
+               CAST(SUM(g) AS DOUBLE) / (width*height) AS mean_g,
+               CAST(SUM(b) AS DOUBLE) / (width*height) AS mean_b,
+               CAST(SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h00,
+               CAST(SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h01,
+               CAST(SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h02,
+               CAST(SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h03,
+               CAST(SUM(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h04,
+               CAST(SUM(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h05,
+               CAST(SUM(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h06,
+               CAST(SUM(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h07,
+               CAST(SUM(CASE WHEN bin = 8 THEN 1 ELSE 0 END) AS BIGINT) AS h08,
+               CAST(SUM(CASE WHEN bin = 9 THEN 1 ELSE 0 END) AS BIGINT) AS h09,
+               CAST(SUM(CASE WHEN bin = 10 THEN 1 ELSE 0 END) AS BIGINT) AS h10,
+               CAST(SUM(CASE WHEN bin = 11 THEN 1 ELSE 0 END) AS BIGINT) AS h11,
+               CAST(SUM(CASE WHEN bin = 12 THEN 1 ELSE 0 END) AS BIGINT) AS h12,
+               CAST(SUM(CASE WHEN bin = 13 THEN 1 ELSE 0 END) AS BIGINT) AS h13,
+               CAST(SUM(CASE WHEN bin = 14 THEN 1 ELSE 0 END) AS BIGINT) AS h14,
+               CAST(SUM(CASE WHEN bin = 15 THEN 1 ELSE 0 END) AS BIGINT) AS h15
+        FROM lum
+        GROUP BY doc_id, width, height"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val px = graft.operators.Multimodal.decodePixels(
+          graft.operators.Multimodal.synthesizeImages(
+            graft.operators.Fanout.forKernel(docs), "doc_id"), "doc_id")
+        val base = Seq(
+          col("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        val hist = (0 until 16).map(i =>
+          col("luma_hist").getItem(i).as(f"h$i%02d"))
+        px.toDF().select(base ++ hist: _*)
+      })
   )
 }
