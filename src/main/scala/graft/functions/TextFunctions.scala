@@ -219,4 +219,34 @@ object TextFunctions {
       stopRatio.as("stopword_ratio"),
       score.as("quality_score"))
   }
+
+  /** Two-label public suffixes the extractor recognizes (a bounded,
+    * explicitly-versioned subset of the public-suffix list — the full
+    * list is data, not code, and would ship as a broadcast lookup in
+    * production; the subset keeps the LOGIC oracle-checkable). */
+  val multiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "co.in", "co.kr", "com.cn", "com.mx")
+
+  /** Registrable domain (eTLD+1) of a URL — the per-site grain a crawl
+    * pipeline caps and rate-limits on: `a.b.site.co.uk` and
+    * `site.co.uk` must collapse to the same key, while `site.co.uk`
+    * and `site.org.uk` must not. Composed entirely from codegen'd
+    * built-ins: `parse_url(HOST)` → label split → suffix-aware take.
+    * Hosts with a recognized two-label suffix keep three labels,
+    * anything else keeps two; bare single-label hosts and malformed
+    * URLs (null host) pass through / stay null. */
+  def registrableDomain(url: Column): Column = {
+    val host = lower(parse_url(url, lit("HOST")))
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    when(host.isNull, lit(null).cast("string"))
+      .when(n >= 3 && last2.isin(multiPartSuffixes: _*),
+        concat_ws(".", element_at(parts, -3), last2))
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
 }

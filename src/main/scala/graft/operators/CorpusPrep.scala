@@ -60,4 +60,37 @@ object CorpusPrep {
       .filter(col("_rn") <= quotaPerLang)
       .select(col(idCol), col(langCol), col("_ntok").as("n_tokens"))
   }
+
+  /** Per-registrable-domain document cap — the crawl-pipeline staple
+    * that runs BEFORE any sampling: no single site may contribute more
+    * than `cap` documents, chosen in deterministic hash order so the
+    * kept set is reproducible and unbiased by ingest order.
+    *
+    * Domains are Zipfian — the head domain can hold double-digit
+    * percent of a crawl — so the obvious `row_number() OVER
+    * (PARTITION BY domain)` puts the whole head domain through ONE
+    * reducer (the same hot-window pathology q124 dodges for tokens).
+    * Instead the kept ids come from [[TopKAggregator]]: map-side
+    * partials hold ≤ cap entries per domain, so the exchange carries
+    * at most cap × partitions × |domains| rows no matter how hot the
+    * head domain is, and no reducer ever sees a domain's full row
+    * set. The aggregator keeps the LARGEST scores with ties broken on
+    * ascending id, so ascending (hashOrder, id) order maps exactly to
+    * score = −hashOrder (negation flips the order; equal buckets fall
+    * through to the aggregator's own ascending-id tiebreak).
+    *
+    * Returns one row per kept document: (registrable domain, id). */
+  def domainCap(
+      docs: DataFrame, urlCol: String, idCol: String, cap: Int): DataFrame = {
+    require(cap > 0)
+    val scored = docs.select(
+      T.registrableDomain(col(urlCol)).as("domain"),
+      col(idCol).cast("long").as("_id"))
+    scored
+      .groupBy(col("domain"))
+      .agg(TopKAggregator.topK(cap)(
+        -graft.Exact.hashOrder(col("_id"), 97).cast("double"),
+        col("_id")).as("_keep"))
+      .select(col("domain"), explode(col("_keep.id")).as(idCol))
+  }
 }

@@ -1166,6 +1166,56 @@ object Extended {
               hll_sketch_agg(year(col("o_orderdate")).cast("long"), lit(12)))
               .as("n_sketch"))),
 
+    // ---- q135: per-registrable-domain document cap — the crawl
+    // staple that runs before any sampling (no site contributes more
+    // than `cap` docs). Each doc gets a deterministic synthetic URL
+    // whose host is a closed-form function of doc_id with a Zipf-ish
+    // head (domain 0 holds ~45% of the corpus) and a mix of subdomain
+    // depths and multi-part public suffixes; the ENGINE runs the full
+    // url → parse_url(HOST) → label-split → suffix-aware eTLD+1 →
+    // bounded TopK cap path (CorpusPrep.domainCap — map-side ≤cap
+    // partials, no hot-domain window), while the ORACLE derives the
+    // registrable domain straight from the formula and replays the
+    // cap as a ROW_NUMBER spec — equal iff the extraction logic and
+    // the aggregator's (hashOrder, id) order both hold. ----
+    QuerySpec(
+      "q135_domain_cap",
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN b < 45 THEN 0 WHEN b < 70 THEN 1
+                      WHEN b < 85 THEN 2 ELSE 3 + b % 12 END AS di
+          FROM (SELECT doc_id, ${graft.Exact.hashOrderSql("doc_id", 100)} AS b
+                FROM documents)),
+        u AS (
+          SELECT doc_id,
+                 'site' || CAST(di AS VARCHAR) || '.' ||
+                 CASE di % 3 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+                      ELSE 'org' END AS domain
+          FROM d),
+        ranked AS (
+          SELECT domain, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY domain
+                   ORDER BY ${graft.Exact.hashOrderSql("doc_id", 97)}, doc_id) AS rn
+          FROM u)
+        SELECT domain, doc_id FROM ranked WHERE rn <= 20"""),
+      (s, dir) => {
+        val b = graft.Exact.hashOrder(col("doc_id"), 100)
+        val di = when(b < 45, 0).when(b < 70, 1).when(b < 85, 2)
+          .otherwise(lit(3) + pmod(b, lit(12))).cast("int")
+        val suffix = when(pmod(di, lit(3)) === 0, "co.uk")
+          .when(pmod(di, lit(3)) === 1, "com").otherwise("org")
+        val sub = when(pmod(col("doc_id"), lit(3)) === 1, "www.")
+          .when(pmod(col("doc_id"), lit(3)) === 2, "cdn.eu.")
+          .otherwise("")
+        val url = concat(
+          lit("https://"), sub, lit("site"), di.cast("string"),
+          lit("."), suffix, lit("/p/"), col("doc_id").cast("string"))
+        graft.operators.CorpusPrep.domainCap(
+          Tables.load(s, dir, "documents").withColumn("url", url),
+          "url", "doc_id", cap = 20)
+      }),
+
     // ---- q98: scalar subquery + NOT EXISTS anti-join (TPC-H Q22
     // shape) — above-average-balance customers with no completed ('F')
     // order, grouped by a hash band. Both subqueries stay sub-broadcast

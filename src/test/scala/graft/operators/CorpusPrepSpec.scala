@@ -53,4 +53,52 @@ class CorpusPrepSpec extends SparkSpec {
       "doc_id", "text", "lang", quotaPerLang = 30)
     assertSameRows(out, out2, "quota selection across partitionings")
   }
+
+  test("registrableDomain: eTLD+1 across subdomain depth and suffix shape") {
+    val cases = Seq(
+      ("https://www.site.co.uk/p/1", "site.co.uk"),     // multi-part suffix
+      ("https://a.b.site.co.uk/p/2", "site.co.uk"),     // deep subdomain folds
+      ("https://site.co.uk/p/3", "site.co.uk"),         // bare registrable
+      ("https://site.org.uk/x", "site.org.uk"),         // must NOT equal co.uk twin
+      ("https://www.example.com/q?x=1", "example.com"), // plain two-label
+      ("https://Example.COM/", "example.com"),          // case folds
+      ("https://cdn.eu.shop.com.au/i.png", "shop.com.au"),
+      ("https://localhost/admin", "localhost"),         // single label passes through
+      ("not a url at all", null)                        // malformed → null
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.functions.TextFunctions.registrableDomain(col("url")).as("d"))
+      .as[String].collect()
+    cases.zip(got).foreach { case ((url, want), d) =>
+      assert(d == want, s"$url → got $d, want $want")
+    }
+  }
+
+  test("domainCap: bounded per-domain, equals the window spec, partition-invariant") {
+    // Zipfian-ish: domain 'big.com' gets 70% of docs, others split the rest
+    val docs = (1L to 300L).map { i =>
+      val host =
+        if (i % 10 < 7) "www.big.com"
+        else if (i % 10 < 9) s"sub$i.mid.co.uk"
+        else "tail.org"
+      (i, s"https://$host/p/$i")
+    }.toDF("doc_id", "url")
+    val out = CorpusPrep.domainCap(docs, "url", "doc_id", cap = 15)
+    val perDomain = out.groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(perDomain == Map("big.com" -> 15L, "mid.co.uk" -> 15L, "tail.org" -> 15L),
+      s"got $perDomain")
+    // the kept set must equal the ROW_NUMBER specification
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(graft.Exact.hashOrder(col("doc_id"), 97), col("doc_id"))
+    val spec = docs
+      .select(graft.functions.TextFunctions.registrableDomain(col("url")).as("domain"),
+        col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 15)
+      .select("domain", "doc_id")
+    assertSameRows(out, spec, "TopK cap vs window spec")
+    assertSameRows(out, CorpusPrep.domainCap(docs.repartition(7), "url", "doc_id", 15),
+      "cap selection across partitionings")
+  }
 }
