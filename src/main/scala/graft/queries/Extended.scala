@@ -1381,36 +1381,10 @@ object Extended {
                END AS val,
                v IS NULL AS interpolated
         FROM filled"""),
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val daily = Tables.load(s, dir, "events")
-          .filter(col("event_type") === "purchase")
-          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-          .agg(sum(graft.Exact.cents(col("value"))).cast("long").as("v"))
-        val grid = daily.groupBy(col("user_id"))
-          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-          .select(col("user_id"),
-            explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
-        val wP = Window.partitionBy(col("user_id")).orderBy(col("day"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wN = Window.partitionBy(col("user_id")).orderBy(col("day"))
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        val markedDay = when(col("v").isNotNull, col("day"))
-        grid.join(daily, Seq("user_id", "day"), "left")
-          .select(col("user_id"), col("day"), col("v"),
-            last(col("v"), ignoreNulls = true).over(wP).as("pv"),
-            last(markedDay, ignoreNulls = true).over(wP).as("pd"),
-            first(col("v"), ignoreNulls = true).over(wN).as("nv"),
-            first(markedDay, ignoreNulls = true).over(wN).as("nd"))
-          .select(col("user_id"), col("day"),
-            when(col("v").isNotNull, col("v").cast("double"))
-              .otherwise(col("pv").cast("double")
-                + (col("nv") - col("pv")).cast("double")
-                  * (datediff(col("day"), col("pd")).cast("double")
-                    / datediff(col("nd"), col("pd")).cast("double")))
-              .as("val"),
-            col("v").isNull.as("interpolated"))
-      }),
+      (s, dir) =>
+        graft.operators.GapFill.interpolateDaily(
+          graft.operators.GapFill.dailyPurchases(
+            Tables.load(s, dir, "events")))),
 
     // ---- q102: nested IN-subqueries with aggregate HAVING (TPC-H Q20
     // shape) — suppliers who shipped a heavy volume of any matching

@@ -300,4 +300,70 @@ object StreamPipeline {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Streaming twin of q128's gap-fill + linear interpolation
+    * ([[graft.operators.GapFill]] — SAME definition, so the two cannot
+    * drift). Interpolation needs a user's whole observed series (the
+    * bracketing neighbors of a gap can arrive batches apart), so the
+    * incremental unit is the USER, not the row. Per micro-batch:
+    *
+    *  1. the batch's (user, day) cent deltas append to parquet state
+    *     (`stateBase`, [[IdempotentSink]] batch=N + _SUCCESS — the
+    *     daily-grain aggregate, far smaller than the event stream);
+    *  2. the merged committed state is re-aggregated for ONLY the
+    *     users this batch touched (a semi join — untouched users cost
+    *     nothing), and their full series is re-derived and landed
+    *     under `outBase/batch=N`.
+    *
+    * State commits BEFORE output: a crash between the two replays into
+    * a deterministic recompute from committed state (the state write
+    * skips on its marker), never a stale-output/fresh-state split.
+    * The current answer for a user is their series from the HIGHEST
+    * batch that touched them — [[latestSeries]] is that read-side
+    * resolve. Per-batch cost scales with touched users' spans, not
+    * with total state; at 100 TB the daily state is compacted by the
+    * same read-side aggregate every batch performs, and cold users
+    * never re-shuffle. */
+  def interpolateDailyStream(events: DataFrame,
+      stateBase: String, outBase: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", s"$outBase/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        interpolateDailyBatch(batch, batchId, stateBase, outBase)
+      }
+      .start()
+
+  /** One micro-batch of [[interpolateDailyStream]] — named so replay
+    * and crash-between-writes scenarios are directly testable. */
+  def interpolateDailyBatch(batch: DataFrame, batchId: Long,
+      stateBase: String, outBase: String): Unit = {
+    val spark = batch.sparkSession
+    val delta = graft.operators.GapFill.dailyPurchases(batch)
+    IdempotentSink.writeBatch(stateBase)(delta, batchId)
+    // merged committed state (now including this batch; identical on
+    // replay because the skipped re-write leaves the same dirs)
+    val committed = IdempotentSink.committedDirs(spark, stateBase)
+    val merged = spark.read.parquet(committed: _*)
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("v")).as("v"))
+    val touched = delta.select(col("user_id")).distinct()
+    val series = graft.operators.GapFill.interpolateDaily(
+      merged.join(touched, Seq("user_id"), "left_semi"))
+    IdempotentSink.writeBatch(outBase)(series, batchId)
+  }
+
+  /** Read-side resolve for [[interpolateDailyStream]] output: each
+    * user's series from the highest committed batch that touched them
+    * (later batches supersede — they re-derived the full series). */
+  def latestSeries(spark: org.apache.spark.sql.SparkSession,
+      outBase: String): DataFrame = {
+    val committed = IdempotentSink.committedDirs(spark, outBase)
+    require(committed.nonEmpty, s"no committed batches under $outBase")
+    val all = spark.read.option("basePath", outBase).parquet(committed: _*)
+    val latest = all.groupBy(col("user_id"))
+      .agg(max(col("batch")).as("batch"))
+    all.join(latest, Seq("user_id", "batch"))
+      .drop("batch")
+  }
 }

@@ -454,4 +454,78 @@ class StreamPipelineSpec extends SparkSpec {
         signals(data.toDF("doc_id", "text")), "fused signals stream vs batch")
     } finally q.stop()
   }
+
+  // ---- streaming gap-fill interpolation (q128's twin) ----
+
+  private def eventsDF(rows: (Long, String, Double, String)*) =
+    rows.toDF("user_id", "ts", "value", "event_type")
+      .withColumn("ts", to_timestamp(col("ts")))
+
+  private def batchAnswer(all: org.apache.spark.sql.DataFrame) =
+    graft.operators.GapFill.interpolateDaily(
+      graft.operators.GapFill.dailyPurchases(all))
+
+  test("streaming gap-fill interpolation == batch over micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-gap-out").toString + "/out"
+    val st = java.nio.file.Files.createTempDirectory("graft-gap-st").toString + "/state"
+    // u1's gap neighbors arrive two batches apart; u1 day1 gets a
+    // second contribution in batch 2 (state must SUM across batches);
+    // the view event must be filtered out
+    val b0 = Seq((1L, "2024-01-01 10:00:00", 10.0, "purchase"),
+      (1L, "2024-01-04 09:00:00", 16.0, "purchase"),
+      (3L, "2024-01-02 12:00:00", 5.0, "purchase"),
+      (3L, "2024-01-02 13:00:00", 99.0, "view"))
+    val b1 = Seq((2L, "2024-01-10 08:00:00", 3.0, "purchase"),
+      (3L, "2024-01-05 18:00:00", 7.0, "purchase"))
+    val b2 = Seq((1L, "2024-01-06 11:00:00", 1.0, "purchase"),
+      (1L, "2024-01-01 23:00:00", 2.5, "purchase"))
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val q = StreamPipeline.interpolateDailyStream(
+      mem.toDF.toDF("user_id", "ts", "value", "event_type")
+        .withColumn("ts", to_timestamp(col("ts"))), st, out)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assertSameRows(
+      StreamPipeline.latestSeries(spark, out),
+      batchAnswer(eventsDF(b0 ++ b1 ++ b2: _*)),
+      "streamed interpolation vs one-shot batch")
+  }
+
+  test("gap-fill replay (foreachBatch redelivery) changes nothing") {
+    val out = java.nio.file.Files.createTempDirectory("graft-gapr-out").toString + "/out"
+    val st = java.nio.file.Files.createTempDirectory("graft-gapr-st").toString + "/state"
+    val b0 = Seq((1L, "2024-01-01 10:00:00", 10.0, "purchase"),
+      (1L, "2024-01-03 09:00:00", 4.0, "purchase"))
+    val b1 = Seq((1L, "2024-01-05 09:00:00", 6.0, "purchase"),
+      (2L, "2024-01-02 10:00:00", 8.0, "purchase"))
+    StreamPipeline.interpolateDailyBatch(eventsDF(b0: _*), 0L, st, out)
+    StreamPipeline.interpolateDailyBatch(eventsDF(b1: _*), 1L, st, out)
+    val before = StreamPipeline.latestSeries(spark, out).collect().toSet
+    StreamPipeline.interpolateDailyBatch(eventsDF(b1: _*), 1L, st, out) // redelivery
+    assert(StreamPipeline.latestSeries(spark, out).collect().toSet == before,
+      "replayed batch must be a no-op on both state and output")
+    assertSameRows(StreamPipeline.latestSeries(spark, out),
+      batchAnswer(eventsDF(b0 ++ b1: _*)), "post-replay parity")
+  }
+
+  test("crash between state commit and output write heals on redelivery") {
+    val out = java.nio.file.Files.createTempDirectory("graft-gapc-out").toString + "/out"
+    val st = java.nio.file.Files.createTempDirectory("graft-gapc-st").toString + "/state"
+    val b0 = Seq((1L, "2024-01-01 10:00:00", 10.0, "purchase"),
+      (1L, "2024-01-04 09:00:00", 16.0, "purchase"))
+    val b1 = Seq((1L, "2024-01-06 11:00:00", 1.0, "purchase"))
+    StreamPipeline.interpolateDailyBatch(eventsDF(b0: _*), 0L, st, out)
+    StreamPipeline.interpolateDailyBatch(eventsDF(b1: _*), 1L, st, out)
+    // crash model: state batch=1 committed, output batch=1 torn
+    val marker = new java.io.File(s"$out/batch=1/_SUCCESS")
+    assert(marker.exists() && marker.delete())
+    StreamPipeline.interpolateDailyBatch(eventsDF(b1: _*), 1L, st, out) // redelivery
+    assertSameRows(StreamPipeline.latestSeries(spark, out),
+      batchAnswer(eventsDF(b0 ++ b1: _*)),
+      "healed output must equal the batch answer (series spans day 1..6)")
+  }
 }
