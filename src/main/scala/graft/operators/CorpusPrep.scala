@@ -93,4 +93,27 @@ object CorpusPrep {
         col("_id")).as("_keep"))
       .select(col("domain"), explode(col("_keep.id")).as(idCol))
   }
+
+  /** Domain-co-assigned train/valid/test split — the leakage rule at
+    * the SITE grain: every page of one registrable domain lands in the
+    * same split (near-copies and shared boilerplate live within a
+    * site, so a domain straddling train/test leaks eval content). The
+    * bucket is the first md5 byte of the eTLD+1 — a pure per-row
+    * projection, ZERO exchanges at any scale, deterministic across
+    * runs and ingest order. Percent cuts quantize to the 256-bucket
+    * grain (80/10/10 → 204/26/26ths of the byte range). Adds `domain`
+    * and `split` columns. */
+  def domainSplit(docs: DataFrame, urlCol: String,
+      trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100)
+    val cut1 = 256 * trainPct / 100
+    val cut2 = 256 * (trainPct + validPct) / 100
+    val hexByte = conv(substring(md5(col("domain")), 1, 2), 16, 10).cast("int")
+    docs
+      .withColumn("domain", T.registrableDomain(col(urlCol)))
+      .withColumn("split",
+        when(hexByte < cut1, "train")
+          .when(hexByte < cut2, "valid")
+          .otherwise("test"))
+  }
 }

@@ -16,6 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object Extended {
 
+  /** Deterministic synthetic URL for the domain-grain queries
+    * (q135/q136): host is a closed-form function of doc_id with a
+    * Zipf-ish head (domain 0 ≈ 45% of the corpus), mixed subdomain
+    * depths, and a mix of plain and multi-part public suffixes. The
+    * oracles re-derive the registrable domain from the same formula,
+    * so the engine's parse_url → eTLD+1 path is checked end to end. */
+  private def synthUrl: org.apache.spark.sql.Column = {
+    val b = graft.Exact.hashOrder(col("doc_id"), 100)
+    val di = when(b < 45, 0).when(b < 70, 1).when(b < 85, 2)
+      .otherwise(lit(3) + pmod(b, lit(12))).cast("int")
+    val suffix = when(pmod(di, lit(3)) === 0, "co.uk")
+      .when(pmod(di, lit(3)) === 1, "com").otherwise("org")
+    val sub = when(pmod(col("doc_id"), lit(3)) === 1, "www.")
+      .when(pmod(col("doc_id"), lit(3)) === 2, "cdn.eu.")
+      .otherwise("")
+    concat(
+      lit("https://"), sub, lit("site"), di.cast("string"),
+      lit("."), suffix, lit("/p/"), col("doc_id").cast("string"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- q54: stratified sampling — fixed quota per stratum, chosen by
@@ -1199,22 +1219,47 @@ object Extended {
                    ORDER BY ${graft.Exact.hashOrderSql("doc_id", 97)}, doc_id) AS rn
           FROM u)
         SELECT domain, doc_id FROM ranked WHERE rn <= 20"""),
-      (s, dir) => {
-        val b = graft.Exact.hashOrder(col("doc_id"), 100)
-        val di = when(b < 45, 0).when(b < 70, 1).when(b < 85, 2)
-          .otherwise(lit(3) + pmod(b, lit(12))).cast("int")
-        val suffix = when(pmod(di, lit(3)) === 0, "co.uk")
-          .when(pmod(di, lit(3)) === 1, "com").otherwise("org")
-        val sub = when(pmod(col("doc_id"), lit(3)) === 1, "www.")
-          .when(pmod(col("doc_id"), lit(3)) === 2, "cdn.eu.")
-          .otherwise("")
-        val url = concat(
-          lit("https://"), sub, lit("site"), di.cast("string"),
-          lit("."), suffix, lit("/p/"), col("doc_id").cast("string"))
+      (s, dir) =>
         graft.operators.CorpusPrep.domainCap(
-          Tables.load(s, dir, "documents").withColumn("url", url),
-          "url", "doc_id", cap = 20)
-      }),
+          Tables.load(s, dir, "documents").withColumn("url", synthUrl),
+          "url", "doc_id", cap = 20)),
+
+    // ---- q136: domain-co-assigned train/valid/test split — q125's
+    // leakage discipline at the SITE grain (pages of one registrable
+    // domain must not straddle splits, or eval leaks through
+    // boilerplate and near-copies hosted on the training side). The
+    // split bucket is the first md5 byte of the eTLD+1, so assignment
+    // is a pure per-row projection — ZERO exchanges at any scale. The
+    // engine goes url → parse_url → eTLD+1 → md5 bucket; the oracle
+    // re-derives the domain closed-form and folds the same hex pair. ----
+    QuerySpec(
+      "q136_domain_split",
+      Some(s"""
+        WITH u AS (
+          SELECT doc_id,
+                 'site' || CAST(di AS VARCHAR) || '.' ||
+                 CASE di % 3 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+                      ELSE 'org' END AS domain
+          FROM (
+            SELECT doc_id,
+                   CASE WHEN b < 45 THEN 0 WHEN b < 70 THEN 1
+                        WHEN b < 85 THEN 2 ELSE 3 + b % 12 END AS di
+            FROM (SELECT doc_id, ${graft.Exact.hashOrderSql("doc_id", 100)} AS b
+                  FROM documents))),
+        hb AS (
+          SELECT doc_id, domain,
+                 (strpos('0123456789abcdef', md5(domain)[1]) - 1) * 16
+                 + (strpos('0123456789abcdef', md5(domain)[2]) - 1) AS b
+          FROM u)
+        SELECT doc_id, domain,
+               CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM hb"""),
+      (s, dir) =>
+        graft.operators.CorpusPrep.domainSplit(
+          Tables.load(s, dir, "documents").withColumn("url", synthUrl),
+          "url")
+          .select(col("doc_id"), col("domain"), col("split"))),
 
     // ---- q98: scalar subquery + NOT EXISTS anti-join (TPC-H Q22
     // shape) — above-average-balance customers with no completed ('F')

@@ -101,4 +101,22 @@ class CorpusPrepSpec extends SparkSpec {
     assertSameRows(out, CorpusPrep.domainCap(docs.repartition(7), "url", "doc_id", 15),
       "cap selection across partitionings")
   }
+
+  test("domainSplit: co-assignment per domain, all splits populated, no shuffle") {
+    val docs = (1L to 600L).map { i =>
+      (i, s"https://${if (i % 2 == 0) "www." else ""}site${i % 40}.co.uk/p/$i")
+    }.toDF("doc_id", "url")
+    val out = CorpusPrep.domainSplit(docs, "url")
+    // leakage rule: every domain maps to exactly one split
+    val perDomain = out.groupBy("domain")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count()
+    assert(perDomain == 0, "a domain must never straddle splits")
+    val splits = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits.keySet == Set("train", "valid", "test"),
+      s"40 domains must hit all three buckets: $splits")
+    assert(splits("train") > splits("test"), s"cuts must skew to train: $splits")
+    // pure projection: the split assignment plan contains no exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"domainSplit must not shuffle:\n$plan")
+  }
 }
