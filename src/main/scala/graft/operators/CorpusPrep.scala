@@ -81,12 +81,20 @@ object CorpusPrep {
     *
     * Returns one row per kept document: (registrable domain, id). */
   def domainCap(
-      docs: DataFrame, urlCol: String, idCol: String, cap: Int): DataFrame = {
+      docs: DataFrame, urlCol: String, idCol: String, cap: Int): DataFrame =
+    capByDomain(
+      docs.select(
+        T.registrableDomain(col(urlCol)).as("domain"),
+        col(idCol).cast("long").as(idCol)),
+      idCol, cap)
+
+  /** The cap half of [[domainCap]] on an already-extracted
+    * (domain, id) frame — also the merge step of the streaming twin
+    * (`StreamPipeline.domainCapStream`): TopK merge is associative, so
+    * re-capping `state ∪ batch` equals capping all data ever seen. */
+  def capByDomain(df: DataFrame, idCol: String, cap: Int): DataFrame = {
     require(cap > 0)
-    val scored = docs.select(
-      T.registrableDomain(col(urlCol)).as("domain"),
-      col(idCol).cast("long").as("_id"))
-    scored
+    df.select(col("domain"), col(idCol).cast("long").as("_id"))
       .groupBy(col("domain"))
       .agg(TopKAggregator.topK(cap)(
         -graft.Exact.hashOrder(col("_id"), 97).cast("double"),

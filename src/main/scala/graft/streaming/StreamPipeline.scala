@@ -353,17 +353,72 @@ object StreamPipeline {
     IdempotentSink.writeBatch(outBase)(series, batchId)
   }
 
-  /** Read-side resolve for [[interpolateDailyStream]] output: each
-    * user's series from the highest committed batch that touched them
-    * (later batches supersede — they re-derived the full series). */
-  def latestSeries(spark: org.apache.spark.sql.SparkSession,
-      outBase: String): DataFrame = {
-    val committed = IdempotentSink.committedDirs(spark, outBase)
-    require(committed.nonEmpty, s"no committed batches under $outBase")
-    val all = spark.read.option("basePath", outBase).parquet(committed: _*)
-    val latest = all.groupBy(col("user_id"))
+  /** Read-side resolve for supersede-per-batch state/output layouts
+    * ([[interpolateDailyStream]], [[domainCapStream]]): each key's rows
+    * from the HIGHEST committed batch that touched it — later batches
+    * re-derived the key's full answer, so they supersede. Returns an
+    * empty frame of schema `ddlIfEmpty` when nothing is committed. */
+  def latestPerKey(spark: org.apache.spark.sql.SparkSession,
+      base: String, keyCol: String, ddlIfEmpty: String): DataFrame = {
+    val committed = IdempotentSink.committedDirs(spark, base)
+    if (committed.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddlIfEmpty))
+    val all = spark.read.option("basePath", base).parquet(committed: _*)
+    val latest = all.groupBy(col(keyCol))
       .agg(max(col("batch")).as("batch"))
-    all.join(latest, Seq("user_id", "batch"))
+    all.join(latest, Seq(keyCol, "batch"))
       .drop("batch")
   }
+
+  /** Read-side resolve for [[interpolateDailyStream]] output. */
+  def latestSeries(spark: org.apache.spark.sql.SparkSession,
+      outBase: String): DataFrame =
+    latestPerKey(spark, outBase, "user_id",
+      "user_id BIGINT, day DATE, val DOUBLE, interpolated BOOLEAN")
+
+  /** Streaming twin of [[graft.operators.CorpusPrep.domainCap]] — the
+    * per-registrable-domain document cap maintained incrementally. The
+    * batch cap is a deterministic hash-order top-k per domain, and
+    * TopK merge is associative, so the streaming form keeps, per
+    * domain, the current ≤cap kept set at rest in parquet and merges
+    * each batch's candidates into it: batch ∪ state → topK — the
+    * merged set provably equals the batch operator over all data seen
+    * (asserted in tests), independent of arrival order or batch
+    * boundaries. Per-batch cost scales with touched domains × cap,
+    * never with corpus size; untouched domains are never read
+    * ([[latestPerKey]] supersede layout, same discipline as the
+    * interpolation twin). Replay skips on the _SUCCESS marker. */
+  def domainCapStream(docs: DataFrame, urlCol: String, idCol: String,
+      cap: Int, stateBase: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", s"$stateBase/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        domainCapBatch(batch, batchId, urlCol, idCol, cap, stateBase)
+      }
+      .start()
+
+  /** One micro-batch of [[domainCapStream]] — named so replay scenarios
+    * are directly testable. */
+  def domainCapBatch(batch: DataFrame, batchId: Long,
+      urlCol: String, idCol: String, cap: Int, stateBase: String): Unit = {
+    val spark = batch.sparkSession
+    val cand = graft.operators.CorpusPrep.domainCap(batch, urlCol, idCol, cap)
+    val touched = cand.select(col("domain")).distinct()
+    val prior = latestPerKey(spark, stateBase, "domain",
+      s"domain STRING, $idCol BIGINT")
+      .join(touched, Seq("domain"), "left_semi")
+    // batch ∪ prior kept → re-cap; associativity of the TopK merge
+    // makes this equal to capping all data seen so far
+    val merged = graft.operators.CorpusPrep.capByDomain(
+      cand.unionByName(prior), idCol, cap)
+    IdempotentSink.writeBatch(stateBase)(merged, batchId)
+  }
+
+  /** Read-side resolve for [[domainCapStream]]: the current kept set. */
+  def currentKept(spark: org.apache.spark.sql.SparkSession,
+      stateBase: String, idCol: String): DataFrame =
+    latestPerKey(spark, stateBase, "domain", s"domain STRING, $idCol BIGINT")
 }

@@ -528,4 +528,42 @@ class StreamPipelineSpec extends SparkSpec {
       batchAnswer(eventsDF(b0 ++ b1: _*)),
       "healed output must equal the batch answer (series spans day 1..6)")
   }
+
+  // ---- streaming per-domain cap (q135's twin) ----
+
+  private def urlDocs(ids: Seq[Long]) = ids.map { i =>
+    val host = if (i % 3 == 0) "www.big.com" else s"site${i % 4}.co.uk"
+    (i, s"https://$host/p/$i")
+  }.toDF("doc_id", "url")
+
+  test("streaming domain cap == batch cap regardless of batch boundaries") {
+    val st = java.nio.file.Files.createTempDirectory("graft-cap-st").toString + "/state"
+    val all = (1L to 120L)
+    val splits = Seq(all.slice(0, 40), all.slice(40, 90), all.slice(90, 120))
+    splits.zipWithIndex.foreach { case (ids, bi) =>
+      StreamPipeline.domainCapBatch(urlDocs(ids), bi.toLong, "url", "doc_id", 5, st)
+    }
+    assertSameRows(
+      StreamPipeline.currentKept(spark, st, "doc_id"),
+      graft.operators.CorpusPrep.domainCap(urlDocs(all), "url", "doc_id", 5),
+      "incremental cap vs one-shot batch cap")
+    // arrival-order invariance: reversed batches give the same kept set
+    val st2 = java.nio.file.Files.createTempDirectory("graft-cap-st2").toString + "/state"
+    splits.reverse.zipWithIndex.foreach { case (ids, bi) =>
+      StreamPipeline.domainCapBatch(urlDocs(ids), bi.toLong, "url", "doc_id", 5, st2)
+    }
+    assertSameRows(
+      StreamPipeline.currentKept(spark, st2, "doc_id"),
+      StreamPipeline.currentKept(spark, st, "doc_id"),
+      "kept set must not depend on arrival order")
+  }
+
+  test("domain cap replay (foreachBatch redelivery) is a no-op") {
+    val st = java.nio.file.Files.createTempDirectory("graft-capr-st").toString + "/state"
+    StreamPipeline.domainCapBatch(urlDocs(1L to 50L), 0L, "url", "doc_id", 5, st)
+    StreamPipeline.domainCapBatch(urlDocs(51L to 80L), 1L, "url", "doc_id", 5, st)
+    val before = StreamPipeline.currentKept(spark, st, "doc_id").collect().toSet
+    StreamPipeline.domainCapBatch(urlDocs(51L to 80L), 1L, "url", "doc_id", 5, st)
+    assert(StreamPipeline.currentKept(spark, st, "doc_id").collect().toSet == before)
+  }
 }
