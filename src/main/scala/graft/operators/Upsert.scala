@@ -31,4 +31,29 @@ object Upsert {
       .filter(col("_rn") === 1)
       .drop("_rn", "_src")
   }
+
+  /** Snapshot diff — [[merge]]'s read-side complement: classify every
+    * key across two corpus VERSIONS as added / removed / changed /
+    * unchanged by a content fingerprint. This is the audit every
+    * versioned corpus build publishes between releases (what did the
+    * re-crawl actually change?) and the input to incremental
+    * downstream recomputes (only `added ∪ changed` re-embeds).
+    *
+    * `fingerprint` is evaluated against each side's own columns (use a
+    * cross-engine-checkable hash like `md5(text)` when an oracle
+    * matters). One shuffle per side into the full-outer join on the
+    * key — the same exchange any keyed reconciliation pays; at scale
+    * both sides prune to (key, hash) before shuffling, so the wire
+    * carries fingerprints, never documents. */
+  def diff(v1: DataFrame, v2: DataFrame,
+      keyCol: String, fingerprint: org.apache.spark.sql.Column): DataFrame = {
+    val a = v1.select(col(keyCol), fingerprint.as("_h1"))
+    val b = v2.select(col(keyCol), fingerprint.as("_h2"))
+    a.join(b, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("_h1").isNull, "added")
+          .when(col("_h2").isNull, "removed")
+          .when(col("_h1") =!= col("_h2"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

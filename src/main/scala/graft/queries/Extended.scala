@@ -1261,6 +1261,47 @@ object Extended {
           "url")
           .select(col("doc_id"), col("domain"), col("split"))),
 
+    // ---- q137: corpus snapshot diff — the release audit between two
+    // corpus versions (added / removed / changed / unchanged by
+    // content fingerprint), and the input to incremental recomputes
+    // (only added ∪ changed re-embeds). The two versions derive
+    // closed-form from `documents`: v1 drops the top 10% of the id
+    // hash, v2 drops the bottom 5% and rewrites every 13th-bucket
+    // text — all four statuses fire at gate scale. Both sides prune
+    // to (id, md5) before the full-outer join, so the exchange
+    // carries fingerprints, never documents. ----
+    QuerySpec(
+      "q137_snapshot_diff",
+      Some(s"""
+        WITH h AS (
+          SELECT doc_id, text,
+                 ${graft.Exact.hashOrderSql("doc_id", 100)} AS hb,
+                 ${graft.Exact.hashOrderSql("doc_id", 13)} AS hc
+          FROM documents),
+        v1 AS (
+          SELECT doc_id, md5(text) AS h1 FROM h WHERE hb < 90),
+        v2 AS (
+          SELECT doc_id,
+                 md5(CASE WHEN hc = 3 THEN text || ' [rev2]' ELSE text END) AS h2
+          FROM h WHERE hb >= 5)
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN h1 <> h2 THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val hb = graft.Exact.hashOrder(col("doc_id"), 100)
+        val hc = graft.Exact.hashOrder(col("doc_id"), 13)
+        val v1 = docs.filter(hb < 90)
+        val v2 = docs.filter(hb >= 5)
+          .withColumn("text",
+            when(hc === 3, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")))
+        graft.operators.Upsert.diff(v1, v2, "doc_id", md5(col("text")))
+      }),
+
     // ---- q98: scalar subquery + NOT EXISTS anti-join (TPC-H Q22
     // shape) — above-average-balance customers with no completed ('F')
     // order, grouped by a hash band. Both subqueries stay sub-broadcast

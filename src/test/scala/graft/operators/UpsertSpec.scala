@@ -26,4 +26,28 @@ class UpsertSpec extends SparkSpec {
     assert(merged.groupBy("k").count().filter($"count" > 1).count() == 0)
     assert(merged.count() == 10) // keys 0..9
   }
+
+  test("diff classifies added, removed, changed, unchanged") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((2L, "beta"), (3L, "gamma prime"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val got = Upsert.diff(v1, v2, "doc_id", md5(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    // round-trip with merge: applying v2's adds+changes onto v1 via
+    // merge, then dropping removals, reconstructs v2 exactly
+    val delta = Upsert.diff(v1, v2, "doc_id", md5(col("text")))
+    val applied = Upsert.merge(
+        v1.withColumn("ver", org.apache.spark.sql.functions.lit(1L)),
+        v2.join(delta.filter(col("status").isin("added", "changed")),
+          Seq("doc_id"), "left_semi")
+          .withColumn("ver", org.apache.spark.sql.functions.lit(2L)),
+        "doc_id", "ver")
+      .join(delta.filter(col("status") === "removed"), Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
+    assertSameRows(applied, v2, "diff→merge round-trip")
+  }
 }
