@@ -102,6 +102,46 @@ object CorpusPrep {
       .select(col("domain"), explode(col("_keep.id")).as(idCol))
   }
 
+  /** Target-mixture rebalancing — the corpus-mixing move before
+    * training: thin each language (or any stratum) so the surviving
+    * corpus matches a target share vector at the LARGEST achievable
+    * size. The binding stratum is the one scarcest relative to its
+    * target (kept almost whole); everything else thins toward it.
+    *
+    * `sharesMillis` maps stratum → target share in thousandths
+    * (must sum to ≤1000); strata absent from the map are dropped.
+    * Achievable total T = min over strata of ⌊n·1000/share⌋; each
+    * stratum keeps ids whose hash falls under rate = T·share/1000/n —
+    * deterministic, reproducible, unbiased by ingest order. Kept
+    * counts land within O(hash-grain) of T·share/1000 (rate thinning,
+    * not exact quotas — a per-stratum rank would put a whole hot
+    * language through one reducer at scale; the q54 quota form covers
+    * the exact-rank variant where strata are small).
+    *
+    * Scale shape: one stratum-grain aggregate (map-side combine, ≤
+    * |strata|×partitions partial rows), its 1-row min, both broadcast
+    * back; the corpus itself is scanned, filtered map-side, and NEVER
+    * shuffles. All arithmetic is int64 (h·n < T·share·100 with
+    * h < 10⁵ keeps every product well under 2⁶³ for corpus sizes past
+    * 10¹⁰ docs). */
+  def rebalanceMixture(docs: DataFrame, strataCol: String, idCol: String,
+      sharesMillis: Map[String, Int]): DataFrame = {
+    require(sharesMillis.nonEmpty && sharesMillis.values.forall(_ > 0))
+    require(sharesMillis.values.sum <= 1000, "target shares exceed 100%")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shares = sharesMillis.toSeq.toDF(strataCol, "_share")
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+      .join(broadcast(shares), strataCol)
+    val t = counts.agg(min(expr("_n * 1000 div _share")).as("_t"))
+    val h = graft.Exact.hashOrder(col(idCol), 100000)
+    docs
+      .join(broadcast(counts), strataCol)
+      .crossJoin(broadcast(t))
+      .filter(h * col("_n") < col("_t") * col("_share") * 100)
+      .select(col(idCol), col(strataCol))
+  }
+
   /** Domain-co-assigned train/valid/test split — the leakage rule at
     * the SITE grain: every page of one registrable domain lands in the
     * same split (near-copies and shared boilerplate live within a

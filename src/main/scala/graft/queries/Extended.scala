@@ -1302,6 +1302,30 @@ object Extended {
         graft.operators.Upsert.diff(v1, v2, "doc_id", md5(col("text")))
       }),
 
+    // ---- q138: target-mixture rebalancing — thin each language to a
+    // target share vector (en 30%, others 17.5%) at the largest
+    // achievable corpus size; the scarcest-vs-target language binds
+    // and survives nearly whole. Rate thinning by the overflow-proof
+    // id hash: the corpus never shuffles (stratum counts + the 1-row
+    // achievable total broadcast back), selection is reproducible and
+    // ingest-order-free. ----
+    QuerySpec(
+      "q138_mixture_rebalance",
+      Some(s"""
+        WITH c AS (
+          SELECT lang, COUNT(*) AS n,
+                 CASE WHEN lang = 'en' THEN 300 ELSE 175 END AS share
+          FROM documents GROUP BY lang),
+        t AS (SELECT MIN(n * 1000 // share) AS tt FROM c)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN c USING (lang) CROSS JOIN t
+        WHERE ${graft.Exact.hashOrderSql("d.doc_id", 100000)} * n
+              < tt * share * 100"""),
+      (s, dir) =>
+        graft.operators.CorpusPrep.rebalanceMixture(
+          Tables.load(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 300, "de" -> 175, "fr" -> 175, "es" -> 175, "zh" -> 175))),
+
     // ---- q98: scalar subquery + NOT EXISTS anti-join (TPC-H Q22
     // shape) — above-average-balance customers with no completed ('F')
     // order, grouped by a hash band. Both subqueries stay sub-broadcast
