@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver invokes Bench via sbt and parses a JSON line from a
+// ~2 KB stdout tail. sbt's default LoggedOutput prefixes every line of
+// forked-process output with "[info] " and appends its own
+// "[success] Total time: ..." line, so NO program line ever reaches the
+// driver as parseable JSON (BENCH_r01..r09: parsed null every round,
+// even with the sub-200-byte compact summary line present in the tail).
+// StdoutOutput pipes the child's stdout through verbatim; showSuccess
+// drops the trailing "[success]" line, so the process's last stdout line
+// is exactly what the program printed last.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -149,6 +149,15 @@ object Bench {
       for ((name, fn) <- order if spent < budgetSec) sample(name, fn, pass)
       println(summaryLine(pass)); println(compactLine(pass)); System.out.flush()
     }
+    // Final re-print AFTER logging is forced off and the session is
+    // stopped: executor/shutdown WARNs can otherwise interleave into the
+    // captured tail after the summary (the r6 artifact ended on
+    // SimpleFunctionRegistry WARNs). With logs off and sbt's output
+    // passthrough (build.sbt: StdoutOutput + showSuccess:=false), the
+    // process's final stdout line is always this complete <200-byte JSON
+    // object, whatever the driver's tail-buffer size.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(summaryLine(reps)); println(compactLine(reps)); System.out.flush()
   }
 }
