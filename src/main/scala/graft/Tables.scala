@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated synthetic tables (TESTDATA.md).
   *
@@ -18,13 +18,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    // raw long (nanosAsLong, set in Verify/Bench/tests); surface it as a
-    // proper TimestampType (microsecond truncation) for the engine.
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) (read as a raw
+    // long via nanosAsLong) and as TIMESTAMP(MICROS) NTZ, depending on
+    // the generator version; surface both as a proper TimestampType.
+    // The NTZ→TIMESTAMP cast is exact because every session pins UTC.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact integer µs
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 

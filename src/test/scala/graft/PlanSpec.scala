@@ -104,6 +104,7 @@ class PlanSpec extends SparkSpec {
     // truth) or broadcast-scan a tiny centroid table: BNLJ is the design
     val deliberate = Set(
       "q20_like_nullout",          // 1-row grand-total broadcast cross join (replaces global window)
+      "q138_mixture_rebalance",    // 1-row achievable-total broadcast cross join (same pattern as q20)
       "q39_jaccard_top_pairs",     // brute Jaccard baseline (bounded slice)
       "q41_ann_bruteforce_topk",   // exact ANN ground truth
       "q44_ann_ivf_topk",          // centroid assignment: corpus x 16 centroids
