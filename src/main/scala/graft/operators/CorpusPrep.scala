@@ -142,6 +142,33 @@ object CorpusPrep {
       .select(col(idCol), col(strataCol))
   }
 
+  /** Boilerplate shingle detection — the CCNet/RefinedWeb move of
+    * finding content repeated across many documents of the same origin
+    * (navigation chrome, license footers, templated headers) so a later
+    * pass can strip or down-weight it. A word n-gram counts as
+    * boilerplate for a source when it appears in ≥ `minDocs` DISTINCT
+    * documents of that source; an absolute document count (not a
+    * fraction) is the production rule — template strings repeat a fixed
+    * number of times per site regardless of crawl size.
+    *
+    * Scale shape: `array_distinct` collapses within-document repeats
+    * BEFORE the explode, so the exploded row count is bounded by
+    * distinct-shingles-per-doc; the one shuffle is the
+    * (source, shingle)-grain count with map-side partial aggregation,
+    * and the threshold filter runs on the aggregated side. The corpus
+    * text itself never moves — only shingle strings do. Returns
+    * `(srcCol, shingle, n_docs)`. */
+  def boilerplateShingles(docs: DataFrame, srcCol: String, textCol: String,
+      n: Int = 2, minDocs: Int = 5): DataFrame = {
+    require(n >= 1 && minDocs >= 2)
+    docs
+      .select(col(srcCol),
+        explode(array_distinct(T.shingles(col(textCol), n))).as("shingle"))
+      .groupBy(col(srcCol), col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Domain-co-assigned train/valid/test split — the leakage rule at
     * the SITE grain: every page of one registrable domain lands in the
     * same split (near-copies and shared boilerplate live within a

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge-list DataFrames.
+  *
+  * The reference pipeline has no graph stage, but a training-corpus
+  * build needs one: domain-authority scoring (a quality prior for web
+  * documents) is a PageRank over the inter-domain link graph. The
+  * engine form is the classic synchronous power iteration expressed as
+  * K join+groupBy rounds — each round shuffles only the EDGE list
+  * (grouped by destination), never the corpus, and the edge share
+  * table is computed once and persisted across rounds.
+  *
+  * All arithmetic is 64-bit fixed point (no doubles anywhere), so the
+  * result is bit-identical on any engine / partitioning / iteration
+  * order — which also puts it under the DuckDB recursive-CTE oracle
+  * (q141). */
+object Graph {
+
+  /** Fixed-point PageRank.
+    *
+    * @param edges `(src: long, dst: long, w: long)` weighted directed
+    *              edges; parallel edges are summed.
+    * @param nodes `(node: long)` the full node set (isolated nodes keep
+    *              receiving the teleport share).
+    * @param iterations synchronous rounds (K). Production graphs want
+    *                   `localCheckpoint` every ~10 rounds to truncate
+    *                   lineage; at the K≤10 this engine exposes, the
+    *                   joined plan stays shallow enough as-is.
+    * @param scale fixed-point denominator for rank mass (default 1e9:
+    *              rank·share products stay well under 2^63).
+    *
+    * Determinism: per-edge transition shares are pre-quantized to
+    * millionths (`w·1e6 div outW`), per-round contributions are
+    * `r·s div 1e6`, and the damping mix is `base + 85·sum div 100` —
+    * integer ops only, so the sum is order-insensitive and floor
+    * placement is fixed. Dangling mass (nodes with no out-edges) is
+    * dropped, the standard simplification; every node stays addressable
+    * through a zero-share self-loop so the result always has one row
+    * per node.
+    *
+    * Scale: the corpus-sized object here is `edges` (domains link a
+    * lot); each round is one shuffle of the edge join keyed by `dst`
+    * with map-side partial aggregation. `ranks` is one row per NODE —
+    * orders of magnitude smaller — and broadcast-joins into the edge
+    * scan when it fits, so rounds never shuffle twice. */
+  def pageRankFixedPoint(
+      edges: DataFrame, nodes: DataFrame,
+      iterations: Int = 5, scale: Long = 1000000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(iterations >= 1 && scale >= 1000000L)
+    val dedup = edges.groupBy("src", "dst").agg(sum("w").as("w"))
+    val outw = dedup.groupBy("src").agg(sum("w").as("_outw"))
+    // transition shares in millionths; zero-share self-loops keep every
+    // node (isolated or dangling-only-in) present in each round's output
+    // outw is one row per node with out-edges — node-sized, like ranks:
+    // broadcast it so share computation never re-shuffles the edge list
+    val eshare = dedup.join(broadcast(outw), "src")
+      .select(col("src"), col("dst"), expr("w * 1000000 div _outw").as("s"))
+      .unionByName(nodes.select(
+        col("node").as("src"), col("node").as("dst"), lit(0L).as("s")))
+      .persist(MEMORY_AND_DISK) // referenced once per round
+    val n = nodes.count()
+    require(n > 0, "empty node set")
+    val base = scale * 15 / 100 / n
+    var ranks = nodes.select(col("node"), lit(scale / n).as("r"))
+    for (_ <- 1 to iterations) {
+      // ranks is 16 bytes per NODE — a broadcast up to ~10^8-node graphs
+      // on production executors, and the hint is load-bearing: round ≥2
+      // ranks are aggregate outputs with unknown stats, which the static
+      // planner would otherwise SMJ, re-sorting the edge list K times.
+      // (Beyond that regime the extension is a src-bucketed shuffled
+      // hash join; the edge shuffle below dominates either way.)
+      ranks = eshare
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst"))
+        .agg(expr(s"$base + 85 * sum(r * s div 1000000) div 100").as("r"))
+        .select(col("dst").as("node"), col("r"))
+    }
+    ranks
+  }
+}

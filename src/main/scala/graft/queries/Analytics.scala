@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Corpus-analytics additions (round 10): boilerplate shingle
+  * detection, robust (winsorized) aggregation, fixed-point PageRank,
+  * and bigram frequency ranking. Each entry is oracled in DuckDB.
+  *
+  * Determinism rules as in [[graft.QuerySpec]]: integer arithmetic or
+  * cents for anything compared; quantile doubles are floored to BIGINT
+  * before use; explicit tiebreaks wherever a rank makes row identity
+  * observable.
+  */
+object Analytics {
+
+  /** DuckDB twin of [[graft.functions.TextFunctions.shingles]] over a
+    * text column: normalized whitespace tokens, n-gram join by single
+    * spaces, whole-text fallback when the document is shorter than n.
+    * (q85's oracle inlines the ≥n case only; the CASE here mirrors the
+    * Spark helper exactly so short/empty docs stay in lockstep.) */
+  private def shinglesSql(n: Int): String = s"""
+    CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - ${n - 1}),
+                p -> array_to_string(t[p:p+${n - 1}], ' ')) END"""
+
+  private val tokensSql: String =
+    """string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')"""
+
+  // PageRank fixed-point constants (shared by engine call + oracle)
+  private val prScale = 1000000000L
+  private val prIters = 5
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // ---- q139: boilerplate shingle detection (CCNet/RefinedWeb line-
+    // dedup analogue at the n-gram grain) — word bigrams appearing in
+    // ≥5 distinct documents of the same source are template chrome.
+    // array_distinct BEFORE explode bounds the fan-out by distinct
+    // shingles per doc; the single shuffle is the (source, shingle)
+    // count with map-side combine; text never moves. ----
+    QuerySpec(
+      "q139_boilerplate_shingles",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, source, $tokensSql AS t FROM documents),
+        grams AS (
+          SELECT doc_id, source,
+                 unnest(list_distinct(${shinglesSql(2)})) AS shingle
+          FROM toks)
+        SELECT source, shingle, COUNT(*) AS n_docs
+        FROM grams GROUP BY source, shingle
+        HAVING COUNT(*) >= 5"""),
+      (s, dir) =>
+        graft.operators.CorpusPrep.boilerplateShingles(
+          Tables.load(s, dir, "documents"), "source", "text",
+          n = 2, minDocs = 5)),
+
+    // ---- q140: winsorized robust aggregation — clip each event's
+    // value to its type's [p05, p95] band before summing, the outlier-
+    // robust statistic a metrics pipeline publishes. Two passes: the
+    // per-type band (tiny: one row per type, exact percentile as in
+    // q94, FLOORed to integer cents so the clip and the sum are pure
+    // int64) broadcast back into a single scan of the events. ----
+    QuerySpec(
+      "q140_winsorized_event_stats",
+      Some(s"""
+        WITH c AS (
+          SELECT event_type, ${graft.Exact.centsSql("value")} AS cents
+          FROM events),
+        b AS (
+          SELECT event_type,
+                 CAST(FLOOR(QUANTILE_CONT(cents, 0.05)) AS BIGINT) AS lo_cents,
+                 CAST(FLOOR(QUANTILE_CONT(cents, 0.95)) AS BIGINT) AS hi_cents
+          FROM c GROUP BY event_type)
+        SELECT c.event_type, COUNT(*) AS n,
+               b.lo_cents, b.hi_cents,
+               CAST(SUM(GREATEST(b.lo_cents, LEAST(b.hi_cents, c.cents))) AS BIGINT)
+                 AS winsorized_cents,
+               CAST(SUM(CASE WHEN c.cents < b.lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clipped_lo,
+               CAST(SUM(CASE WHEN c.cents > b.hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clipped_hi
+        FROM c JOIN b USING (event_type)
+        GROUP BY c.event_type, b.lo_cents, b.hi_cents"""),
+      (s, dir) => {
+        Tables.load(s, dir, "events").createOrReplaceTempView("events_q140")
+        // percentile_cont WITHIN GROUP matches DuckDB QUANTILE_CONT
+        // bit-for-bit on integer-cents input (q94); FLOOR pins the band
+        // to int64 so the clipped sum is order-insensitive. The band is
+        // one row per event_type — Catalyst broadcasts it into the
+        // second scan (verified BroadcastHashJoin; never a shuffle).
+        s.sql("""
+          WITH c AS (
+            SELECT event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+            FROM events_q140),
+          b AS (
+            SELECT event_type,
+                   CAST(FLOOR(percentile_cont(0.05) WITHIN GROUP (ORDER BY cents)) AS BIGINT) AS lo_cents,
+                   CAST(FLOOR(percentile_cont(0.95) WITHIN GROUP (ORDER BY cents)) AS BIGINT) AS hi_cents
+            FROM c GROUP BY event_type)
+          SELECT c.event_type, COUNT(*) AS n,
+                 b.lo_cents, b.hi_cents,
+                 SUM(GREATEST(b.lo_cents, LEAST(b.hi_cents, c.cents))) AS winsorized_cents,
+                 SUM(CASE WHEN c.cents < b.lo_cents THEN 1 ELSE 0 END) AS n_clipped_lo,
+                 SUM(CASE WHEN c.cents > b.hi_cents THEN 1 ELSE 0 END) AS n_clipped_hi
+          FROM c JOIN b USING (event_type)
+          GROUP BY c.event_type, b.lo_cents, b.hi_cents""")
+      }),
+
+    // ---- q141: domain-authority PageRank (fixed point) — power
+    // iteration over the nation→nation trade graph (supplier nation →
+    // customer nation, edge weight = line items shipped). All int64:
+    // shares quantized to millionths, damping 85/100, K=5 rounds — so
+    // the DuckDB recursive CTE replays the exact floor placements and
+    // the gate is a hash match, rare for an iterative algorithm. The
+    // corpus-sized object is the EDGE list; ranks are one row per node
+    // and broadcast into each round's edge join. ----
+    QuerySpec(
+      "q141_pagerank_trade_graph",
+      Some(s"""
+        WITH RECURSIVE
+        edges AS (
+          SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          GROUP BY src, dst),
+        outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+        eshare AS (
+          SELECT src, dst, w * 1000000 // ow AS s
+          FROM edges JOIN outw USING (src)
+          UNION ALL
+          SELECT n_nationkey, n_nationkey, 0 FROM nation),
+        pr AS (
+          SELECT 0 AS it, n_nationkey AS node, ${prScale} // COUNT(*) OVER () AS r
+          FROM nation
+          UNION ALL
+          SELECT it + 1, e.dst,
+                 ${prScale * 15 / 100} // 25 + 85 * SUM(pr.r * e.s // 1000000) // 100
+          FROM pr JOIN eshare e ON e.src = pr.node
+          WHERE it < $prIters GROUP BY it, e.dst)
+        SELECT node AS n_nationkey, r AS rank_fp
+        FROM pr WHERE it = $prIters"""),
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("s_nationkey").cast("long").as("src"),
+            col("c_nationkey").cast("long").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val nodes = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("node"))
+        graft.operators.Graph.pageRankFixedPoint(edges, nodes, prIters, prScale)
+          .select(col("node").as("n_nationkey"), col("r").as("rank_fp"))
+      }),
+
+    // ---- q142: bigram frequency ranking per language — the n-gram LM
+    // statistic behind corpus similarity scoring and quality priors.
+    // Raw (non-distinct) bigram counts, top 10 per language with ties
+    // kept by rank() and broken-for-order by the bigram string. The
+    // window partitions by lang over the ALREADY-AGGREGATED count
+    // table (|langs|·|vocab|² rows at most), never the corpus. ----
+    QuerySpec(
+      "q142_top_bigrams_per_lang",
+      Some(s"""
+        WITH toks AS (SELECT lang, $tokensSql AS t FROM documents),
+        bg AS (
+          SELECT lang, unnest(${shinglesSql(2)}) AS bigram FROM toks),
+        cnt AS (
+          SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram)
+        SELECT lang, bigram, n, rk FROM (
+          SELECT lang, bigram, n,
+                 rank() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+          FROM cnt) r
+        WHERE rk <= 10"""),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+        Tables.load(s, dir, "documents")
+          .select(col("lang"),
+            explode(graft.functions.TextFunctions.shingles(col("text"), 2)).as("bigram"))
+          .groupBy(col("lang"), col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", rank().over(w))
+          .filter(col("rk") <= 10)
+      })
+  )
+}

@@ -99,6 +99,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"LIMIT 1 plan degraded:\n$p")
   }
 
+  test("q140: percentile band joins back as a broadcast, never SMJ") {
+    val p = plan("q140_winsorized_event_stats")
+    assert(p.contains("BroadcastHashJoin"), s"band join should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"one-row-per-type band degraded to SMJ:\n$p")
+  }
+
+  test("q141: pagerank rounds keep ranks on the broadcast side (no SMJ rounds)") {
+    // each of the K rounds joins the persisted edge-share table with the
+    // one-row-per-node ranks frame; at any scale ranks ≪ edges, so every
+    // round must plan a hash join with ranks built/broadcast — an SMJ
+    // would re-sort the edge list K times
+    val p = plan("q141_pagerank_trade_graph")
+    assert(!p.contains("SortMergeJoin"), s"pagerank round degraded to SMJ:\n$p")
+  }
+
   test("catalog-wide guard: no accidental nested-loop or cartesian joins") {
     // queries that INTENTIONALLY score all pairs (brute-force ground
     // truth) or broadcast-scan a tiny centroid table: BNLJ is the design

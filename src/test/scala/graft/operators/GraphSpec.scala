@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Hand-computed fixed-point reference on a 3-node line graph
+  //   a(1) -> b(2) -> c(3), plus c -> a closing the cycle, all weight 1.
+  // scale=1e9, N=3: r0 = 333333333 each, base = 1e9*15/100/3 = 50000000.
+  // Every node has exactly one out-edge, share s = 1000000, so each
+  // round is r(v) = base + 85 * r(pred) / 100 (integer div).
+  test("pageRankFixedPoint matches hand-rolled fixed-point iteration on a cycle") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val got = Graph.pageRankFixedPoint(edges, nodes, iterations = 4)
+      .orderBy("node").as[(Long, Long)].collect()
+    var r = Map(1L -> 333333333L, 2L -> 333333333L, 3L -> 333333333L)
+    val pred = Map(1L -> 3L, 2L -> 1L, 3L -> 2L)
+    for (_ <- 1 to 4)
+      r = r.keys.map { v =>
+        // the engine quantizes the share to millionths and divides back:
+        // contrib = r * 1000000 div outW=1 -> r * s div 1e6 = r exactly
+        v -> (50000000L + 85L * r(pred(v)) / 100L)
+      }.toMap
+    assert(got.toSeq == Seq(1L, 2L, 3L).map(v => (v, r(v))))
+  }
+
+  test("pageRankFixedPoint conserves one row per node incl. isolated/dangling") {
+    // node 4 is isolated (teleport-only); node 3 is dangling (in, no out)
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val out = Graph.pageRankFixedPoint(edges, nodes, iterations = 3)
+    assert(out.count() == 4)
+    val byNode = out.as[(Long, Long)].collect().toMap
+    val base = 1000000000L * 15 / 100 / 4
+    // isolated node 4: only its zero-share self-loop -> pure teleport mass
+    assert(byNode(4L) == base)
+    // node 3 receives from both 1 (share 1/4) and 2 (share 1) -> strictly more
+    assert(byNode(3L) > byNode(2L))
+    // weighted split: 2 gets 3/4 of 1's mass, 3 gets 1/4 + all of 2's
+    assert(byNode(2L) > base)
+  }
+
+  test("pageRankFixedPoint sums parallel edges before computing shares") {
+    val par = Seq((1L, 2L, 1L), (1L, 2L, 2L), (1L, 3L, 3L)).toDF("src", "dst", "w")
+    val merged = Seq((1L, 2L, 3L), (1L, 3L, 3L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    assertSameRows(
+      Graph.pageRankFixedPoint(par, nodes, 3),
+      Graph.pageRankFixedPoint(merged, nodes, 3),
+      "parallel-edge merge")
+  }
+
+  test("boilerplateShingles finds cross-document template bigrams per source") {
+    val docs = Seq(
+      // srcA: "legal footer" bigram in 3 docs (one repeats it twice -> still 3)
+      (1L, "a", "alpha beta legal footer x"),
+      (2L, "a", "legal footer legal footer y"),
+      (3L, "a", "z legal footer"),
+      (4L, "a", "nothing shared here"),
+      // srcB: same words but only 2 docs -> below min_docs=3
+      (5L, "b", "legal footer p"),
+      (6L, "b", "legal footer q")
+    ).toDF("doc_id", "source", "text")
+    val got = CorpusPrep.boilerplateShingles(docs, "source", "text", n = 2, minDocs = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "legal footer", 3L)))
+  }
+
+  test("boilerplateShingles counts documents, not occurrences") {
+    val docs = Seq(
+      (1L, "s", "dup dup dup dup dup"), // many occurrences, ONE doc
+      (2L, "s", "dup dup")
+    ).toDF("doc_id", "source", "text")
+    val got = CorpusPrep.boilerplateShingles(docs, "source", "text", n = 2, minDocs = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("s", "dup dup", 2L)))
+  }
+}
