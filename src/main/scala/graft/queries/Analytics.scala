@@ -186,6 +186,105 @@ object Analytics {
           .agg(count(lit(1)).as("n"))
           .withColumn("rk", rank().over(w))
           .filter(col("rk") <= 10)
+      }),
+
+    // ---- q143: funnel conversion (signup → first purchase after it) —
+    // the product-analytics staple. Phase 1 is a per-user window MIN
+    // (signup instant); phase 2 keeps purchases at-or-after it and
+    // takes the per-user first. Both the window and the aggregate
+    // partition by user_id, so at 100 TB the sort is bounded by one
+    // user's history and the corpus shuffles once (the window's
+    // exchange is reused by the aggregate — same key). Delays in
+    // integer µs; per-band medians on int64 via the q94-proven
+    // percentile path. ----
+    QuerySpec(
+      "q143_funnel_conversion",
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        su AS (
+          SELECT user_id, event_type, us,
+                 MIN(CASE WHEN event_type = 'signup' THEN us END)
+                   OVER (PARTITION BY user_id) AS signup_us
+          FROM e),
+        conv AS (
+          SELECT user_id, MIN(signup_us) AS signup_us,
+                 MIN(CASE WHEN event_type = 'purchase' AND us >= signup_us
+                          THEN us END) AS first_purchase_us
+          FROM su WHERE signup_us IS NOT NULL GROUP BY user_id)
+        SELECT user_id % 10 AS band,
+               COUNT(*) AS n_signed,
+               CAST(SUM(CASE WHEN first_purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_converted,
+               CAST(FLOOR(COALESCE(QUANTILE_CONT(first_purchase_us - signup_us, 0.5), -1))
+                 AS BIGINT) AS median_delay_us
+        FROM conv GROUP BY band"""),
+      (s, dir) => {
+        Tables.load(s, dir, "events").createOrReplaceTempView("events_q143")
+        s.sql("""
+          WITH e AS (
+            SELECT user_id, event_type, unix_micros(ts) AS us FROM events_q143),
+          su AS (
+            SELECT user_id, event_type, us,
+                   MIN(CASE WHEN event_type = 'signup' THEN us END)
+                     OVER (PARTITION BY user_id) AS signup_us
+            FROM e),
+          conv AS (
+            SELECT user_id, MIN(signup_us) AS signup_us,
+                   MIN(CASE WHEN event_type = 'purchase' AND us >= signup_us
+                            THEN us END) AS first_purchase_us
+            FROM su WHERE signup_us IS NOT NULL GROUP BY user_id)
+          SELECT user_id % 10 AS band,
+                 COUNT(*) AS n_signed,
+                 SUM(CASE WHEN first_purchase_us IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_converted,
+                 CAST(FLOOR(COALESCE(percentile_cont(0.5) WITHIN GROUP
+                   (ORDER BY first_purchase_us - signup_us), -1)) AS BIGINT)
+                   AS median_delay_us
+          FROM conv GROUP BY band""")
+      }),
+
+    // ---- q144: characteristic terms per document — the exact-integer
+    // TF-IDF surrogate: rank a document's terms by (tf DESC, df ASC,
+    // term ASC) and keep the top 3. Same ORDER as tf·log(N/df) wherever
+    // tf dominates, but with NO floats anywhere, so the gate is a hash
+    // match. Two shuffles ((doc,term) count; df per term) + a join at
+    // the term grain and a per-doc window over the tf table — the
+    // heaviest object moved is the (doc,term) pair list, never raw
+    // text. ----
+    QuerySpec(
+      "q144_characteristic_terms",
+      Some(s"""
+        WITH toks AS (
+          -- the length guard mirrors Spark tokens(): empty/blank text
+          -- yields NO tokens, where bare string_split would yield ['']
+          SELECT doc_id, unnest($tokensSql) AS term FROM documents
+          WHERE len(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) > 0),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        df AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+        SELECT doc_id, term, tf, df, rk FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 rank() OVER (PARTITION BY tf.doc_id
+                              ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rk
+          FROM tf JOIN df USING (term)) r
+        WHERE rk <= 3"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("term"))
+        tf.join(df_, "term")
+          .withColumn("rk", rank().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"))
       })
   )
 }
