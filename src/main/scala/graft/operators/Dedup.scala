@@ -465,14 +465,20 @@ object Dedup {
       blocklist: DataFrame, blTextCol: String, n: Int = 13,
       md5Grams: Boolean = false): DataFrame = {
     def gramHashes(c: org.apache.spark.sql.Column) = {
-      val toks = split(T.normalizeText(c), " ")
-      def gram(p: org.apache.spark.sql.Column) =
-        concat_ws(" ", slice(toks, p + lit(1), lit(n)))
       val emptyType = if (md5Grams) "array<string>" else "array<bigint>"
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          p => if (md5Grams) md5(gram(p)) else xxhash64(gram(p))))
-        .otherwise(array().cast(emptyType))
+      // token array bound once as a lambda variable — HOF bodies are
+      // interpreted, so a captured split+regex subtree would re-run at
+      // every gram position (O(L²) per doc; same fix as T.shingles)
+      element_at(
+        transform(array(split(T.normalizeText(c), " ")), toks => {
+          def gram(p: org.apache.spark.sql.Column) =
+            concat_ws(" ", slice(toks, p + lit(1), lit(n)))
+          when(size(toks) >= n,
+            transform(sequence(lit(0), size(toks) - n),
+              p => if (md5Grams) md5(gram(p)) else xxhash64(gram(p))))
+            .otherwise(array().cast(emptyType))
+        }),
+        1)
     }
     val blGrams = blocklist
       .select(explode(gramHashes(col(blTextCol))).as("_g")).distinct()
@@ -525,11 +531,16 @@ object Dedup {
   def chunkDupStats(
       df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 10): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
-    val chunks = transform(
-      sequence(lit(0), nChunks - 1),
-      i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
+    // token array bound once (see gramHashes: interpreted HOF bodies
+    // re-evaluate captured subtrees per element)
+    val chunks = element_at(
+      transform(array(split(col(textCol), " ")), toks => {
+        val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+        transform(
+          sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
+      }),
+      1)
     val encoded = col(idCol) * 1000000L + col("chunk_idx")
     Fanout.forKernel(df)
       .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
