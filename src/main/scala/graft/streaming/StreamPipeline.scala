@@ -78,6 +78,55 @@ object StreamPipeline {
       }
   }
 
+  /** Streaming funnel conversion — q143's stream twin: per-user state
+    * machine tracking the earliest signup instant and the first
+    * purchase at-or-after it, emitting an updated
+    * `(user, signup_us, first_purchase_us | -1)` record whenever the
+    * pair changes (so the LATEST emission per user equals the batch
+    * answer on the same events, under ANY micro-batch split or
+    * within-user arrival order).
+    *
+    * Out-of-order safety without unbounded buffering: the only replay
+    * hazard is a purchase arriving BEFORE an earlier-timestamped
+    * signup. Purchases at-or-after the current signup candidate
+    * collapse into one µs (their min); only purchases strictly before
+    * it are retained individually, because a yet-earlier signup could
+    * retroactively qualify them. Pre-signup purchases are rare by
+    * funnel construction, so state per user is O(pre-signup purchases)
+    * — effectively constant; at production scale pair with a watermark
+    * TTL like the other stateful twins. Events inside one batch are
+    * processed in (us, type) order so batch-boundary placement never
+    * changes the fold. */
+  def funnelStream(events: org.apache.spark.sql.Dataset[(Long, String, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    // state: (signupUs | MaxValue, qualPurchaseUs | MaxValue, purchases < signupUs)
+    val None_ = Long.MaxValue
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, List[Long]), (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, it, state: GroupState[(Long, Long, List[Long])]) =>
+          val s0 = state.getOption.getOrElse((None_, None_, List.empty[Long]))
+          val folded = it.toSeq.sortBy(e => (e._3, e._2)).foldLeft(s0) {
+            case ((su, qu, pre), (_, "signup", t)) if t < su =>
+              val (now, still) = pre.partition(_ >= t)
+              (t, (qu :: now).min, still)
+            case ((su, qu, pre), (_, "purchase", t)) =>
+              if (t >= su) (su, math.min(qu, t), pre)
+              else (su, qu, t :: pre)
+            case (s, _) => s
+          }
+          state.update(folded)
+          val changed = (folded._1, folded._2) != (s0._1, s0._2)
+          if (changed && folded._1 != None_)
+            Iterator((user, folded._1,
+              if (folded._2 == None_) -1L else folded._2))
+          else Iterator.empty
+      }
+  }
+
   /** Streaming ingest dedup against an AT-REST hash index — the
     * production twin of [[dedupStream]]: instead of unbounded keyed
     * executor state (one entry per content hash ever seen), the dedup

@@ -566,4 +566,52 @@ class StreamPipelineSpec extends SparkSpec {
     StreamPipeline.domainCapBatch(urlDocs(51L to 80L), 1L, "url", "doc_id", 5, st)
     assert(StreamPipeline.currentKept(spark, st, "doc_id").collect().toSet == before)
   }
+
+  // (user, type, µs) fixture exercising every funnel edge: u1 converts;
+  // u2 signs up, never buys; u3's purchase lands BEFORE its signup in
+  // arrival order (out-of-order stream); u4 buys only before signup
+  // (never converts); u5 has no signup (never emitted); u6's later-
+  // arriving EARLIER signup retroactively qualifies a buffered purchase;
+  // u7's purchase ties its signup instant exactly (counts, us >= signup).
+  private val funnelEvents: Seq[(Long, String, Long)] = Seq(
+    (1L, "signup", 100L), (1L, "view", 150L), (1L, "purchase", 200L),
+    (1L, "purchase", 300L),
+    (2L, "signup", 100L),
+    (3L, "purchase", 500L), (3L, "signup", 400L),
+    (4L, "purchase", 50L), (4L, "signup", 90L),
+    (5L, "purchase", 10L), (5L, "view", 20L),
+    (6L, "signup", 500L), (6L, "purchase", 300L), (6L, "signup", 250L),
+    (7L, "signup", 700L), (7L, "purchase", 700L))
+
+  // the batch (q143 conv-table) answer on the same events
+  private val funnelExpected: Map[Long, (Long, Long)] = Map(
+    1L -> (100L, 200L), 2L -> (100L, -1L), 3L -> (400L, 500L),
+    4L -> (90L, -1L), 6L -> (250L, 300L), 7L -> (700L, 700L))
+
+  private def runFunnel(batches: Seq[Seq[(Long, String, Long)]],
+      name: String): Map[Long, (Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = StreamPipeline.funnelStream(mem.toDS())
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    // LATEST emission per user is the answer; memory sink appends in
+    // batch order, so fold keeps the last
+    spark.table(name).as[(Long, Long, Long)].collect()
+      .foldLeft(Map.empty[Long, (Long, Long)]) { case (m, (u, s, p)) =>
+        m.updated(u, (s, p))
+      }
+  }
+
+  test("streaming funnel: latest emission equals the batch conv table") {
+    assert(runFunnel(Seq(funnelEvents), "funnel_one") == funnelExpected)
+  }
+
+  test("streaming funnel: invariant under micro-batch splits incl. per-event") {
+    assert(runFunnel(funnelEvents.grouped(3).toSeq, "funnel_g3") == funnelExpected)
+    assert(runFunnel(funnelEvents.map(Seq(_)), "funnel_g1") == funnelExpected)
+  }
 }
