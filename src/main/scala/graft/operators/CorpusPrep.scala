@@ -169,6 +169,43 @@ object CorpusPrep {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Linear quality-classifier scoring — the model-based filter step of
+    * a modern corpus build (CCNet's / FineWeb's fastText-style quality
+    * classifier), expressed as pure dataflow: per-term integer weights
+    * are DERIVED from a labeled seed partition of the corpus itself
+    * (weight = 1000·df⁺ div (df⁺+df⁻+1) − 500, a centered document-
+    * frequency odds score), then every document is scored as
+    * Σ tf(term)·weight(term) and kept when the score is positive.
+    * All arithmetic is int64, so the gate is a hash match — a real
+    * trained-weight table drops in by replacing the `weights` frame.
+    *
+    * Scale shape: the (doc, term) tf frame shuffles once at its own
+    * grain; weights live at the VOCABULARY grain (bounded ≪ corpus —
+    * broadcast when it fits, term-grain hash join otherwise, both far
+    * smaller than the corpus); the per-document score is a partial-agg
+    * sum. The raw text never moves — only (doc, term, tf) triples do.
+    * Returns `(idCol, score, kept)` for every document with ≥1 token. */
+  def classifierScore(docs: DataFrame, idCol: String, textCol: String,
+      seedCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol), col(seedCol).as("_pos"),
+        explode(T.tokens(col(textCol))).as("_term"))
+      .groupBy(col(idCol), col("_pos"), col("_term"))
+      .agg(count(lit(1)).as("_tf"))
+    val weights = tf
+      .groupBy("_term")
+      .agg(
+        sum(when(col("_pos"), 1L).otherwise(0L)).as("_dfp"),
+        sum(when(col("_pos"), 0L).otherwise(1L)).as("_dfn"))
+      .select(col("_term"),
+        expr("1000 * _dfp div (_dfp + _dfn + 1) - 500").as("_w"))
+    tf.join(weights, "_term")
+      .groupBy(col(idCol))
+      .agg(sum(col("_tf") * col("_w")).as("score"))
+      .select(col(idCol), col("score"),
+        when(col("score") > 0, 1L).otherwise(0L).as("kept"))
+  }
+
   /** Domain-co-assigned train/valid/test split — the leakage rule at
     * the SITE grain: every page of one registrable domain lands in the
     * same split (near-copies and shared boilerplate live within a

@@ -285,6 +285,37 @@ object Analytics {
           .withColumn("rk", rank().over(w))
           .filter(col("rk") <= 3)
           .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"))
-      })
+      }),
+
+    // ---- q145: model-based quality filter (CCNet/FineWeb's fastText
+    // classifier step as dataflow) — integer per-term weights derived
+    // from a labeled seed partition (here: doc_id % 7 = 0 plays the
+    // curated reference corpus), documents scored Σ tf·w and kept when
+    // positive. Weights are vocabulary-grain (bounded ≪ corpus); the
+    // corpus moves only as (doc, term, tf) triples. ----
+    QuerySpec(
+      "q145_quality_classifier",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, doc_id % 7 = 0 AS pos, unnest($tokensSql) AS term
+          FROM documents
+          WHERE len(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) > 0),
+        tf AS (
+          SELECT doc_id, pos, term, COUNT(*) AS tf
+          FROM toks GROUP BY doc_id, pos, term),
+        w AS (
+          SELECT term,
+                 1000 * SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+                   // (COUNT(*) + 1) - 500 AS w
+          FROM tf GROUP BY term)
+        SELECT tf.doc_id, CAST(SUM(tf.tf * w.w) AS BIGINT) AS score,
+               CAST(CASE WHEN SUM(tf.tf * w.w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM tf JOIN w USING (term)
+        GROUP BY tf.doc_id"""),
+      (s, dir) =>
+        graft.operators.CorpusPrep.classifierScore(
+          Tables.load(s, dir, "documents")
+            .withColumn("_seed", col("doc_id") % 7 === 0),
+          "doc_id", "text", "_seed"))
   )
 }

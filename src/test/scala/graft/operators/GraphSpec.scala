@@ -53,6 +53,30 @@ class GraphSpec extends SparkSpec {
       "parallel-edge merge")
   }
 
+  test("pageRankFixedPoint is invariant to input partitioning and row order") {
+    val r = new scala.util.Random(7)
+    val edges = Seq.tabulate(200)(i =>
+      (r.nextInt(30).toLong, r.nextInt(30).toLong, 1L + r.nextInt(9)))
+      .toDF("src", "dst", "w")
+    val nodes = (0L until 30L).toDF("node")
+    val a = Graph.pageRankFixedPoint(edges, nodes, 4)
+    val b = Graph.pageRankFixedPoint(
+      edges.repartition(7, col("dst")).sortWithinPartitions(col("w").desc),
+      nodes.repartition(3), 4)
+    assertSameRows(a, b, "fixed-point ranks must not depend on layout")
+  }
+
+  test("boilerplateShingles is invariant to input partitioning") {
+    val r = new scala.util.Random(11)
+    val docs = Seq.tabulate(60)(i =>
+      (i.toLong, s"s${i % 3}",
+        Seq.fill(12)(s"w${r.nextInt(6)}").mkString(" "))).toDF("doc_id", "source", "text")
+    assertSameRows(
+      CorpusPrep.boilerplateShingles(docs, "source", "text", 2, 3),
+      CorpusPrep.boilerplateShingles(docs.repartition(13), "source", "text", 2, 3),
+      "boilerplate counts must not depend on layout")
+  }
+
   test("boilerplateShingles finds cross-document template bigrams per source") {
     val docs = Seq(
       // srcA: "legal footer" bigram in 3 docs (one repeats it twice -> still 3)
@@ -67,6 +91,27 @@ class GraphSpec extends SparkSpec {
     val got = CorpusPrep.boilerplateShingles(docs, "source", "text", n = 2, minDocs = 3)
       .as[(String, String, Long)].collect().toSet
     assert(got == Set(("a", "legal footer", 3L)))
+  }
+
+  test("classifierScore: seed-frequent terms score positive, others negative") {
+    // seed docs (pos) say "good"; non-seed say "bad"; all say "the".
+    //   w(good) = 1000·2 div (2+0+1) − 500 = 166
+    //   w(bad)  = 1000·0 div (0+2+1) − 500 = −500
+    //   w(the)  = 1000·2 div (2+2+1) − 500 = −100
+    val docs = Seq(
+      (1L, true, "good the"), (2L, true, "good the"),
+      (3L, false, "bad the"), (4L, false, "bad the"),
+      (5L, false, "")
+    ).toDF("doc_id", "seed", "text")
+    val gotMap = CorpusPrep.classifierScore(docs, "doc_id", "text", "seed")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotMap == Map(
+      1L -> (66L, 1L),   // 166 - 100
+      2L -> (66L, 1L),
+      3L -> (-600L, 0L), // -500 - 100
+      4L -> (-600L, 0L)
+    ), s"got $gotMap")
+    assert(!gotMap.contains(5L), "empty doc has no tokens, no score")
   }
 
   test("boilerplateShingles counts documents, not occurrences") {
