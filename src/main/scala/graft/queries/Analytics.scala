@@ -316,6 +316,54 @@ object Analytics {
         graft.operators.CorpusPrep.classifierScore(
           Tables.load(s, dir, "documents")
             .withColumn("_seed", col("doc_id") % 7 === 0),
-          "doc_id", "text", "_seed"))
+          "doc_id", "text", "_seed")),
+
+    // ---- q146: gaps-and-islands run compression — collapse each
+    // user's consecutive same-type events into one row per run (the
+    // SCD-2 validity-interval construction, session labeling, state-
+    // machine compaction primitive). LAG marks run starts, a running
+    // sum numbers runs, one aggregate per (user, run) collapses — all
+    // three partition by user_id, so the window sort is bounded by one
+    // user's history and the aggregate reuses the window's exchange.
+    // event_id tiebreak makes runs deterministic under equal ts. ----
+    QuerySpec(
+      "q146_event_runs",
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+          FROM events),
+        marked AS (
+          SELECT user_id, event_type, us, event_id,
+                 CASE WHEN lag(event_type) OVER
+                        (PARTITION BY user_id ORDER BY us, event_id)
+                      = event_type THEN 0 ELSE 1 END AS chg
+          FROM e),
+        runs AS (
+          SELECT user_id, event_type, us,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_seq
+          FROM marked)
+        SELECT user_id, CAST(run_seq AS BIGINT) AS run_seq, event_type,
+               CAST(MIN(us) AS BIGINT) AS start_us,
+               CAST(MAX(us) AS BIGINT) AS end_us,
+               COUNT(*) AS n_events
+        FROM runs GROUP BY user_id, run_seq, event_type"""),
+      (s, dir) => {
+        val ord = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val run = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(ord) === col("event_type"), 0L)
+              .otherwise(1L))
+          .withColumn("run_seq", sum(col("chg")).over(run))
+          .groupBy(col("user_id"), col("run_seq"), col("event_type"))
+          .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+            count(lit(1)).as("n_events"))
+      })
   )
 }
