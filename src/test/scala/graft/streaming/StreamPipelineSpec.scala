@@ -614,4 +614,34 @@ class StreamPipelineSpec extends SparkSpec {
     assert(runFunnel(funnelEvents.grouped(3).toSeq, "funnel_g3") == funnelExpected)
     assert(runFunnel(funnelEvents.map(Seq(_)), "funnel_g1") == funnelExpected)
   }
+
+  test("streaming funnel: random event streams match the brute-force oracle") {
+    val r = new scala.util.Random(42)
+    val types = Seq("signup", "purchase", "view")
+    // timestamps from a SMALL range so signup/purchase ties and
+    // out-of-order arrivals are common, plus duplicate instants
+    val events = Seq.fill(300)(
+      (r.nextInt(20).toLong, types(r.nextInt(3)), r.nextInt(40).toLong))
+    def oracle(evs: Seq[(Long, String, Long)]): Map[Long, (Long, Long)] =
+      evs.groupBy(_._1).flatMap { case (u, es) =>
+        val signups = es.collect { case (_, "signup", t) => t }
+        if (signups.isEmpty) None
+        else {
+          val s = signups.min
+          val purch = es.collect { case (_, "purchase", t) if t >= s => t }
+          Some(u -> (s, if (purch.isEmpty) -1L else purch.min))
+        }
+      }
+    val expected = oracle(events)
+    // arbitrary batch split (sizes 1..15), arrival order AS GENERATED
+    // (i.e. random relative to event time)
+    def splits(evs: Seq[(Long, String, Long)]): Seq[Seq[(Long, String, Long)]] =
+      if (evs.isEmpty) Nil
+      else {
+        val k = 1 + r.nextInt(15)
+        evs.take(k) +: splits(evs.drop(k))
+      }
+    assert(runFunnel(splits(events), "funnel_rand") == expected)
+    assert(runFunnel(Seq(events), "funnel_rand1") == expected)
+  }
 }
