@@ -364,6 +364,36 @@ object Analytics {
           .groupBy(col("user_id"), col("run_seq"), col("event_type"))
           .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
             count(lit(1)).as("n_events"))
+      }),
+
+    // ---- q147: incremental rollup maintenance — the engine folds a
+    // delta partial into a pre-existing additive state
+    // (merge(partial(old), partial(new)), Rollup operator) while the
+    // oracle aggregates the FULL table from scratch; the hash gate
+    // therefore proves incremental == recompute for this split. The
+    // fact history is never re-read in the engine form: both partials
+    // collapse map-side to the (priority, year) grain before the one
+    // grain-sized merge shuffle. ----
+    QuerySpec(
+      "q147_incremental_rollup",
+      Some(s"""
+        SELECT o_orderpriority,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               COUNT(*) AS n_rows,
+               CAST(SUM(${graft.Exact.centsSql("o_totalprice")}) AS BIGINT)
+                 AS revenue_cents
+        FROM orders GROUP BY o_orderpriority, o_year"""),
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        val keys = Seq("o_orderpriority", "o_year")
+        val sums = Seq("revenue_cents" -> graft.Exact.cents(col("o_totalprice")))
+        val split = col("o_orderdate") < lit("1997-01-01")
+        val state = graft.operators.Rollup.partial(orders.filter(split), keys, sums)
+        val delta = graft.operators.Rollup.partial(orders.filter(!split), keys, sums)
+        graft.operators.Rollup.merge(state, delta, keys)
+          .select(col("o_orderpriority"), col("o_year"),
+            col("n_rows"), col("revenue_cents"))
       })
   )
 }

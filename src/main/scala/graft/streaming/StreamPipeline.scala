@@ -402,6 +402,38 @@ object StreamPipeline {
     IdempotentSink.writeBatch(outBase)(series, batchId)
   }
 
+  /** Streaming incremental rollup — q147's twin: maintain an additive
+    * materialized aggregate from a stream without ever re-reading
+    * history. Per micro-batch (foreachBatch), the batch collapses to a
+    * grain-sized partial ([[graft.operators.Rollup.partial]]) and lands
+    * as `batch=<id>` through [[IdempotentSink]]'s marker discipline —
+    * an at-least-once replay skips on the marker, so each batch's rows
+    * enter the rollup exactly once. The current rollup is the re-SUM
+    * of all committed partials (additive algebra, same as
+    * [[graft.operators.Rollup.merge]]); compacting old partials into
+    * one state dir is an optional maintenance move that the same
+    * algebra makes safe at any time. */
+  def rollupBatch(batch: DataFrame, batchId: Long, keys: Seq[String],
+      sums: Seq[(String, org.apache.spark.sql.Column)],
+      stateBase: String): Unit =
+    IdempotentSink.writeBatch(stateBase)(
+      graft.operators.Rollup.partial(batch, keys, sums), batchId)
+
+  /** Current value of the streamed rollup: re-aggregate every committed
+    * partial. Returns None when no batch has committed yet. */
+  def currentRollup(spark: org.apache.spark.sql.SparkSession,
+      stateBase: String, keys: Seq[String]): Option[DataFrame] = {
+    val committed = IdempotentSink.committedDirs(spark, stateBase)
+    if (committed.isEmpty) None
+    else {
+      val all = spark.read.parquet(committed: _*)
+      val measures = all.columns.filterNot(keys.contains)
+      Some(all.groupBy(keys.map(col): _*)
+        .agg(sum(col(measures.head)).as(measures.head),
+          measures.tail.map(c => sum(col(c)).as(c)): _*))
+    }
+  }
+
   /** Read-side resolve for supersede-per-batch state/output layouts
     * ([[interpolateDailyStream]], [[domainCapStream]]): each key's rows
     * from the HIGHEST committed batch that touched it — later batches

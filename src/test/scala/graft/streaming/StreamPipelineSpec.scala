@@ -615,6 +615,28 @@ class StreamPipelineSpec extends SparkSpec {
     assert(runFunnel(funnelEvents.map(Seq(_)), "funnel_g1") == funnelExpected)
   }
 
+  test("streaming rollup: committed partials re-sum to the one-shot aggregate") {
+    import graft.operators.Rollup
+    val r = new scala.util.Random(9)
+    val all = Seq.fill(300)((s"p${r.nextInt(4)}", r.nextInt(3).toLong, r.nextInt(500).toLong))
+      .toDF("prio", "yr", "cents")
+    val keys = Seq("prio", "yr")
+    val sums = Seq("cents_sum" -> col("cents"))
+    val st = java.nio.file.Files.createTempDirectory("graft-rollup-st").toString + "/state"
+    val batches = Seq(all.filter(col("cents") < 150),
+      all.filter(col("cents") >= 150 && col("cents") < 400),
+      all.filter(col("cents") >= 400))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamPipeline.rollupBatch(b, i.toLong, keys, sums, st)
+    }
+    val got = StreamPipeline.currentRollup(spark, st, keys).get
+    assertSameRows(got, Rollup.partial(all, keys, sums), "stream vs one-shot")
+    // at-least-once replay of a batch is a no-op on the marker
+    StreamPipeline.rollupBatch(batches(1), 1L, keys, sums, st)
+    assertSameRows(StreamPipeline.currentRollup(spark, st, keys).get,
+      Rollup.partial(all, keys, sums), "replay must not double-count")
+  }
+
   test("streaming funnel: random event streams match the brute-force oracle") {
     val r = new scala.util.Random(42)
     val types = Seq("signup", "purchase", "view")
