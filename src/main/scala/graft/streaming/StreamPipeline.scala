@@ -416,14 +416,23 @@ object StreamPipeline {
   def rollupBatch(batch: DataFrame, batchId: Long, keys: Seq[String],
       sums: Seq[(String, org.apache.spark.sql.Column)],
       stateBase: String): Unit =
-    IdempotentSink.writeBatch(stateBase)(
+    IdempotentSink.writeBatch(resolveGen(batch.sparkSession, stateBase))(
       graft.operators.Rollup.partial(batch, keys, sums), batchId)
 
   /** Current value of the streamed rollup: re-aggregate every committed
-    * partial. Returns None when no batch has committed yet. */
+    * partial of the CURRENT generation (see [[compactRollup]]).
+    * Returns None when no batch has committed yet. Marker-only
+    * tombstone dirs left by compaction carry no files and contribute
+    * nothing to the read. */
   def currentRollup(spark: org.apache.spark.sql.SparkSession,
       stateBase: String, keys: Seq[String]): Option[DataFrame] = {
-    val committed = IdempotentSink.committedDirs(spark, stateBase)
+    val gen = resolveGen(spark, stateBase)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val committed = IdempotentSink.committedDirs(spark, gen).filter { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).listStatus(p)
+        .exists(_.getPath.getName.endsWith(".parquet"))
+    }
     if (committed.isEmpty) None
     else {
       val all = spark.read.parquet(committed: _*)
@@ -432,6 +441,66 @@ object StreamPipeline {
         .agg(sum(col(measures.head)).as(measures.head),
           measures.tail.map(c => sum(col(c)).as(c)): _*))
     }
+  }
+
+  /** The generation dir the rollup state currently lives in: `base`
+    * until the first compaction, then `base/gen-<n>` as named by the
+    * atomic `CURRENT` pointer file. */
+  private def resolveGen(spark: org.apache.spark.sql.SparkSession,
+      base: String): String = {
+    val cur = new org.apache.hadoop.fs.Path(s"$base/CURRENT")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cur)) base
+    else {
+      val in = fs.open(cur)
+      try s"$base/${scala.io.Source.fromInputStream(in).mkString.trim}"
+      finally in.close()
+    }
+  }
+
+  /** Compact the streamed rollup state — LSM-style generation rollover,
+    * crash-safe at every step:
+    *
+    *  1. the merged partial is written to a NEW generation dir under
+    *     the highest committed batch id;
+    *  2. every other compacted batch id gets a marker-only TOMBSTONE in
+    *     the new generation, so an at-least-once replay of a compacted
+    *     batch still skips — its rows are inside the merged partial,
+    *     and double-entry is the failure compaction must not introduce;
+    *  3. the `CURRENT` pointer file swaps to the new generation
+    *     (tmp-write + rename). Until the swap, readers and writers see
+    *     the old generation untouched; a crash anywhere before it
+    *     leaves a dead half-built generation dir and full correctness.
+    *
+    * Needed because the partial-per-batch layout grows by one dir per
+    * micro-batch forever; after compaction the read side re-SUMs ONE
+    * data dir (plus tombstones) regardless of stream age. */
+  def compactRollup(spark: org.apache.spark.sql.SparkSession,
+      stateBase: String, keys: Seq[String]): Unit = {
+    val gen = resolveGen(spark, stateBase)
+    val committed = IdempotentSink.committedDirs(spark, gen)
+    if (committed.size <= 1) return
+    val merged = currentRollup(spark, stateBase, keys).get
+    val ids = committed.map(_.replaceAll(".*batch=", "").toLong)
+    val genN = if (gen == stateBase) 1L
+      else gen.replaceAll(".*gen-", "").toLong + 1L
+    val newGen = s"gen-$genN"
+    IdempotentSink.writeBatch(s"$stateBase/$newGen")(merged, ids.max)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(stateBase)
+      .getFileSystem(conf)
+    for (id <- ids if id != ids.max) {
+      val d = new org.apache.hadoop.fs.Path(s"$stateBase/$newGen/batch=$id")
+      fs.mkdirs(d)
+      fs.create(new org.apache.hadoop.fs.Path(d, "_SUCCESS"), true).close()
+    }
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateBase/CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(newGen.getBytes("UTF-8")) finally out.close()
+    val cur = new org.apache.hadoop.fs.Path(s"$stateBase/CURRENT")
+    fs.delete(cur, false)
+    if (!fs.rename(tmp, cur))
+      throw new java.io.IOException(s"pointer swap failed for $stateBase")
   }
 
   /** Read-side resolve for supersede-per-batch state/output layouts

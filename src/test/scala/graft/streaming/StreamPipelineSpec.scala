@@ -637,6 +637,43 @@ class StreamPipelineSpec extends SparkSpec {
       Rollup.partial(all, keys, sums), "replay must not double-count")
   }
 
+  test("rollup compaction: value preserved, replays skip, stream continues") {
+    import graft.operators.Rollup
+    val r = new scala.util.Random(13)
+    def batch(n: Int, seed: Int) = {
+      val rr = new scala.util.Random(seed)
+      Seq.fill(n)((s"p${rr.nextInt(3)}", rr.nextInt(2).toLong, rr.nextInt(100).toLong))
+        .toDF("prio", "yr", "cents")
+    }
+    val keys = Seq("prio", "yr")
+    val sums = Seq("cents_sum" -> col("cents"))
+    val st = java.nio.file.Files.createTempDirectory("graft-rollupc-st").toString + "/state"
+    val b = Seq(batch(60, 1), batch(40, 2), batch(80, 3), batch(30, 4))
+    b.take(3).zipWithIndex.foreach { case (d, i) =>
+      StreamPipeline.rollupBatch(d, i.toLong, keys, sums, st)
+    }
+    val pre = StreamPipeline.currentRollup(spark, st, keys).get.collect().toSet
+    StreamPipeline.compactRollup(spark, st, keys)
+    assert(StreamPipeline.currentRollup(spark, st, keys).get.collect().toSet == pre,
+      "compaction must not change the rollup value")
+    // replay of a COMPACTED batch hits its tombstone marker in the new gen
+    StreamPipeline.rollupBatch(b(0), 0L, keys, sums, st)
+    assert(StreamPipeline.currentRollup(spark, st, keys).get.collect().toSet == pre,
+      "replayed compacted batch must not double-count")
+    // the stream continues into the new generation
+    StreamPipeline.rollupBatch(b(3), 3L, keys, sums, st)
+    val expect4 = Rollup.partial(b.reduce(_ unionByName _), keys, sums)
+    assertSameRows(StreamPipeline.currentRollup(spark, st, keys).get, expect4,
+      "post-compaction batch lands in the live generation")
+    // second compaction rolls gen-1 -> gen-2
+    StreamPipeline.compactRollup(spark, st, keys)
+    assertSameRows(StreamPipeline.currentRollup(spark, st, keys).get, expect4,
+      "second compaction preserved the value")
+    StreamPipeline.rollupBatch(b(3), 3L, keys, sums, st)
+    assertSameRows(StreamPipeline.currentRollup(spark, st, keys).get, expect4,
+      "replay after second compaction skips")
+  }
+
   test("streaming funnel: random event streams match the brute-force oracle") {
     val r = new scala.util.Random(42)
     val types = Seq("signup", "purchase", "view")
