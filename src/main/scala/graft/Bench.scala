@@ -131,6 +131,11 @@ object Bench {
       // timeout kill would discard everything still in the buffer,
       // which is exactly the data this line exists to preserve.
       println(s"""{"bench_sample":{"q":"$name","pass":$pass,"sec":$sec,"ok":${!failed(name)}}}""")
+      // ... immediately chased by the <200-byte compact summary so that
+      // ANY tail window of stdout — however a timeout kill lands —
+      // contains a complete parseable summary line, not just JSONL
+      // sample evidence (r6: rc=124 mid-pass left an empty artifact).
+      println(compactLine(pass))
       System.out.flush()
       teardown()
     }
