@@ -26,8 +26,17 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact integer µs
-    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType) {
+      // Exactness of NTZ→TIMESTAMP depends on the session timezone: the
+      // cast reinterprets the wall-clock fields in the session zone. All
+      // in-repo entry points pin UTC, but a foreign caller with another
+      // zone would silently shift every instant — fail loudly instead.
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"Tables.load requires spark.sql.session.timeZone=UTC for the NTZ " +
+          s"events encoding (got '$tz'); a non-UTC session would shift instants")
       df.withColumn("ts", col("ts").cast(TimestampType))
+    }
     else df
   }
 

@@ -92,38 +92,91 @@ object StreamPipeline {
     * collapse into one µs (their min); only purchases strictly before
     * it are retained individually, because a yet-earlier signup could
     * retroactively qualify them. Pre-signup purchases are rare by
-    * funnel construction, so state per user is O(pre-signup purchases)
-    * — effectively constant; at production scale pair with a watermark
-    * TTL like the other stateful twins. Events inside one batch are
-    * processed in (us, type) order so batch-boundary placement never
-    * changes the fold. */
+    * funnel construction, so state per user is O(pre-signup purchases);
+    * for streams where that bound does not hold (purchases with no
+    * signup ever), use [[funnelStreamBounded]], whose watermark prunes
+    * the buffer without changing any emission. Events inside one batch
+    * are processed in (us, type) order so batch-boundary placement
+    * never changes the fold. */
   def funnelStream(events: org.apache.spark.sql.Dataset[(Long, String, Long)])
       : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    // state: (signupUs | MaxValue, qualPurchaseUs | MaxValue, purchases < signupUs)
-    val None_ = Long.MaxValue
     events.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, List[Long]), (Long, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (user, it, state: GroupState[(Long, Long, List[Long])]) =>
-          val s0 = state.getOption.getOrElse((None_, None_, List.empty[Long]))
-          val folded = it.toSeq.sortBy(e => (e._3, e._2)).foldLeft(s0) {
-            case ((su, qu, pre), (_, "signup", t)) if t < su =>
-              val (now, still) = pre.partition(_ >= t)
-              (t, (qu :: now).min, still)
-            case ((su, qu, pre), (_, "purchase", t)) =>
-              if (t >= su) (su, math.min(qu, t), pre)
-              else (su, qu, t :: pre)
-            case (s, _) => s
-          }
-          state.update(folded)
-          val changed = (folded._1, folded._2) != (s0._1, s0._2)
-          if (changed && folded._1 != None_)
-            Iterator((user, folded._1,
-              if (folded._2 == None_) -1L else folded._2))
-          else Iterator.empty
+          funnelStep(user, it.map(e => (e._2, e._3)), state, Long.MinValue)
+      }
+  }
+
+  // state: (signupUs | MaxValue, qualPurchaseUs | MaxValue, purchases < signupUs)
+  private[graft] val FunnelNone = Long.MaxValue
+
+  /** One funnel state-machine step: fold this batch's (type, us) events
+    * (sorted by (us, type) so batch-boundary placement never changes
+    * the result) into the state, then prune pre-signup purchases older
+    * than `wmUs`. The prune is EXACT under the watermark contract: a
+    * purchase at t only ever qualifies for a signup s <= t, and no
+    * event with time < wmUs will be delivered, so a buffered purchase
+    * with t < wmUs can never be claimed by any future signup. */
+  private[graft] def funnelAdvance(
+      s0: (Long, Long, List[Long]),
+      events: Seq[(String, Long)],
+      wmUs: Long): (Long, Long, List[Long]) = {
+    val folded = events.sortBy(e => (e._2, e._1)).foldLeft(s0) {
+      case ((su, qu, pre), ("signup", t)) if t < su =>
+        val (now, still) = pre.partition(_ >= t)
+        (t, (qu :: now).min, still)
+      case ((su, qu, pre), ("purchase", t)) =>
+        if (t >= su) (su, math.min(qu, t), pre)
+        else (su, qu, t :: pre)
+      case (s, _) => s
+    }
+    (folded._1, folded._2, folded._3.filter(_ >= wmUs))
+  }
+
+  /** Shared update+emit wrapper around [[funnelAdvance]]. */
+  private def funnelStep(user: Long, events: Iterator[(String, Long)],
+      state: org.apache.spark.sql.streaming.GroupState[(Long, Long, List[Long])],
+      wmUs: Long): Iterator[(Long, Long, Long)] = {
+    val s0 = state.getOption.getOrElse((FunnelNone, FunnelNone, List.empty[Long]))
+    val folded = funnelAdvance(s0, events.toSeq, wmUs)
+    state.update(folded)
+    val changed = (folded._1, folded._2) != (s0._1, s0._2)
+    if (changed && folded._1 != FunnelNone)
+      Iterator((user, folded._1,
+        if (folded._2 == FunnelNone) -1L else folded._2))
+    else Iterator.empty
+  }
+
+  /** [[funnelStream]] with BOUNDED per-user state — the production
+    * variant paired with a watermark, closing the gap where a user
+    * with purchases but no signup grows the pre-signup buffer forever.
+    * `lateness` is a calendar-interval string (e.g. "10 minutes"):
+    * events arriving with event time older than `max seen - lateness`
+    * may be dropped by the engine, and under exactly that contract the
+    * pre-signup buffer prunes to `t >= watermark` without changing any
+    * emission (see [[funnelAdvance]]). State per user is then
+    * O(purchases inside the lateness window), not O(stream age). */
+  def funnelStreamBounded(
+      events: org.apache.spark.sql.Dataset[(Long, String, Long)],
+      lateness: String)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF("user", "etype", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", lateness)
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, List[Long]), (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, it, state: GroupState[(Long, Long, List[Long])]) =>
+          funnelStep(user, it.map(e => (e._2, e._3)), state,
+            state.getCurrentWatermarkMs() * 1000L)
       }
   }
 
@@ -445,17 +498,27 @@ object StreamPipeline {
 
   /** The generation dir the rollup state currently lives in: `base`
     * until the first compaction, then `base/gen-<n>` as named by the
-    * atomic `CURRENT` pointer file. */
+    * highest `CURRENT-<n>` pointer file.
+    *
+    * The pointer is a new numbered file per generation, created by
+    * tmp-write + rename to a name that never existed before — the
+    * pointer state NEVER passes through a deleted/absent window (the
+    * r10 design delete-then-renamed a single CURRENT file; a crash
+    * between the delete and the rename left no pointer at all, and the
+    * fallback silently reverted to pre-compaction `base` state whose
+    * stale _SUCCESS markers then swallowed replays forever). A
+    * half-built pointer is impossible (rename is atomic) and a
+    * half-built GENERATION is invisible (its pointer is only written
+    * after the generation's data + tombstones are fully committed). */
   private def resolveGen(spark: org.apache.spark.sql.SparkSession,
       base: String): String = {
-    val cur = new org.apache.hadoop.fs.Path(s"$base/CURRENT")
-    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(cur)) base
-    else {
-      val in = fs.open(cur)
-      try s"$base/${scala.io.Source.fromInputStream(in).mkString.trim}"
-      finally in.close()
-    }
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptrs =
+      if (!fs.exists(basePath)) Array.empty[Long]
+      else fs.listStatus(basePath).map(_.getPath.getName)
+        .filter(_.matches("CURRENT-\\d+")).map(_.stripPrefix("CURRENT-").toLong)
+    if (ptrs.isEmpty) base else s"$base/gen-${ptrs.max}"
   }
 
   /** Compact the streamed rollup state — LSM-style generation rollover,
@@ -467,38 +530,71 @@ object StreamPipeline {
     *     the new generation, so an at-least-once replay of a compacted
     *     batch still skips — its rows are inside the merged partial,
     *     and double-entry is the failure compaction must not introduce;
-    *  3. the `CURRENT` pointer file swaps to the new generation
-    *     (tmp-write + rename). Until the swap, readers and writers see
-    *     the old generation untouched; a crash anywhere before it
-    *     leaves a dead half-built generation dir and full correctness.
+    *  3. a NEW numbered pointer file `CURRENT-<n>` is created
+    *     (tmp-write + rename to a never-before-existing name — the
+    *     pointer state never passes through a deleted window, see
+    *     [[resolveGen]]). Until it lands, readers and writers see the
+    *     old generation untouched; a crash anywhere before it leaves a
+    *     dead half-built generation dir and full correctness.
+    *
+    * Concurrency: compaction tolerates a LIVE writer. After the merged
+    * partial is written, the old generation's committed dirs are
+    * re-listed; a batch that committed between the snapshot and the
+    * re-list would be missing from the merge AND have no tombstone
+    * (invisible after the swap), so the half-built generation is
+    * discarded and the compaction retried against the fresh snapshot.
+    * A writer landing AFTER the re-list commits into the old
+    * generation, which stays on disk and is simply superseded — that
+    * batch replays into the new generation on restart (its id has no
+    * tombstone there) exactly as at-least-once delivery intends.
+    * [[rollupBatch]] resolves its target generation per batch, so the
+    * window is one in-flight batch wide, bounded by `attempts`.
     *
     * Needed because the partial-per-batch layout grows by one dir per
     * micro-batch forever; after compaction the read side re-SUMs ONE
     * data dir (plus tombstones) regardless of stream age. */
   def compactRollup(spark: org.apache.spark.sql.SparkSession,
-      stateBase: String, keys: Seq[String]): Unit = {
+      stateBase: String, keys: Seq[String], attempts: Int = 3): Unit = {
+    require(attempts > 0, s"compaction of $stateBase lost the race to a " +
+      "concurrent writer on every attempt; quiesce the stream and re-run")
     val gen = resolveGen(spark, stateBase)
     val committed = IdempotentSink.committedDirs(spark, gen)
     if (committed.size <= 1) return
     val merged = currentRollup(spark, stateBase, keys).get
     val ids = committed.map(_.replaceAll(".*batch=", "").toLong)
-    val genN = if (gen == stateBase) 1L
-      else gen.replaceAll(".*gen-", "").toLong + 1L
+    val conf = spark.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(stateBase)
+    val fs = basePath.getFileSystem(conf)
+    // new generation number = one past the highest gen dir ON DISK, not
+    // one past the pointer: a compaction that crashed mid-build left a
+    // half-built gen-<n> with no pointer, and reusing that dir would
+    // merge its stale committed batches into the fresh generation
+    val onDisk =
+      if (!fs.exists(basePath)) Array.empty[Long]
+      else fs.listStatus(basePath).map(_.getPath.getName)
+        .filter(_.matches("gen-\\d+")).map(_.stripPrefix("gen-").toLong)
+    val genN = if (onDisk.isEmpty) 1L else onDisk.max + 1L
     val newGen = s"gen-$genN"
     IdempotentSink.writeBatch(s"$stateBase/$newGen")(merged, ids.max)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(stateBase)
-      .getFileSystem(conf)
     for (id <- ids if id != ids.max) {
       val d = new org.apache.hadoop.fs.Path(s"$stateBase/$newGen/batch=$id")
       fs.mkdirs(d)
       fs.create(new org.apache.hadoop.fs.Path(d, "_SUCCESS"), true).close()
     }
-    val tmp = new org.apache.hadoop.fs.Path(s"$stateBase/CURRENT.tmp")
+    // writer-race check: anything committed into the old generation
+    // since the snapshot is in neither the merge nor the tombstones —
+    // discard this generation and retry on the fresh snapshot
+    val now = IdempotentSink.committedDirs(spark, gen)
+      .map(_.replaceAll(".*batch=", "").toLong)
+    if (now.toSet != ids.toSet) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateBase/$newGen"), true)
+      compactRollup(spark, stateBase, keys, attempts - 1)
+      return
+    }
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateBase/CURRENT-$genN.tmp")
     val out = fs.create(tmp, true)
     try out.write(newGen.getBytes("UTF-8")) finally out.close()
-    val cur = new org.apache.hadoop.fs.Path(s"$stateBase/CURRENT")
-    fs.delete(cur, false)
+    val cur = new org.apache.hadoop.fs.Path(s"$stateBase/CURRENT-$genN")
     if (!fs.rename(tmp, cur))
       throw new java.io.IOException(s"pointer swap failed for $stateBase")
   }

@@ -674,6 +674,75 @@ class StreamPipelineSpec extends SparkSpec {
       "replay after second compaction skips")
   }
 
+  test("rollup compaction: a half-built generation without its pointer is invisible") {
+    import graft.operators.Rollup
+    def batch(n: Int, seed: Int) = {
+      val rr = new scala.util.Random(seed)
+      Seq.fill(n)((s"p${rr.nextInt(3)}", rr.nextInt(2).toLong, rr.nextInt(100).toLong))
+        .toDF("prio", "yr", "cents")
+    }
+    val keys = Seq("prio", "yr")
+    val sums = Seq("cents_sum" -> col("cents"))
+    val st = java.nio.file.Files.createTempDirectory("graft-rollupx-st").toString + "/state"
+    val b = Seq(batch(50, 21), batch(70, 22))
+    b.zipWithIndex.foreach { case (d, i) =>
+      StreamPipeline.rollupBatch(d, i.toLong, keys, sums, st)
+    }
+    val pre = StreamPipeline.currentRollup(spark, st, keys).get.collect().toSet
+    // simulate a compaction that crashed mid-build: a gen dir exists
+    // (even with a committed-looking garbage batch inside) but its
+    // CURRENT-<n> pointer was never written — readers and writers must
+    // stay on the pre-compaction state
+    IdempotentSink.writeBatch(s"$st/gen-1")(
+      Seq(("pX", 9L, 999999L)).toDF("prio", "yr", "cents"), 99L)
+    assert(StreamPipeline.currentRollup(spark, st, keys).get.collect().toSet == pre,
+      "half-built generation must be invisible without its pointer")
+    // a real compaction now lands gen-2 (the dead gen-1 dir stays dead)
+    StreamPipeline.compactRollup(spark, st, keys)
+    assert(StreamPipeline.currentRollup(spark, st, keys).get.collect().toSet == pre,
+      "compaction after a dead half-built generation preserves the value")
+    StreamPipeline.rollupBatch(b(0), 0L, keys, sums, st)
+    assert(StreamPipeline.currentRollup(spark, st, keys).get.collect().toSet == pre,
+      "replayed compacted batch still tombstoned after crash recovery")
+  }
+
+  test("bounded funnel: watermark variant matches the unbounded answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    // generous lateness >> the event-time range: nothing is dropped, so
+    // bounded must equal the batch oracle exactly
+    val q = StreamPipeline.funnelStreamBounded(mem.toDS(), "1 hour")
+      .writeStream.queryName("funnel_wm").format("memory")
+      .outputMode("append").start()
+    try funnelEvents.grouped(4).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_wm").as[(Long, Long, Long)].collect()
+      .foldLeft(Map.empty[Long, (Long, Long)]) { case (m, (u, s, p)) =>
+        m.updated(u, (s, p))
+      }
+    assert(got == funnelExpected)
+  }
+
+  test("funnelAdvance: watermark prune never changes a claimable answer") {
+    val none = StreamPipeline.FunnelNone
+    val s0 = (none, none, List.empty[Long])
+    // purchases at 5, 15, 25 with no signup yet
+    val buffered = StreamPipeline.funnelAdvance(
+      s0, Seq(("purchase", 5L), ("purchase", 15L), ("purchase", 25L)), Long.MinValue)
+    assert(buffered._3.toSet == Set(5L, 15L, 25L))
+    // watermark at 20 prunes 5 and 15; by the watermark contract no
+    // future signup can carry s < 20, and a signup at s >= 20 can only
+    // claim purchases >= s >= 20 — so the prune is invisible
+    val pruned = StreamPipeline.funnelAdvance(buffered, Seq.empty, 20L)
+    assert(pruned._3 == List(25L))
+    val afterSignup = StreamPipeline.funnelAdvance(pruned, Seq(("signup", 22L)), 20L)
+    val unprunedAfterSignup = StreamPipeline.funnelAdvance(buffered, Seq(("signup", 22L)), Long.MinValue)
+    assert((afterSignup._1, afterSignup._2) == (unprunedAfterSignup._1, unprunedAfterSignup._2),
+      "claimed (signup, purchase) pair must be identical with and without the prune")
+    assert(afterSignup._1 == 22L && afterSignup._2 == 25L)
+  }
+
   test("streaming funnel: random event streams match the brute-force oracle") {
     val r = new scala.util.Random(42)
     val types = Seq("signup", "purchase", "view")
