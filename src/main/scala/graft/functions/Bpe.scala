@@ -1,0 +1,241 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding subword tokenization as dataflow — the real-token
+  * counterpart of [[TextFunctions.subwordCount]]'s proxy, so token
+  * budgets (q122-family) and sequence packing (q89-family) can run on
+  * actual BPE counts.
+  *
+  * Design for 100 TB:
+  *
+  *  - TRAINING ([[Bpe.learnMerges]]) runs at VOCABULARY grain: the
+  *    corpus collapses once to a (word, freq) table and every merge
+  *    round touches only that table — pair candidates are one
+  *    vocab-grain shuffle per round, the argmax is a 1-row fetch
+  *    (bounded driver data, same discipline as the k-means sampler in
+  *    `Similarity.kmeansCentroids`). The corpus is never rescanned.
+  *  - ENCODING rides in the scan: [[Bpe.bpeTokenCount]] is a single
+  *    expression over the raw text — no explode, no shuffle; the
+  *    merges table is broadcast in the task closure and a per-task
+  *    memo caches each distinct word's piece count, so per-row cost is
+  *    a hash probe for all but the first sighting of a word (Zipf:
+  *    the overwhelming majority of token occurrences are cache hits).
+  *
+  * Oracle-exactness pins (the q141 "pinned exact regime" playbook —
+  * every rule exists so a DuckDB recursive CTE can replay the exact
+  * same merges and counts, making the gate a hash match):
+  *
+  *  - candidate pairs with `left == right` are EXCLUDED from training:
+  *    the replay applies a merge as a non-overlapping string replace,
+  *    which is only order-equivalent to the left-to-right greedy pass
+  *    when occurrences cannot share a boundary symbol (x,x,x,x,x
+  *    diverges; x,y never can — see BpeSpec's property test);
+  *  - ties in pair frequency break by (left, right) ascending binary
+  *    string order — identical in Spark and DuckDB;
+  *  - training words are restricted to `^[a-z]+$` (encoding accepts
+  *    any word and falls back toward characters).
+  */
+object Bpe {
+
+  /** One left-to-right greedy merge pass over a symbol sequence:
+    * non-overlapping adjacent (l, r) occurrences become l+r. For
+    * l != r (the trained regime) one pass reaches the fixpoint —
+    * merging cannot create a new (l, r) adjacency. */
+  def mergePass(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += syms(i) + syms(i + 1)
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Segment one word: characters, then each merge in rank order. */
+  def segmentWord(word: String, merges: Array[(String, String)]): Array[String] = {
+    var syms = word.toCharArray.map(_.toString)
+    var m = 0
+    while (m < merges.length && syms.length > 1) {
+      syms = mergePass(syms, merges(m)._1, merges(m)._2)
+      m += 1
+    }
+    syms
+  }
+
+  /** Learn `k` BPE merges from a (word, freq) table — each round is one
+    * vocabulary-grain shuffle (adjacent-pair candidates → weighted
+    * count) plus a single-row argmax fetch; stops early when no
+    * candidate pair remains. `localCheckpoint` every 8 rounds bounds
+    * the lineage exactly like `Graph.pageRankFixedPoint`. Self-pairs
+    * are excluded (oracle-exactness pin, see object doc). */
+  def learnMerges(wordFreq: DataFrame, k: Int): Seq[(String, String)] = {
+    var state = wordFreq
+      .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < k && !exhausted) {
+      val best = state
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .filter(col("p.l") =!= col("p.r"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        merges += ((l, r))
+        val prev = state
+        state = state.withColumn("syms",
+          org.apache.spark.sql.graft.shim.column(
+            BpeMergeAdjacent(org.apache.spark.sql.graft.shim.expression(col("syms")), l, r)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if ((round + 1) % 8 == 0) state = state.localCheckpoint(true)
+        prev.unpersist(blocking = false)
+        round += 1
+      }
+    }
+    state.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** The trained (word, freq) table for a documents frame: whitespace
+    * tokens of the normalized text, restricted to `^[a-z]+$`. */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Pieces of one word under a fixed merge table (array<string>). */
+  def segment(word: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.column(BpeSegment(shim.expression(word), merges))
+  }
+
+  /** BPE token count of a whole text in ONE pass — normalize,
+    * whitespace-split, memoized per-word piece count, sum. No explode,
+    * no shuffle; merges ride the task closure (broadcast-sized). */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.column(BpeTokenCount(shim.expression(text), merges))
+  }
+}
+
+/** `array<string>` → `array<string>`: one greedy left-to-right merge
+  * pass of the constant pair (l, r) — the trainer's per-round rewrite,
+  * running at vocabulary grain. */
+case class BpeMergeAdjacent(child: Expression, l: String, r: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_merge_adjacent"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val syms = new Array[String](arr.numElements())
+    var i = 0
+    while (i < syms.length) { syms(i) = arr.getUTF8String(i).toString; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Bpe.mergePass(syms, l, r).map(UTF8String.fromString))
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeMergeAdjacent =
+    copy(child = c)
+}
+
+/** `string` word → `array<string>` BPE pieces under a fixed merge
+  * table (applied in rank order). Vocabulary-grain use. */
+case class BpeSegment(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  require(merges.forall(m => m._1 != m._2),
+    "self-pair merges break oracle replay (see Bpe object doc)")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_segment"
+
+  @transient private lazy val mergeArr = merges.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Bpe.segmentWord(input.asInstanceOf[UTF8String].toString, mergeArr)
+        .map(UTF8String.fromString))
+
+  override protected def withNewChildInternal(c: Expression): BpeSegment =
+    copy(child = c)
+}
+
+/** `string` text → `bigint`: total BPE piece count over the whitespace
+  * tokens of the normalized text. Per-task memo keyed by word — under
+  * a Zipfian vocabulary nearly every occurrence is a hash probe, so
+  * the expression costs ~one split pass per row and the corpus never
+  * leaves the scan (no explode, no shuffle). Memo capped so an
+  * adversarial unbounded vocabulary degrades to recompute, not OOM. */
+case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  require(merges.forall(m => m._1 != m._2),
+    "self-pair merges break oracle replay (see Bpe object doc)")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpe_token_count"
+
+  @transient private lazy val mergeArr = merges.toArray
+  @transient private lazy val memo = new java.util.HashMap[String, java.lang.Long]()
+  private val memoCap = 1 << 20
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT).trim
+    if (text.isEmpty) 0L
+    else {
+      val words = text.split("\\s+")
+      var total = 0L
+      var i = 0
+      while (i < words.length) {
+        val w = words(i)
+        val cached = memo.get(w)
+        if (cached != null) total += cached.longValue()
+        else {
+          val n = Bpe.segmentWord(w, mergeArr).length.toLong
+          if (memo.size < memoCap) memo.put(w, n)
+          total += n
+        }
+        i += 1
+      }
+      total
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeTokenCount =
+    copy(child = c)
+}

@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.functions.{Bpe, TextFunctions => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Real BPE subword tokenization as dataflow (round 11) — the engine's
+  * token budgets and packing previously ran on a whitespace /
+  * `subwordCount` surrogate; these queries run them on actual
+  * byte-pair-encoding counts from a tokenizer TRAINED on the corpus.
+  *
+  * Everything is oracled end-to-end: the DuckDB side replays the exact
+  * training loop (weighted pair argmax with (count DESC, left, right)
+  * tie-break, merge applied as a non-overlapping string replace until
+  * fixpoint) in a recursive CTE, then re-encodes the vocabulary with
+  * the learned merges and joins the piece counts back per document —
+  * the q141 pinned-exact-regime playbook, here for an iterative
+  * *training* algorithm. Exactness pins (also in [[graft.functions.Bpe]]):
+  * no self-pair merges, `^[a-z]+$$` training words, binary-string
+  * tie-breaks.
+  *
+  * Scale notes (SCALING.md "BPE"): training touches only the
+  * vocabulary-grain (word, freq) table per round; encoding rides the
+  * document scan as one memoized expression — no explode, no shuffle,
+  * merges broadcast in the closure. The tokenizer is an artifact:
+  * trained once, reused by every downstream query (merges memo below —
+  * production would persist them as a table).
+  */
+object BpeQueries {
+
+  /** Merges per (sfDir, k): the trained tokenizer is an artifact shared
+    * by the budget/packing queries, not retrained per query. q148 (the
+    * training query itself) always retrains and refreshes the entry so
+    * its bench sample measures real training cost. */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(String, String)]]()
+
+  private val K = 24
+
+  private def trainedMerges(s: org.apache.spark.sql.SparkSession, dir: String,
+      retrain: Boolean = false): Seq[(String, String)] = {
+    val key = (dir, K)
+    if (retrain) {
+      val m = Bpe.learnMerges(Bpe.wordFreq(Tables.load(s, dir, "documents"), "text"), K)
+      mergeCache.put(key, m)
+      m
+    } else mergeCache.computeIfAbsent(key, _ =>
+      Bpe.learnMerges(Bpe.wordFreq(Tables.load(s, dir, "documents"), "text"), K))
+  }
+
+  // ---------------------------------------------------------------------
+  // Oracle prelude: training replay + vocabulary re-encode + per-doc BPE
+  // counts. Interpolated with $K; merges MATERIALIZED so the recursive
+  // encode join doesn't re-run the training CTE per step (28× measured).
+  // ---------------------------------------------------------------------
+  private val tokensSql: String =
+    """string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')"""
+
+  private def preludeSql: String = s"""
+    wf AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest($tokensSql) AS w FROM documents) t
+      WHERE regexp_matches(w, '^[a-z]+$$')
+      GROUP BY w),
+    -- training replay: one recursive relation alternating CHOOSE steps
+    -- (adjacent-pair candidates unnested per word, weighted count via a
+    -- window, global argmax by (cnt DESC, l, r)) and APPLY steps (the
+    -- chosen pair replaced until no word changes). Self-pairs excluded:
+    -- non-overlapping string replace is only order-equivalent to the
+    -- greedy left-to-right pass when occurrences can't share a boundary.
+    enc AS (
+      SELECT 0 AS step, 0 AS nm, w, freq,
+             '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS st,
+             CAST(NULL AS VARCHAR) AS cl, CAST(NULL AS VARCHAR) AS cr,
+             FALSE AS applying
+      FROM wf
+      UNION ALL
+      SELECT step, nm, w, freq, st, cl, cr, applying FROM (
+        SELECT
+          step + 1 AS step,
+          CASE WHEN applying AND NOT again THEN nm + 1 ELSE nm END AS nm,
+          w, freq,
+          CASE WHEN applying THEN st2 ELSE st END AS st,
+          CASE WHEN applying THEN cl ELSE bl END AS cl,
+          CASE WHEN applying THEN cr ELSE br END AS cr,
+          CASE WHEN applying THEN again ELSE has_pair END AS applying,
+          has_pair, applying AS was_applying
+        FROM (
+          SELECT step, nm, w, freq, st, cl, cr, applying, st2,
+                 COALESCE(MAX(CASE WHEN applying AND
+                     replace(st2, '|'||cl||'|'||cr||'|', '|'||cl||cr||'|') <> st2
+                     THEN 1 ELSE 0 END) OVER () = 1, FALSE) AS again,
+                 FIRST_VALUE(pl) OVER (ORDER BY pcnt DESC NULLS LAST, pl, pr) AS bl,
+                 FIRST_VALUE(pr) OVER (ORDER BY pcnt DESC NULLS LAST, pl, pr) AS br,
+                 COALESCE(MAX(CASE WHEN pcnt IS NOT NULL THEN 1 ELSE 0 END)
+                   OVER () = 1, FALSE) AS has_pair
+          FROM (
+            SELECT step, nm, w, freq, st, cl, cr, applying, st2, pl, pr,
+                   CASE WHEN pl IS NOT NULL
+                        THEN SUM(freq) OVER (PARTITION BY pl, pr) END AS pcnt
+            FROM (
+              SELECT step, nm, w, freq, st, cl, cr, applying, st2,
+                     CASE WHEN p[1] IS NOT NULL AND p[1] <> p[2] THEN p[1] END AS pl,
+                     CASE WHEN p[1] IS NOT NULL AND p[1] <> p[2] THEN p[2] END AS pr
+              FROM (
+                SELECT step, nm, w, freq, st, cl, cr, applying,
+                       CASE WHEN applying
+                            THEN replace(st, '|'||cl||'|'||cr||'|', '|'||cl||cr||'|')
+                            END AS st2,
+                       unnest(CASE WHEN applying
+                         THEN [(CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))]
+                         ELSE list_concat(
+                           list_zip(syms[1:len(syms)-1], syms[2:len(syms)]),
+                           [(CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))]) END) AS p
+                FROM (
+                  SELECT step, nm, w, freq, st, cl, cr, applying,
+                         list_filter(string_split(st, '|'), x -> x <> '') AS syms
+                  FROM enc WHERE nm < $K)
+              )
+            )
+          )
+        )
+        WHERE applying OR has_pair OR was_applying
+        GROUP BY ALL
+      )
+    ),
+    merges AS MATERIALIZED (
+      SELECT nm + 1 AS rank, cl AS l, cr AS r
+      FROM (SELECT DISTINCT nm, cl, cr FROM enc WHERE applying AND cl IS NOT NULL)),
+    toks AS (
+      SELECT doc_id, unnest($tokensSql) AS w FROM documents
+      WHERE regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') <> ''),
+    vocab AS (SELECT DISTINCT w FROM toks),
+    -- vocabulary re-encode with the learned merges, in rank order; each
+    -- step is one replace pass, the rank advances when a pass no-ops
+    encw AS (
+      SELECT w, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS st, 0 AS r
+      FROM vocab
+      UNION ALL
+      SELECT w,
+        CASE WHEN replace(st, '|'||m.l||'|'||m.r||'|', '|'||m.l||m.r||'|') <> st
+             THEN replace(st, '|'||m.l||'|'||m.r||'|', '|'||m.l||m.r||'|') ELSE st END,
+        CASE WHEN replace(st, '|'||m.l||'|'||m.r||'|', '|'||m.l||m.r||'|') <> st
+             THEN encw.r ELSE encw.r + 1 END
+      FROM encw JOIN merges m ON m.rank = encw.r + 1),
+    wp AS (
+      SELECT w, CAST(LEN(st) - LEN(replace(st, '|', '')) - 1 AS BIGINT) AS n_pieces
+      FROM encw WHERE encw.r = (SELECT COUNT(*) FROM merges)),
+    docbpe AS (
+      SELECT d.doc_id, d.lang,
+             COALESCE(c.n_tokens, 0) AS n_tokens,
+             COALESCE(c.n_bpe_tokens, 0) AS n_bpe_tokens
+      FROM documents d LEFT JOIN (
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(wp.n_pieces) AS BIGINT) AS n_bpe_tokens
+        FROM toks t JOIN wp ON t.w = wp.w
+        GROUP BY t.doc_id) c USING (doc_id))"""
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // ---- q148: BPE tokenizer training — the learned merge table
+    // itself. Spark runs the vocabulary-grain K-round dataflow
+    // (Bpe.learnMerges); the oracle replays every round exactly. ----
+    QuerySpec(
+      "q148_bpe_learned_merges",
+      Some(s"""
+        WITH RECURSIVE $preludeSql
+        SELECT rank, l AS left_sym, r AS right_sym FROM merges"""),
+      (s, dir) => {
+        val m = trainedMerges(s, dir, retrain = true)
+        import s.implicits._
+        m.zipWithIndex
+          .map { case ((l, r), i) => (i + 1L, l, r) }
+          .toDF("rank", "left_sym", "right_sym")
+      }),
+
+    // ---- q149: per-document BPE token stats — whitespace count vs
+    // real subword count, the pair every budget decision rests on.
+    // Encoding is ONE memoized expression inside the scan: no explode,
+    // no shuffle, merges in the closure. ----
+    QuerySpec(
+      "q149_bpe_token_stats",
+      Some(s"""
+        WITH RECURSIVE $preludeSql
+        SELECT doc_id, n_tokens, n_bpe_tokens FROM docbpe"""),
+      (s, dir) => {
+        val merges = trainedMerges(s, dir)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            T.tokenCount(col("text")).as("n_tokens"),
+            Bpe.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
+      }),
+
+    // ---- q150: token-budget mix sampling on REAL BPE counts — q122's
+    // admission pass with the budget measured in subword tokens, as
+    // production budgets are. Same single window shuffle on lang. ----
+    QuerySpec(
+      "q150_token_budget_bpe",
+      Some(s"""
+        WITH RECURSIVE $preludeSql,
+        c AS (
+          SELECT doc_id, lang, n_bpe_tokens,
+                 CAST(SUM(n_bpe_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY ${graft.Exact.hashOrderSql("doc_id", 1000000)}, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+          FROM docbpe)
+        SELECT doc_id, lang, n_bpe_tokens, cum_tokens
+        FROM c WHERE cum_tokens - n_bpe_tokens < 3000"""),
+      (s, dir) => {
+        val merges = trainedMerges(s, dir)
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(graft.Exact.hashOrder(col("doc_id"), 1000000), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"),
+            Bpe.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
+          .withColumn("cum_tokens", sum(col("n_bpe_tokens")).over(w).cast("long"))
+          .filter(col("cum_tokens") - col("n_bpe_tokens") < 3000)
+      }),
+
+    // ---- q151: training-sequence packing on REAL BPE counts — q89's
+    // 2048-token sequence cut with actual subword lengths, so packed
+    // sequences match what a trainer's collator would see. Spark keeps
+    // the distributed prefix sum (operators.Packing). ----
+    QuerySpec(
+      "q151_pack_sequences_bpe",
+      Some(s"""
+        WITH RECURSIVE $preludeSql,
+        ordered AS (
+          SELECT doc_id, n_bpe_tokens,
+                 SUM(n_bpe_tokens) OVER (ORDER BY ${graft.Exact.hashOrderSql("doc_id", 97)}, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM docbpe)
+        SELECT CAST((cum - n_bpe_tokens) // 2048 AS BIGINT) AS seq_id,
+               COUNT(*) AS n_docs, CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM ordered GROUP BY 1"""),
+      (s, dir) => {
+        val merges = trainedMerges(s, dir)
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
+          Bpe.bpeTokenCount(col("text"), merges).as("n_toks"))
+        graft.operators.Packing.packSequences(docs, "doc_id", "n_toks",
+          budget = 2048L)
+      })
+  )
+}

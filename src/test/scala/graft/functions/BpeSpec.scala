@@ -1,0 +1,108 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE training + encoding: the dataflow trainer against an in-memory
+  * brute-force reference, the greedy-pass/string-replace equivalence
+  * the oracle's exactness pin rests on, and the memoized scan counter
+  * against the explode-and-join formulation. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force reference trainer: same semantics, plain Scala. */
+  private def refTrain(wf: Map[String, Long], k: Int): Seq[(String, String)] = {
+    var states = wf.keys.map(w => w -> w.toCharArray.map(_.toString).toList).toMap
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- states; (a, b) <- syms.zip(syms.tail) if a != b)
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + wf(w)
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        states = states.map { case (w, syms) =>
+          w -> Bpe.mergePass(syms.toArray, best._1, best._2).toList
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  private def refSegment(w: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(w.toCharArray.map(_.toString).toSeq) { case (s, (l, r)) =>
+      Bpe.mergePass(s.toArray, l, r).toSeq
+    }
+
+  test("learnMerges matches the brute-force trainer on random corpora") {
+    val rng = new scala.util.Random(5)
+    for (trial <- 0 until 3) {
+      val alphabet = "abcde"
+      val words = Seq.fill(40)(
+        (0 until (1 + rng.nextInt(7))).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+      val wf = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val wfDf = wf.toSeq.toDF("w", "freq")
+      val got = Bpe.learnMerges(wfDf, 12)
+      assert(got == refTrain(wf, 12), s"trial $trial")
+    }
+  }
+
+  test("learnMerges stops early when no non-self pair remains") {
+    // single repeated letter words: every adjacent pair is a self-pair
+    val wfDf = Seq(("aaa", 5L), ("aa", 3L), ("b", 2L)).toDF("w", "freq")
+    assert(Bpe.learnMerges(wfDf, 10).isEmpty)
+  }
+
+  test("mergePass is greedy left-to-right, non-overlapping") {
+    assert(Bpe.mergePass(Array("a", "b", "a", "b"), "a", "b").toSeq == Seq("ab", "ab"))
+    assert(Bpe.mergePass(Array("x", "x", "x"), "x", "x").toSeq == Seq("xx", "x"))
+    assert(Bpe.mergePass(Array("a", "b", "b"), "a", "b").toSeq == Seq("ab", "b"))
+    assert(Bpe.mergePass(Array.empty[String], "a", "b").toSeq == Seq.empty)
+  }
+
+  /** The oracle applies a merge as a non-overlapping string replace on
+    * a '|'-fenced state, iterated to fixpoint; for l != r that must
+    * equal ONE greedy pass — the exactness pin for the DuckDB replay. */
+  test("string-replace fixpoint == one greedy pass for non-self pairs") {
+    val rng = new scala.util.Random(11)
+    for (_ <- 0 until 200) {
+      val syms = Seq.fill(1 + rng.nextInt(10))(if (rng.nextBoolean()) "x" else "y")
+      def replaceFix(s: String): String = {
+        val next = s.replace("|x|y|", "|xy|")
+        if (next == s) s else replaceFix(next)
+      }
+      val viaReplace = replaceFix(syms.mkString("|", "|", "|"))
+        .split('|').filter(_.nonEmpty).toSeq
+      val viaPass = Bpe.mergePass(syms.toArray, "x", "y").toSeq
+      assert(viaReplace == viaPass, s"input $syms")
+    }
+  }
+
+  test("segment expression equals the fold reference; unseen words fall back to chars") {
+    val merges = Seq(("a", "b"), ("ab", "c"), ("d", "e"))
+    val words = Seq("abc", "abcabc", "dead", "zzz", "a", "xabcy", "er1")
+    val got = words.toDF("w")
+      .select(col("w"), Bpe.segment(col("w"), merges).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    for (w <- words) assert(got(w) == refSegment(w, merges), w)
+    assert(got("zzz") == Seq("z", "z", "z")) // nothing merges: char fallback
+  }
+
+  test("bpeTokenCount == explode + per-word segment + sum") {
+    val docsDf = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val merges = Bpe.learnMerges(Bpe.wordFreq(docsDf, "text"), 16)
+    val viaScan = docsDf.select(col("doc_id"),
+      Bpe.bpeTokenCount(col("text"), merges).as("n")).as[(Long, Long)].collect().toMap
+    val viaExplode = docsDf
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), size(Bpe.segment(col("w"), merges)).cast("long").as("k"))
+      .groupBy("doc_id").agg(sum(col("k")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // scan form keeps empty docs at 0; explode form drops them
+    for ((d, n) <- viaExplode) assert(viaScan(d) == n, s"doc $d")
+    assert(viaScan.keySet.diff(viaExplode.keySet)
+      .forall(d => viaScan(d) == 0L))
+  }
+}
