@@ -355,13 +355,23 @@ object Dedup {
     * on (chunk_idx, chunk_value), never a cross join. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, hotBucketCap: Int = 4096): DataFrame = {
+      maxHamming: Int = 3, hotBucketCap: Int = 4096): DataFrame =
+    hammingPairs(simhashes(df, idCol, textCol), idCol, "simhash",
+      maxHamming, hotBucketCap)
+
+  /** Hamming-ball pairs over ANY 64-bit signature column (SimHash,
+    * image dHash, …) via the pigeonhole banding trick: candidates from
+    * (chunk_idx, chunk_value) equi-joins, exact popcount verify after.
+    * Never an all-pairs join; hot buckets capped. */
+  def hammingPairs(
+      sigs: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, hotBucketCap: Int = 4096): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val sims = simhashes(df, idCol, textCol)
+    val sims = sigs.select(col(idCol), col(hashCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkCols = (0 until chunks).map { i =>
-      shiftrightunsigned(col("simhash"), i * bitsPer)
+      shiftrightunsigned(col(hashCol), i * bitsPer)
         .bitwiseAND(lit((1L << bitsPer) - 1))
     }
     val banded = sims.select(
@@ -372,8 +382,8 @@ object Dedup {
     // the hash values — the pair set is far smaller than the banded
     // frame, and sims is persisted (broadcastable under AQE)
     cappedBucketPairs(banded, Seq("chunk", "cv"), idCol, hotBucketCap)
-      .join(sims.select(col(idCol).as("id_a"), col("simhash").as("sim_a")), Seq("id_a"))
-      .join(sims.select(col(idCol).as("id_b"), col("simhash").as("sim_b")), Seq("id_b"))
+      .join(sims.select(col(idCol).as("id_a"), col(hashCol).as("sim_a")), Seq("id_a"))
+      .join(sims.select(col(idCol).as("id_b"), col(hashCol).as("sim_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -267,6 +267,123 @@ object Multimodal {
       .toDF(idCol, "payload")
   }
 
+  /** Near-duplicate image fixture: groups of 5 images share one
+    * closed-form base pattern (group g = id/5); members m = 1..4 flip a
+    * single pixel's channels by +128. Within a group the perceptual
+    * hashes differ in at most a couple of bits; across groups they are
+    * unrelated — the controlled workload for [[dHashImages]], with
+    * every pixel an integer function of (id, x, y) so the q152 oracle
+    * replays the hash bit-for-bit without a codec (q133 pattern;
+    * formulas kept in sync with the oracle SQL). The channel formulas
+    * are NONLINEAR in (x, y) — a linear gradient gives every row a
+    * constant left-to-right delta, which collapses all dHashes onto a
+    * few values and degenerates the workload to near-all-pairs
+    * (measured: 27.5k cross-group pairs linear vs 8 nonlinear):
+    *   g = id/5, m = id%5, w = 8 + g%3, h = 8 + g%2,
+    *   r  = ((3g+5x+7y)·(x+y+1) + g) % 256,
+    *   gr = ((11g+3x+5y)·(x+2y+1) + 2g) % 256,
+    *   b  = ((7g+2x+3y)·(2x+y+1) + 3g) % 256;
+    *   if m>0, pixel ((3m)%w, (2m)%h) gets each channel +128 (mod 256). */
+  def synthesizeNearDupImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val g = id / 5
+          val m = (id % 5).toInt
+          val w = (8 + g % 3).toInt
+          val h = (8 + g % 2).toInt
+          val px = (m * 3) % w
+          val py = (m * 2) % h
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var r = (((3 * g + 5 * x + 7 * y) * (x + y + 1) + g) % 256).toInt
+              var gr = (((11 * g + 3 * x + 5 * y) * (x + 2 * y + 1) + 2 * g) % 256).toInt
+              var b = (((7 * g + 2 * x + 3 * y) * (2 * x + y + 1) + 3 * g) % 256).toInt
+              if (m > 0 && x == px && y == py) {
+                r = (r + 128) % 256; gr = (gr + 128) % 256; b = (b + 128) % 256
+              }
+              img.setRGB(x, y, (r << 16) | (gr << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded image: BT.601 integer
+    * luma sampled on a 9×8 nearest-neighbor grid (x_i = i·w/9,
+    * y_j = j·h/8 — sampling, not area-average, so the arithmetic is
+    * pure integer and a SQL oracle can replay it on closed-form
+    * fixtures); bit j·8+i set iff gray(x_{i+1},y_j) > gray(x_i,y_j).
+    * Near-duplicate images agree on almost every comparison, so
+    * Hamming distance on the output ranks perceptual similarity. */
+  def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = Array.ofDim[Int](8, 9)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 9) {
+        val rgb = img.getRGB(i * w / 9, j * h / 8)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        gray(j)(i) = (r * 299 + g * 587 + b * 114) / 1000
+        i += 1
+      }
+      j += 1
+    }
+    var hash = 0L
+    j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (gray(j)(i + 1) > gray(j)(i)) hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** Perceptual hash per image payload: decode (real ImageIO codecs,
+    * partition-batched init) → [[dhash64]]. Undecodable payloads yield
+    * a null hash for downstream filtering — a poison payload must not
+    * kill the job. Output: (idCol, dhash). */
+  def dHashImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth == 0 || img.getHeight == 0)
+            (id, None: Option[Long])
+          else (id, Some(dhash64(img)))
+        }
+      }
+      .toDF(idCol, "dhash")
+      .filter(col("dhash").isNotNull)
+      .select(col(idCol), col("dhash").cast("long"))
+  }
+
   /** Partition-batched "decode": one pass per partition over the binary
     * payloads. STUB — retained as the template for formats the JDK
     * cannot decode (video/audio codecs); images now have the REAL

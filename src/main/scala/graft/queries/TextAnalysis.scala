@@ -1065,6 +1065,74 @@ object TextAnalysis {
         val hist = (0 until 16).map(i =>
           col("luma_hist").getItem(i).as(f"h$i%02d"))
         px.toDF().select(base ++ hist: _*)
+      }),
+
+    // ---- q152: image perceptual near-dup (dHash) — multimodal dedup,
+    // the one pipeline staple the q43/q133 stack didn't yet feed. Each
+    // doc synthesizes a real PNG from the near-dup fixture (groups of 5
+    // share a base pattern, members flip one pixel); the engine runs
+    // genuine encode → ImageIO decode → 9×8 nearest-sample dHash, then
+    // Hamming-ball pairs via the SimHash pigeonhole chunk join
+    // (Dedup.hammingPairs — banded equi-join + popcount verify, never
+    // all-pairs). The oracle computes the hash bit-for-bit from the
+    // pixel formula (PNG lossless) as four 16-bit chunks — no 64-bit
+    // overflow — and brute-forces pairs, which at oracle scale is the
+    // quarantined baseline the banding provably equals (4 chunks ⊇ any
+    // Hamming≤3 pair by pigeonhole). ----
+    QuerySpec(
+      "q152_image_dhash_pairs",
+      Some("""
+        WITH geom AS (
+          SELECT doc_id, doc_id // 5 AS g, CAST(doc_id % 5 AS INT) AS m,
+                 CAST(8 + (doc_id // 5) % 3 AS INT) AS w,
+                 CAST(8 + (doc_id // 5) % 2 AS INT) AS h
+          FROM documents),
+        samp AS (
+          SELECT doc_id, g, m, w, h, j, i,
+                 (i * w) // 9 AS x, (j * h) // 8 AS y
+          FROM geom, UNNEST(range(8)) AS tj(j), UNNEST(range(9)) AS ti(i)),
+        gray AS (
+          SELECT doc_id, j, i, (r*299 + gg*587 + b*114) // 1000 AS gv
+          FROM (
+            SELECT doc_id, j, i,
+                   CASE WHEN pert THEN (((3*g + 5*x + 7*y)*(x + y + 1) + g) % 256 + 128) % 256
+                        ELSE ((3*g + 5*x + 7*y)*(x + y + 1) + g) % 256 END AS r,
+                   CASE WHEN pert THEN (((11*g + 3*x + 5*y)*(x + 2*y + 1) + 2*g) % 256 + 128) % 256
+                        ELSE ((11*g + 3*x + 5*y)*(x + 2*y + 1) + 2*g) % 256 END AS gg,
+                   CASE WHEN pert THEN (((7*g + 2*x + 3*y)*(2*x + y + 1) + 3*g) % 256 + 128) % 256
+                        ELSE ((7*g + 2*x + 3*y)*(2*x + y + 1) + 3*g) % 256 END AS b
+            FROM (SELECT *, m > 0 AND x = (m*3) % w AND y = (m*2) % h AS pert
+                  FROM samp))),
+        bits AS (
+          SELECT a.doc_id, (a.j * 8 + a.i) // 16 AS chunk,
+                 CASE WHEN b.gv > a.gv
+                      THEN CAST(1 AS BIGINT) << CAST((a.j*8 + a.i) % 16 AS INT)
+                      ELSE CAST(0 AS BIGINT) END AS wgt
+          FROM gray a JOIN gray b
+            ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+          WHERE a.i < 8),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN chunk = 0 THEN wgt ELSE 0 END) AS BIGINT) AS c0,
+                 CAST(SUM(CASE WHEN chunk = 1 THEN wgt ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN chunk = 2 THEN wgt ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN chunk = 3 THEN wgt ELSE 0 END) AS BIGINT) AS c3
+          FROM bits GROUP BY doc_id)
+        SELECT id_a, id_b, hamming FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+                    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+                    AS BIGINT) AS hamming
+          FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id)
+        WHERE hamming <= 3"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sigs = graft.operators.Multimodal.dHashImages(
+          graft.operators.Multimodal.synthesizeNearDupImages(
+            graft.operators.Fanout.forKernel(docs), "doc_id"), "doc_id")
+        graft.operators.Dedup.hammingPairs(sigs, "doc_id", "dhash",
+            maxHamming = 3)
+          .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       })
   )
 }

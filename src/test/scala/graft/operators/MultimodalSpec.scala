@@ -188,4 +188,41 @@ class MultimodalSpec extends SparkSpec {
     assert(back.mean_r == 0x20.toDouble && back.mean_g == 0xA0.toDouble &&
       back.mean_b == 0x40.toDouble, s"solid color must survive resize, got $back")
   }
+
+  test("dHash: decode path equals the closed-form formula; near-dups cluster by group") {
+    val ids = (0L until 50L).toDF("doc_id")
+    val hashes = Multimodal.dHashImages(
+      Multimodal.synthesizeNearDupImages(ids, "doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // formula twin: same arithmetic, no codec
+    def formulaHash(id: Long): Long = {
+      val g = id / 5; val m = (id % 5).toInt
+      val w = (8 + g % 3).toInt; val h = (8 + g % 2).toInt
+      val px = (m * 3) % w; val py = (m * 2) % h
+      def gray(x: Int, y: Int): Int = {
+        var r = (((3 * g + 5 * x + 7 * y) * (x + y + 1) + g) % 256).toInt
+        var gr = (((11 * g + 3 * x + 5 * y) * (x + 2 * y + 1) + 2 * g) % 256).toInt
+        var b = (((7 * g + 2 * x + 3 * y) * (2 * x + y + 1) + 3 * g) % 256).toInt
+        if (m > 0 && x == px && y == py) {
+          r = (r + 128) % 256; gr = (gr + 128) % 256; b = (b + 128) % 256
+        }
+        (r * 299 + gr * 587 + b * 114) / 1000
+      }
+      var hash = 0L
+      for (j <- 0 until 8; i <- 0 until 8)
+        if (gray((i + 1) * w / 9, j * h / 8) > gray(i * w / 9, j * h / 8))
+          hash |= 1L << (j * 8 + i)
+      hash
+    }
+    for (id <- 0L until 50L)
+      assert(hashes(id) == formulaHash(id), s"id $id: decode != formula")
+    // within a group the single-pixel perturbation flips at most 2 bits
+    for (g <- 0 until 10; m <- 1 until 5) {
+      val d = java.lang.Long.bitCount(hashes(g * 5L) ^ hashes(g * 5L + m))
+      assert(d <= 2, s"group $g member $m hamming $d")
+    }
+    // undecodable payloads are dropped, not fatal
+    val junk = Seq((99L, "nope".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(Multimodal.dHashImages(junk, "doc_id").count() == 0)
+  }
 }
