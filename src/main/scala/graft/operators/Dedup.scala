@@ -108,7 +108,16 @@ object Dedup {
     * against the representative, so a member pair whose similarity
     * exists only via that bucket can be missed — at the gain of bounded
     * work regardless of skew. */
-  private def cappedBucketPairs(
+  /** Within-cluster candidate pairs — the public face of
+    * [[cappedBucketPairs]] for cluster-keyed dedup (SemDeDup / q153):
+    * one cluster id column plays the bucket key, a hot cluster emits a
+    * star to its min id instead of |cluster|² pairs. */
+  def clusterPairs(assigned: DataFrame, clusterCol: String, idCol: String,
+      cap: Int = 4096): DataFrame =
+    cappedBucketPairs(assigned.select(col(clusterCol), col(idCol)),
+      Seq(clusterCol), idCol, cap)
+
+  private[operators] def cappedBucketPairs(
       banded: DataFrame, keys: Seq[String], idCol: String, cap: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cached = banded.persist(MEMORY_AND_DISK)

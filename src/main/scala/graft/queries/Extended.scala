@@ -931,6 +931,92 @@ object Extended {
         graft.operators.Dedup.keeperFrom(emb, "vec_id", verified)
       }),
 
+    // ---- q153: SemDeDup-style embedding-cluster dedup, quantized twin
+    // (Abbas et al. 2023, arXiv:2303.09540) — k-means-partitioned space,
+    // pairs only WITHIN a cluster, cosine-verified, min-id keeper. The
+    // production operator is Similarity.semanticDedup (trained float
+    // centroids, capped cluster pairs); this twin pins its exact
+    // topology under the hash gate the way q90 pins IVF: centroids are
+    // the first-12 pinned seed regime, arithmetic is the q86/q92
+    // integer quantization (assignment argmax by integer dot with
+    // (d DESC, list_id) ties; verify cos ≥ 0.4 as 25·dot² ≥ 4·na·nb),
+    // candidates run through the SAME Dedup.clusterPairs machinery
+    // (cap ∞ so the oracle's plain self-join is exact at any SF). The
+    // assignment itself is part of the output (list_id), so the gate
+    // pins clustering, pairing, verification and keeper election. ----
+    QuerySpec(
+      "q153_semantic_dedup_quantized",
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), n2 AS (
+          SELECT vec_id, v,
+                 CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS nn
+          FROM qz
+        ), cents AS (
+          SELECT vec_id AS list_id, v AS centv FROM qz ORDER BY vec_id LIMIT 12
+        ), assigned AS (
+          SELECT vec_id, v, nn, list_id FROM (
+            SELECT q.vec_id, q.v, q.nn, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, len(q.v)),
+                       i -> q.v[i] * c.centv[i])) AS BIGINT) DESC, c.list_id) AS r
+            FROM n2 q, cents c) t
+          WHERE r = 1
+        ), scored AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.nn AS na, b.nn AS nb,
+                 CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+                   i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+          FROM assigned a JOIN assigned b
+            ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        ), verified AS (
+          SELECT id_a, id_b FROM scored
+          WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb
+        ), best AS (
+          SELECT id_b AS vec_id, MIN(id_a) AS partner_min FROM verified GROUP BY 1
+        )
+        SELECT e.vec_id, s.list_id,
+               LEAST(COALESCE(partner_min, e.vec_id), e.vec_id) AS keep_id,
+               LEAST(COALESCE(partner_min, e.vec_id), e.vec_id) <> e.vec_id AS is_duplicate
+        FROM embeddings e
+        JOIN assigned s USING (vec_id)
+        LEFT JOIN best USING (vec_id)"""),
+      (s, dir) => {
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        def dotOf(a: String, b: String) = expr(
+          s"CAST(aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, x) -> acc + x) AS BIGINT)")
+        val base = emb.select(col("vec_id").cast("long").as("vec_id"), quant.as("v"))
+          .withColumn("nn", expr("CAST(aggregate(v, 0L, (acc, x) -> acc + x * x) AS BIGINT)"))
+        val cents = base.orderBy("vec_id").limit(12)
+          .select(col("vec_id").as("list_id"), col("v").as("centv"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d").desc, col("list_id"))
+        val assigned = base.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"), col("nn"), col("list_id"),
+            dotOf("v", "centv").as("d"))
+          .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+          .select(col("vec_id"), col("v"), col("nn"), col("list_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = graft.operators.Dedup.clusterPairs(
+          assigned, "list_id", "vec_id", cap = Int.MaxValue)
+        val verified = pairs
+          .join(assigned.select(col("vec_id").as("id_a"), col("v").as("va"),
+            col("nn").as("na")), Seq("id_a"))
+          .join(assigned.select(col("vec_id").as("id_b"), col("v").as("vb"),
+            col("nn").as("nb")), Seq("id_b"))
+          .withColumn("dot", dotOf("va", "vb"))
+          .filter(col("dot") > 0 && expr("25 * dot * dot") >= expr("4 * na * nb"))
+          .select("id_a", "id_b")
+        graft.operators.Dedup.keeperFrom(emb, "vec_id", verified)
+          .join(assigned.select(col("vec_id"), col("list_id")), Seq("vec_id"))
+          .select(col("vec_id"), col("list_id"), col("keep_id"), col("is_duplicate"))
+      }),
+
     // ---- q93: quantized LSH top-k — q42's exact TOPOLOGY (hyperplane
     // signature → pigeonhole chunk equi-join → Hamming postfilter →
     // score survivors → top-k) in all-integer arithmetic (VERDICT r5
