@@ -25,12 +25,25 @@ object Graph {
     *              edges; parallel edges are summed.
     * @param nodes `(node: long)` the full node set (isolated nodes keep
     *              receiving the teleport share).
-    * @param iterations synchronous rounds (K). Production graphs want
-    *                   `localCheckpoint` every ~10 rounds to truncate
-    *                   lineage; at the K≤10 this engine exposes, the
-    *                   joined plan stays shallow enough as-is.
+    * @param iterations synchronous rounds (K), an upper bound when
+    *                   early stop is enabled.
     * @param scale fixed-point denominator for rank mass (default 1e9:
     *              rank·share products stay well under 2^63).
+    * @param toleranceL1 early-stop threshold on the round's L1 delta
+    *                    (Σ|r − r_prev|, EXACTLY computable in the
+    *                    fixed-point domain), or −1 (default) to
+    *                    disable. 0 stops at the exact integer fixpoint
+    *                    — further rounds provably change nothing, so
+    *                    the result equals any larger K (GraphSpec);
+    *                    values > 0 trade that exactness for earlier
+    *                    exit. With early stop on, each round is
+    *                    `localCheckpoint`ed anyway (the delta is an
+    *                    action per round; without truncation it would
+    *                    recompute the whole K-round lineage — O(K²)).
+    * @param checkpointEvery lineage truncation cadence for deep-K runs
+    *                   (production graphs: K is no longer a magic
+    *                   constant bounded by plan depth). q141's K=5
+    *                   default never reaches it — plan unchanged.
     *
     * Determinism: per-edge transition shares are pre-quantized to
     * millionths (`w·1e6 div outW`), per-round contributions are
@@ -48,9 +61,10 @@ object Graph {
     * scan when it fits, so rounds never shuffle twice. */
   def pageRankFixedPoint(
       edges: DataFrame, nodes: DataFrame,
-      iterations: Int = 5, scale: Long = 1000000000L): DataFrame = {
+      iterations: Int = 5, scale: Long = 1000000000L,
+      toleranceL1: Long = -1L, checkpointEvery: Int = 10): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    require(iterations >= 1 && scale >= 1000000L)
+    require(iterations >= 1 && scale >= 1000000L && checkpointEvery >= 1)
     val dedup = edges.groupBy("src", "dst").agg(sum("w").as("w"))
     val outw = dedup.groupBy("src").agg(sum("w").as("_outw"))
     // transition shares in millionths; zero-share self-loops keep every
@@ -66,18 +80,32 @@ object Graph {
     require(n > 0, "empty node set")
     val base = scale * 15 / 100 / n
     var ranks = nodes.select(col("node"), lit(scale / n).as("r"))
-    for (_ <- 1 to iterations) {
+    var round = 0
+    var converged = false
+    while (round < iterations && !converged) {
       // ranks is 16 bytes per NODE — a broadcast up to ~10^8-node graphs
       // on production executors, and the hint is load-bearing: round ≥2
       // ranks are aggregate outputs with unknown stats, which the static
       // planner would otherwise SMJ, re-sorting the edge list K times.
       // (Beyond that regime the extension is a src-bucketed shuffled
       // hash join; the edge shuffle below dominates either way.)
-      ranks = eshare
+      val next = eshare
         .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
         .groupBy(col("dst"))
         .agg(expr(s"$base + 85 * sum(r * s div 1000000) div 100").as("r"))
         .select(col("dst").as("node"), col("r"))
+      if (toleranceL1 >= 0L || (round + 1) % checkpointEvery == 0) {
+        val mat = next.localCheckpoint(true)
+        if (toleranceL1 >= 0L) {
+          val delta = mat
+            .join(ranks.select(col("node"), col("r").as("_rp")), "node")
+            .agg(sum(abs(col("r") - col("_rp"))).as("_d"))
+            .head().getLong(0)
+          converged = delta <= toleranceL1
+        }
+        ranks = mat
+      } else ranks = next
+      round += 1
     }
     ranks
   }

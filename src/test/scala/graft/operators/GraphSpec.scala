@@ -66,6 +66,34 @@ class GraphSpec extends SparkSpec {
     assertSameRows(a, b, "fixed-point ranks must not depend on layout")
   }
 
+  test("pageRankFixedPoint early stop at the integer fixpoint equals full-K") {
+    // symmetric cycle converges to the exact uniform fixpoint quickly;
+    // once the L1 delta is 0 further rounds provably change nothing
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val fullK = Graph.pageRankFixedPoint(edges, nodes, iterations = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val early = Graph.pageRankFixedPoint(edges, nodes, iterations = 60,
+      toleranceL1 = 0L).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(early == fullK, "early stop at delta=0 must equal the full-K run")
+    // sanity: the fixture really does reach the fixpoint well before K
+    // (uniform mass on a symmetric cycle), so the early path was exercised
+    val k12 = Graph.pageRankFixedPoint(edges, nodes, iterations = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k12 == fullK, "fixture must converge before 12 rounds")
+  }
+
+  test("pageRankFixedPoint deep-K run with checkpoint cadence matches shallow cadence") {
+    val edges = Seq((1L, 2L, 2L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val a = Graph.pageRankFixedPoint(edges, nodes, iterations = 15, checkpointEvery = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRankFixedPoint(edges, nodes, iterations = 15, checkpointEvery = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "lineage truncation must not change values")
+  }
+
   test("boilerplateShingles is invariant to input partitioning") {
     val r = new scala.util.Random(11)
     val docs = Seq.tabulate(60)(i =>
