@@ -125,7 +125,8 @@ class PlanSpec extends SparkSpec {
       "q44_ann_ivf_topk",          // centroid assignment: corpus x 16 centroids
       "q49_ann_ivf_kmeans_topk",   // same, trained centroids
       "q86_ann_quantized_exact_topk", // quantized exact search baseline
-      "q90_ann_ivf_quantized_topk")   // centroid assignment, quantized twin
+      "q90_ann_ivf_quantized_topk",   // centroid assignment, quantized twin
+      "q153_semantic_dedup_quantized") // centroid assignment: corpus x 12 pinned centroids (q90 pattern)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(deliberate)
       .flatMap { name =>
