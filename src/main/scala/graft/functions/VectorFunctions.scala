@@ -27,6 +27,12 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Exact int64 dot for quantized vectors ([[LongDotProduct]] kernel —
+    * codegen'd; value-identical to the interpreted HOF form, which at
+    * PAIR grain was the quantized family's hot path). */
+  def longDot(a: Column, b: Column): Column =
+    shim.column(LongDotProduct(shim.expression(a), shim.expression(b)))
+
   /** Deterministic pseudo-random hyperplane signature for LSH bucketing
     * (`planes` ≤ 63 sign bits as a long). Position-seeded weights — every
     * executor computes identical planes, nothing broadcast. */

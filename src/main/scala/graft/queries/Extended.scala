@@ -750,7 +750,7 @@ object Extended {
         corpus.crossJoin(broadcast(queries))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"),
-            expr("aggregate(zip_with(cv, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            graft.functions.VectorFunctions.longDot(col("cv"), col("qv"))
               .as("dot"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)
@@ -814,8 +814,8 @@ object Extended {
         val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
         val quant = expr(
           "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
-        def dot(a: String, b: String) = expr(
-          s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+        def dot(a: String, b: String) =
+          graft.functions.VectorFunctions.longDot(col(a), col(b))
         val corpus = emb.select(col("vec_id"), quant.as("cv"))
         val cents = corpus.orderBy("vec_id").limit(16)
           .select(col("vec_id").as("list_id"), col("cv").as("centv"))
@@ -902,15 +902,17 @@ object Extended {
         val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
         val quant = expr(
           "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
-        def bandKey(b: Int) = expr(s"""
-          CAST(aggregate(transform(sequence(0, 7), j ->
-            CASE WHEN aggregate(zip_with(v, transform(sequence(0, 63), i ->
-                   (CAST(1103515245 AS BIGINT) * ((($b*8 + j)*64) + i) + 12345) % 65536 - 32768),
-                 (a, c) -> a * c), 0L, (acc, x) -> acc + x) >= 0
-                 THEN CAST(shiftleft(1, j) AS BIGINT) ELSE 0L END),
-            0L, (a, x) -> a + x) AS BIGINT)""")
+        // LCG coefficient grid precomputed as literal arrays: same values
+        // as the former inline transform(sequence(...)) form, but each
+        // plane is one codegen'd longDot instead of 64 interpreted
+        // lambdas per row (the oracle side is unchanged)
+        def coefLit(p: Int) = typedLit((0 until 64).map(i =>
+          (1103515245L * (p * 64 + i) + 12345L) % 65536L - 32768L))
+        def bandKey(b: Int) = (0 until 8).map(j =>
+          when(graft.functions.VectorFunctions.longDot(col("v"), coefLit(b * 8 + j)) >= 0,
+            lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
         val base = emb.select(col("vec_id"), quant.as("v"))
-          .withColumn("nn", expr("CAST(aggregate(v, 0L, (acc, x) -> acc + x * x) AS BIGINT)"))
+          .withColumn("nn", graft.functions.VectorFunctions.longDot(col("v"), col("v")))
         val banded = base.select(col("vec_id"),
           posexplode(array(bandKey(0), bandKey(1))))
           .select(col("vec_id"), col("pos").as("b"), col("col").as("key"))
@@ -924,8 +926,8 @@ object Extended {
             col("nn").as("na")), Seq("id_a"))
           .join(base.select(col("vec_id").as("id_b"), col("v").as("vb"),
             col("nn").as("nb")), Seq("id_b"))
-          .withColumn("dot", expr(
-            "CAST(aggregate(zip_with(va, vb, (a, c) -> a * c), 0L, (acc, x) -> acc + x) AS BIGINT)"))
+          .withColumn("dot",
+            graft.functions.VectorFunctions.longDot(col("va"), col("vb")))
           .filter(col("dot") > 0 && expr("25 * dot * dot") >= expr("4 * na * nb"))
           .select("id_a", "id_b")
         graft.operators.Dedup.keeperFrom(emb, "vec_id", verified)
@@ -988,10 +990,10 @@ object Extended {
         val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
         val quant = expr(
           "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
-        def dotOf(a: String, b: String) = expr(
-          s"CAST(aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, x) -> acc + x) AS BIGINT)")
+        def dotOf(a: String, b: String) =
+          graft.functions.VectorFunctions.longDot(col(a), col(b))
         val base = emb.select(col("vec_id").cast("long").as("vec_id"), quant.as("v"))
-          .withColumn("nn", expr("CAST(aggregate(v, 0L, (acc, x) -> acc + x * x) AS BIGINT)"))
+          .withColumn("nn", graft.functions.VectorFunctions.longDot(col("v"), col("v")))
         val cents = base.orderBy("vec_id").limit(12)
           .select(col("vec_id").as("list_id"), col("v").as("centv"))
         val wAssign = Window.partitionBy(col("vec_id"))
@@ -1072,13 +1074,13 @@ object Extended {
         val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
         val quant = expr(
           "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
-        val sigExpr = expr("""
-          CAST(aggregate(transform(sequence(0, 15), j ->
-            CASE WHEN aggregate(zip_with(v, transform(sequence(0, 63), i ->
-                   (CAST(1103515245 AS BIGINT) * (j*64 + i) + 12345) % 65536 - 32768),
-                 (a, c) -> a * c), 0L, (acc, x) -> acc + x) >= 0
-                 THEN CAST(shiftleft(1, j) AS BIGINT) ELSE 0L END),
-            0L, (a, x) -> a + x) AS BIGINT)""")
+        // literal LCG plane coefficients + codegen'd longDot per plane
+        // (identical values to the former interpreted HOF form)
+        def coefLit(p: Int) = typedLit((0 until 64).map(i =>
+          (1103515245L * (p * 64 + i) + 12345L) % 65536L - 32768L))
+        val sigExpr = (0 until 16).map(j =>
+          when(graft.functions.VectorFunctions.longDot(col("v"), coefLit(j)) >= 0,
+            lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
         val sigs = emb.select(col("vec_id"), quant.as("v"))
           .withColumn("sig", sigExpr)
         def chunks(idCol: String) = sigs.select(
@@ -1099,9 +1101,8 @@ object Extended {
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("dot").desc, col("vec_id"))
         cands
-          .select(col("query_id"), col("vec_id"), expr(
-            "CAST(aggregate(zip_with(v, qv, (a, c) -> a * c), 0L, (acc, x) -> acc + x) AS BIGINT)")
-            .as("dot"))
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.VectorFunctions.longDot(col("v"), col("qv")).as("dot"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)
       }),

@@ -50,6 +50,25 @@ class SimilaritySpec extends SparkSpec {
     assert(diff < 1e-9)
   }
 
+  test("longDot kernel is value-identical to the interpreted HOF form incl. mismatch") {
+    val rng = new scala.util.Random(23L)
+    val rows = Seq.fill(200)((
+      Seq.fill(64)(rng.nextInt(4001).toLong - 2000L),
+      Seq.fill(64)(rng.nextInt(4001).toLong - 2000L)))
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+      (V.longDot(col("a"), col("b")) =!=
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")).as("ne"))
+      .filter(col("ne")).count()
+    assert(bad == 0, "longDot must equal the HOF form on every row")
+    // length mismatch → null, same as the null-padded HOF
+    val mm = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(V.longDot(col("a"), col("b")).as("d"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").as("h"))
+      .head()
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+  }
+
   test("brute-force top-k: nearest neighbor of 0 is its perturbation 1") {
     val queries = corpus.filter(col("vec_id") === 0)
       .withColumnRenamed("vec_id", "query_id")
