@@ -186,7 +186,7 @@ object BpeQueries {
         SELECT doc_id, n_tokens, n_bpe_tokens FROM docbpe"""),
       (s, dir) => {
         val merges = trainedMerges(s, dir)
-        Tables.load(s, dir, "documents")
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
           .select(col("doc_id"),
             T.tokenCount(col("text")).as("n_tokens"),
             Bpe.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
@@ -240,7 +240,8 @@ object BpeQueries {
         FROM ordered GROUP BY 1"""),
       (s, dir) => {
         val merges = trainedMerges(s, dir)
-        val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
+        val docs = graft.operators.Fanout.forKernel(
+          Tables.load(s, dir, "documents")).select(col("doc_id"),
           Bpe.bpeTokenCount(col("text"), merges).as("n_toks"))
         graft.operators.Packing.packSequences(docs, "doc_id", "n_toks",
           budget = 2048L)
