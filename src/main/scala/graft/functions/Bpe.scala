@@ -108,7 +108,11 @@ object Bpe {
           org.apache.spark.sql.graft.shim.column(
             BpeMergeAdjacent(org.apache.spark.sql.graft.shim.expression(col("syms")), l, r)))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if ((round + 1) % 8 == 0) state = state.localCheckpoint(true)
+        if ((round + 1) % 8 == 0) {
+          val cached = state
+          state = state.localCheckpoint(true)
+          cached.unpersist(blocking = false) // checkpoint holds the data now
+        }
         prev.unpersist(blocking = false)
         round += 1
       }
