@@ -245,6 +245,38 @@ object BpeQueries {
           Bpe.bpeTokenCount(col("text"), merges).as("n_toks"))
         graft.operators.Packing.packSequences(docs, "doc_id", "n_toks",
           budget = 2048L)
+      }),
+
+    // ---- q154: the tokenizer VOCABULARY artifact — per subword piece,
+    // how many distinct word types contain it and how many corpus token
+    // occurrences it covers. This is the "vocab file" a production
+    // tokenizer ships; the piece set also audits the merge table (every
+    // merged symbol that survived encoding appears here). Work runs at
+    // vocabulary grain: the corpus collapses to (word, count) once,
+    // segmentation and the piece explode touch only distinct words. ----
+    QuerySpec(
+      "q154_bpe_vocab",
+      Some(s"""
+        WITH RECURSIVE $preludeSql,
+        wc AS (
+          SELECT w, COUNT(*) AS n FROM toks GROUP BY w),
+        pieces AS (
+          SELECT encw.w, unnest(list_filter(string_split(st, '|'), x -> x <> '')) AS piece
+          FROM encw WHERE encw.r = (SELECT COUNT(*) FROM merges))
+        SELECT piece, CAST(COUNT(DISTINCT p.w) AS BIGINT) AS n_types,
+               CAST(SUM(wc.n) AS BIGINT) AS n_occurrences
+        FROM pieces p JOIN wc ON p.w = wc.w
+        GROUP BY piece"""),
+      (s, dir) => {
+        val merges = trainedMerges(s, dir)
+        val wc = Tables.load(s, dir, "documents")
+          .select(explode(T.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        wc.select(col("w"), col("n"),
+            explode(Bpe.segment(col("w"), merges)).as("piece"))
+          .groupBy(col("piece"))
+          .agg(countDistinct(col("w")).as("n_types"),
+            sum(col("n")).as("n_occurrences"))
       })
   )
 }

@@ -1133,6 +1133,72 @@ object TextAnalysis {
         graft.operators.Dedup.hammingPairs(sigs, "doc_id", "dhash",
             maxHamming = 3)
           .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      }),
+
+    // ---- q155: image dedup END TO END — q152's Hamming-ball pairs fed
+    // through the standard keeper election (min-id partner, the Dedup
+    // output convention), so a crawl can `filter(!is_duplicate)` its
+    // image corpus exactly as it does text. Same banded candidates,
+    // never all-pairs; the oracle brute-forces pairs then replays the
+    // q92 keeper select. ----
+    QuerySpec(
+      "q155_image_dedup_keeper",
+      Some("""
+        WITH geom AS (
+          SELECT doc_id, doc_id // 5 AS g, CAST(doc_id % 5 AS INT) AS m,
+                 CAST(8 + (doc_id // 5) % 3 AS INT) AS w,
+                 CAST(8 + (doc_id // 5) % 2 AS INT) AS h
+          FROM documents),
+        samp AS (
+          SELECT doc_id, g, m, w, h, j, i,
+                 (i * w) // 9 AS x, (j * h) // 8 AS y
+          FROM geom, UNNEST(range(8)) AS tj(j), UNNEST(range(9)) AS ti(i)),
+        gray AS (
+          SELECT doc_id, j, i, (r*299 + gg*587 + b*114) // 1000 AS gv
+          FROM (
+            SELECT doc_id, j, i,
+                   CASE WHEN pert THEN (((3*g + 5*x + 7*y)*(x + y + 1) + g) % 256 + 128) % 256
+                        ELSE ((3*g + 5*x + 7*y)*(x + y + 1) + g) % 256 END AS r,
+                   CASE WHEN pert THEN (((11*g + 3*x + 5*y)*(x + 2*y + 1) + 2*g) % 256 + 128) % 256
+                        ELSE ((11*g + 3*x + 5*y)*(x + 2*y + 1) + 2*g) % 256 END AS gg,
+                   CASE WHEN pert THEN (((7*g + 2*x + 3*y)*(2*x + y + 1) + 3*g) % 256 + 128) % 256
+                        ELSE ((7*g + 2*x + 3*y)*(2*x + y + 1) + 3*g) % 256 END AS b
+            FROM (SELECT *, m > 0 AND x = (m*3) % w AND y = (m*2) % h AS pert
+                  FROM samp))),
+        bits AS (
+          SELECT a.doc_id, (a.j * 8 + a.i) // 16 AS chunk,
+                 CASE WHEN b.gv > a.gv
+                      THEN CAST(1 AS BIGINT) << CAST((a.j*8 + a.i) % 16 AS INT)
+                      ELSE CAST(0 AS BIGINT) END AS wgt
+          FROM gray a JOIN gray b
+            ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+          WHERE a.i < 8),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN chunk = 0 THEN wgt ELSE 0 END) AS BIGINT) AS c0,
+                 CAST(SUM(CASE WHEN chunk = 1 THEN wgt ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN chunk = 2 THEN wgt ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN chunk = 3 THEN wgt ELSE 0 END) AS BIGINT) AS c3
+          FROM bits GROUP BY doc_id),
+        verified AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+              + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3),
+        best AS (
+          SELECT id_b AS doc_id, MIN(id_a) AS partner_min FROM verified GROUP BY 1)
+        SELECT d.doc_id,
+               LEAST(COALESCE(partner_min, d.doc_id), d.doc_id) AS keep_id,
+               LEAST(COALESCE(partner_min, d.doc_id), d.doc_id) <> d.doc_id AS is_duplicate
+        FROM documents d LEFT JOIN best USING (doc_id)"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sigs = graft.operators.Multimodal.dHashImages(
+          graft.operators.Multimodal.synthesizeNearDupImages(
+            graft.operators.Fanout.forKernel(docs), "doc_id"), "doc_id")
+        val pairs = graft.operators.Dedup.hammingPairs(sigs, "doc_id", "dhash",
+          maxHamming = 3).select("id_a", "id_b")
+        graft.operators.Dedup.keeperFrom(docs, "doc_id", pairs)
       })
   )
 }
