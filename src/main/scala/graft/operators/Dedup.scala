@@ -108,6 +108,59 @@ object Dedup {
     * against the representative, so a member pair whose similarity
     * exists only via that bucket can be missed — at the gain of bounded
     * work regardless of skew. */
+  /** INCREMENTAL perceptual-signature dedup — [[dedupIncremental]]'s
+    * Hamming-ball analogue for 64-bit image/simhash signatures: a fresh
+    * batch must drop (a) within-batch near-dups (single-hop min-id
+    * keeper over [[hammingPairs]]) and (b) anything within `maxHamming`
+    * of a signature already in the at-rest INDEX. Returns the surviving
+    * `(idCol, hashCol)` rows of `incoming`.
+    *
+    * Scale shape: the index check is the pigeonhole band join gated by
+    * a bounded-bytes bloom over the index's (chunk_idx, chunk_value)
+    * set — a batch signature none of whose maxHamming+1 chunks is
+    * bloom-positive is provably > maxHamming from every indexed
+    * signature and short-circuits map-side with zero exchange; only
+    * bloom-positive chunks join the index chunk table, so the one
+    * exchange scales with |candidate chunks|, not |batch| or |index|.
+    * False positives cost a popcount re-check, never a wrong drop. */
+  def dedupIncrementalHamming(incoming: DataFrame, idCol: String,
+      hashCol: String, indexHashes: DataFrame, indexHashCol: String,
+      maxHamming: Int, expectedItems: Long = 1000000L,
+      numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    def chunkCols(h: org.apache.spark.sql.Column) = (0 until chunks).map { i =>
+      shiftrightunsigned(h, i * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1))
+    }
+    // (a) within-batch single-hop keepers
+    val pairs = hammingPairs(incoming, idCol, hashCol, maxHamming)
+    val batchKept = incoming.select(col(idCol), col(hashCol))
+      .join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    val idx = indexHashes.select(col(indexHashCol).cast("long").as("_ih")).distinct()
+    if (idx.isEmpty) return batchKept
+    // (b) index chunk table + bloom over its (chunk, cv) keys
+    val idx4 = idx.select(col("_ih"), posexplode(array(chunkCols(col("_ih")): _*)))
+      .select(col("_ih"), col("pos").as("_c"), col("col").as("_cv"))
+    val bloomBytes = idx4.select(shim.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          shim.expression(xxhash64(col("_c"), col("_cv"))),
+          shim.expression(lit(expectedItems)), shim.expression(lit(numBits)))
+          .toAggregateExpression()).as("_bf"))
+      .head().getAs[Array[Byte]]("_bf")
+    def mightContain(c: org.apache.spark.sql.Column, cv: org.apache.spark.sql.Column) =
+      shim.column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        shim.expression(lit(bloomBytes)), shim.expression(xxhash64(c, cv))))
+    val banded = batchKept.select(col(idCol), col(hashCol),
+        posexplode(array(chunkCols(col(hashCol)): _*)))
+      .select(col(idCol), col(hashCol), col("pos").as("_c"), col("col").as("_cv"))
+      .filter(mightContain(col("_c"), col("_cv")))
+    val hits = banded.join(idx4, Seq("_c", "_cv"))
+      .filter(bit_count(col(hashCol).bitwiseXOR(col("_ih"))) <= maxHamming)
+      .select(col(idCol)).distinct()
+    batchKept.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Within-cluster candidate pairs — the public face of
     * [[cappedBucketPairs]] for cluster-keyed dedup (SemDeDup / q153):
     * one cluster id column plays the bucket key, a hot cluster emits a

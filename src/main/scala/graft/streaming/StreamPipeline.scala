@@ -234,6 +234,47 @@ object StreamPipeline {
       survivors.select(col("content_hash").as("h")), batchId)
   }
 
+  /** Streaming IMAGE ingest dedup against an at-rest signature index —
+    * the perceptual-hash twin of [[dedupStreamWithIndex]]: per
+    * micro-batch, decode + dHash the image payloads
+    * ([[graft.operators.Multimodal.dHashImages]]), drop within-batch
+    * near-dups and anything within `maxHamming` of an indexed
+    * signature ([[graft.operators.Dedup.dedupIncrementalHamming]] —
+    * banded index join, bloom short-circuit), then land survivors AND
+    * their signatures through [[IdempotentSink]]'s marker discipline.
+    * Same crash contract as the text twin: survivors commit BEFORE
+    * signatures, replays skip on markers, the index is shared at-rest
+    * state with zero executor memory between batches. */
+  def dhashStreamDedup(images: DataFrame, idCol: String,
+      outBase: String, indexBase: String, maxHamming: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    images.writeStream
+      .option("checkpointLocation", s"$outBase/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dhashIndexBatch(batch, batchId, idCol, outBase, indexBase, maxHamming)
+      }
+      .start()
+
+  /** One micro-batch of [[dhashStreamDedup]] — named so replay and
+    * crash-between-writes scenarios are directly testable. */
+  def dhashIndexBatch(batch: DataFrame, batchId: Long, idCol: String,
+      outBase: String, indexBase: String, maxHamming: Int): Unit = {
+    val spark = batch.sparkSession
+    // committed dirs only — same torn-batch rationale as dedupIndexBatch
+    val committed = IdempotentSink.committedDirs(spark, indexBase)
+    val index =
+      if (committed.nonEmpty) spark.read.parquet(committed: _*).select(col("h"))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("h BIGINT"))
+    val sigs = graft.operators.Multimodal.dHashImages(batch, idCol)
+    val survivors = graft.operators.Dedup.dedupIncrementalHamming(
+      sigs, idCol, "dhash", index, "h", maxHamming)
+    IdempotentSink.writeBatch(outBase)(survivors, batchId)
+    IdempotentSink.writeBatch(indexBase)(
+      survivors.select(col("dhash").as("h")), batchId)
+  }
+
   /** Streaming MinHash-LSH near-dup candidates — the incremental twin
     * of `Dedup.minhashCandidatePairs`'s banded join. Signatures and
     * band hashes are the SAME stateless per-row expressions as batch;

@@ -196,6 +196,39 @@ class DedupSpec extends SparkSpec {
     assert(noIdx == Set(10L, 11L, 13L), s"empty-index got $noIdx")
   }
 
+  test("dedupIncrementalHamming: within-batch keepers + Hamming-ball index drops, exact under tiny bloom") {
+    // index holds signature 0xF0; batch: id 20 within 1 bit of the index
+    // (→ drop), ids 21/22 within 1 bit of each other (→ keeper 21),
+    // id 23 far from everything (→ keeper)
+    val index = Seq(0xF0L).toDF("h")
+    val batch = Seq(
+      (20L, 0xF1L),                  // hamming 1 from indexed 0xF0 → drop
+      (21L, 0x0FF0000000000000L),    // keeper of the 21/22 pair
+      (22L, 0x0FF0000000000001L),    // hamming 1 from 21 → drop
+      (23L, 0x00000FFFF0000000L)     // far singleton → keeper
+    ).toDF("doc_id", "dhash")
+    val got = Dedup.dedupIncrementalHamming(batch, "doc_id", "dhash", index, "h", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(21L, 23L), s"got $got")
+    // collision-heavy bloom: popcount verify must carry the result alone
+    val tiny = Dedup.dedupIncrementalHamming(batch, "doc_id", "dhash", index, "h", 3,
+      expectedItems = 2L, numBits = 64L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tiny == Set(21L, 23L), s"tiny-bloom got $tiny")
+    // empty index: within-batch dedup only
+    val noIdx = Dedup.dedupIncrementalHamming(batch, "doc_id", "dhash",
+      index.filter(lit(false)), "h", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(noIdx == Set(20L, 21L, 23L), s"empty-index got $noIdx")
+    // boundary: exactly maxHamming from the index drops; a far row
+    // (distant from both the index and row 30) survives
+    val edge = Seq((30L, 0xF0L ^ 7L), (31L, 0x0F0F0F0F00000000L))
+      .toDF("doc_id", "dhash")
+    val got2 = Dedup.dedupIncrementalHamming(edge, "doc_id", "dhash", index, "h", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got2 == Set(31L), s"boundary got $got2")
+  }
+
   test("decontaminateNgrams: 13-token overlap drops, 12-token overlap survives") {
     val evalDoc = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike"
     val thirteen = evalDoc // exactly the 13 shared tokens

@@ -365,6 +365,31 @@ class StreamPipelineSpec extends SparkSpec {
       s"gamma's replayed hash must suppress doc 5: $survivors")
   }
 
+  test("streaming image dedup: near-dup payloads drop within and across batches; replay skips") {
+    import graft.operators.Multimodal
+    val out = java.nio.file.Files.createTempDirectory("graft-img-out").toString + "/out"
+    val idx = java.nio.file.Files.createTempDirectory("graft-img-idx").toString + "/index"
+    // real PNG payloads from the near-dup fixture: ids 0,1 are the same
+    // group (hamming <= 2), id 2 is group 0 again, ids 10,11 group 2
+    def imagesOf(ids: Long*) = Multimodal.synthesizeNearDupImages(
+      ids.toDF("doc_id"), "doc_id")
+    // batch 0: base + near-copy of group 0 → keeper 0 only
+    StreamPipeline.dhashIndexBatch(imagesOf(0L, 1L), 0L, "doc_id", out, idx, 3)
+    // batch 1: ANOTHER group-0 member (must drop via the index) + a
+    // fresh group pair (keeper 10)
+    StreamPipeline.dhashIndexBatch(imagesOf(2L, 10L, 11L), 1L, "doc_id", out, idx, 3)
+    def survivors() = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(survivors() == Set(0L, 10L), s"got ${survivors()}")
+    // at-least-once redelivery of batch 1 is a no-op on the markers
+    StreamPipeline.dhashIndexBatch(imagesOf(2L, 10L, 11L), 1L, "doc_id", out, idx, 3)
+    assert(survivors() == Set(0L, 10L), "replay must not change survivors")
+    assert(spark.read.parquet(idx).select("h").count() == 2,
+      "index holds exactly the survivors' signatures")
+    // a later duplicate of a batch-0 survivor still drops (shared state)
+    StreamPipeline.dhashIndexBatch(imagesOf(3L, 20L), 2L, "doc_id", out, idx, 3)
+    assert(survivors() == Set(0L, 10L, 20L), s"got ${survivors()}")
+  }
+
   test("capped bucket stars to the RUNNING min id, not the min of the first cap") {
     implicit val sqlCtx = spark.sqlContext
     // identical texts collide in every band bucket; cap=2 fills on the
