@@ -87,6 +87,11 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     var exhausted = false
+    // the previous round's state: released only AFTER the next round's
+    // argmax has materialized the current state's cache (unpersisting
+    // it eagerly would make every argmax recompute the whole lineage
+    // from the last checkpoint — the persist would never serve a hit)
+    var pending: DataFrame = null
     while (round < k && !exhausted) {
       val best = state
         .select(col("freq"), explode(zip_with(
@@ -98,6 +103,9 @@ object Bpe {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
+      // the collect above scanned `state`, so its cache is now populated
+      // and the previous round's entry can go
+      if (pending != null) { pending.unpersist(blocking = false); pending = null }
       if (best.isEmpty) exhausted = true
       else {
         val l = best(0).getString(0)
@@ -110,13 +118,14 @@ object Bpe {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         if ((round + 1) % 8 == 0) {
           val cached = state
-          state = state.localCheckpoint(true)
+          state = state.localCheckpoint(true) // eager: reads prev's cache
           cached.unpersist(blocking = false) // checkpoint holds the data now
-        }
-        prev.unpersist(blocking = false)
+          prev.unpersist(blocking = false)
+        } else pending = prev
         round += 1
       }
     }
+    if (pending != null) pending.unpersist(blocking = false)
     state.unpersist(blocking = false)
     merges.toSeq
   }
@@ -209,7 +218,12 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
   override def prettyName: String = "graft_bpe_token_count"
 
   @transient private lazy val mergeArr = merges.toArray
-  @transient private lazy val memo = new java.util.HashMap[String, java.lang.Long]()
+  // ConcurrentHashMap, not HashMap: tasks normally deserialize their own
+  // expression instance (thread confinement), but driver-side eval and
+  // plan-reuse paths can share one — a shared plain HashMap could corrupt
+  // or live-lock on concurrent resize. Same asymptotic cost.
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val memoCap = 1 << 20
 
   override def checkInputDataTypes(): TypeCheckResult =

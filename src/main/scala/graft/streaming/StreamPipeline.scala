@@ -509,9 +509,56 @@ object StreamPipeline {
     * algebra makes safe at any time. */
   def rollupBatch(batch: DataFrame, batchId: Long, keys: Seq[String],
       sums: Seq[(String, org.apache.spark.sql.Column)],
-      stateBase: String): Unit =
-    IdempotentSink.writeBatch(resolveGen(batch.sparkSession, stateBase))(
+      stateBase: String): Unit = {
+    val spark = batch.sparkSession
+    val gen = resolveGen(spark, stateBase)
+    IdempotentSink.writeBatch(gen)(
       graft.operators.Rollup.partial(batch, keys, sums), batchId)
+    foldIfSuperseded(spark, stateBase, gen, batchId)
+  }
+
+  /** Writer half of the compaction-race protocol (see [[compactRollup]]
+    * "Concurrency"): after committing into generation `committedGen`,
+    * re-resolve; if a pointer swap intervened, fold this batch's dir
+    * into the live generation by atomic rename and re-check — looping
+    * until the resolved generation is the one the batch lives in. A
+    * batch whose id the new generation already accounts for (merged
+    * partial, tombstone, or the compactor's own straggler sweep) hits
+    * the exists-check and no-ops, so the fold can never double-count. */
+  private[streaming] def foldIfSuperseded(
+      spark: org.apache.spark.sql.SparkSession, stateBase: String,
+      committedGen: String, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(stateBase)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var gen = committedGen
+    var next = resolveGen(spark, stateBase)
+    while (next != gen) {
+      foldBatchDir(fs, gen, next, batchId)
+      gen = next
+      next = resolveGen(spark, stateBase)
+    }
+  }
+
+  /** Move one committed `batch=<id>` dir from a superseded generation
+    * into the live one. The exists-check plus ATOMIC directory rename
+    * make the fold race-safe against the other folder (compactor sweep
+    * vs writer): at most one mover succeeds, the loser sees the
+    * destination present and no-ops. A fold that can neither rename nor
+    * find the destination is a real fault and fails loudly — silence
+    * here is exactly the data loss this protocol exists to prevent. */
+  private def foldBatchDir(fs: org.apache.hadoop.fs.FileSystem,
+      fromGen: String, toGen: String, batchId: Long): Unit = {
+    val src = new org.apache.hadoop.fs.Path(s"$fromGen/batch=$batchId")
+    val dst = new org.apache.hadoop.fs.Path(s"$toGen/batch=$batchId")
+    if (!fs.exists(dst)) {
+      val moved =
+        try fs.rename(src, dst)
+        catch { case _: java.io.IOException => false }
+      if (!moved && !fs.exists(dst))
+        throw new java.io.IOException(
+          s"failed to fold straggler batch $batchId from $fromGen into $toGen")
+    }
+  }
 
   /** Current value of the streamed rollup: re-aggregate every committed
     * partial of the CURRENT generation (see [[compactRollup]]).
@@ -555,10 +602,20 @@ object StreamPipeline {
       base: String): String = {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ptrs =
-      if (!fs.exists(basePath)) Array.empty[Long]
+    val names =
+      if (!fs.exists(basePath)) Array.empty[String]
       else fs.listStatus(basePath).map(_.getPath.getName)
-        .filter(_.matches("CURRENT-\\d+")).map(_.stripPrefix("CURRENT-").toLong)
+    // a bare CURRENT file is the r10 single-pointer design; silently
+    // ignoring it would resolve to pre-compaction `base`, where stale
+    // _SUCCESS markers swallow replays — the exact failure mode the
+    // numbered-pointer redesign fixed. Fail loudly with the migration.
+    if (names.contains("CURRENT"))
+      throw new IllegalStateException(
+        s"$base holds a legacy bare CURRENT pointer file; migrate by " +
+          "reading its generation name and writing an equivalent " +
+          "CURRENT-<n> file (then delete CURRENT) before resuming")
+    val ptrs = names
+      .filter(_.matches("CURRENT-\\d+")).map(_.stripPrefix("CURRENT-").toLong)
     if (ptrs.isEmpty) base else s"$base/gen-${ptrs.max}"
   }
 
@@ -578,18 +635,31 @@ object StreamPipeline {
     *     old generation untouched; a crash anywhere before it leaves a
     *     dead half-built generation dir and full correctness.
     *
-    * Concurrency: compaction tolerates a LIVE writer. After the merged
-    * partial is written, the old generation's committed dirs are
-    * re-listed; a batch that committed between the snapshot and the
-    * re-list would be missing from the merge AND have no tombstone
-    * (invisible after the swap), so the half-built generation is
-    * discarded and the compaction retried against the fresh snapshot.
-    * A writer landing AFTER the re-list commits into the old
-    * generation, which stays on disk and is simply superseded — that
-    * batch replays into the new generation on restart (its id has no
-    * tombstone there) exactly as at-least-once delivery intends.
-    * [[rollupBatch]] resolves its target generation per batch, so the
-    * window is one in-flight batch wide, bounded by `attempts`.
+    * Concurrency: compaction tolerates a LIVE writer; no committed
+    * batch can be lost to the pointer swap. Three mechanisms cover the
+    * full interleaving space (a batch commits when its `_SUCCESS`
+    * marker lands, at time T_c; the compactor re-lists at T_l and
+    * renames the pointer at T_r; the post-swap sweep lists at T_s):
+    *
+    *  - T_c ≤ T_l: the batch is either in the snapshot (merged /
+    *    tombstoned) or the re-list differs from the snapshot and the
+    *    half-built generation is discarded and retried — a batch
+    *    missing from BOTH merge and tombstones never survives to a
+    *    swap;
+    *  - T_l < T_c ≤ T_s: the post-rename STRAGGLER SWEEP re-lists the
+    *    old generation and folds any committed batch id outside the
+    *    snapshot into the new generation by atomic dir rename;
+    *  - T_c > T_s: the writer's own post-commit re-resolve
+    *    ([[foldIfSuperseded]]) observes T_c > T_s > T_r, sees the new
+    *    pointer, and folds its batch itself.
+    *
+    * Both folders go through the same exists-check + atomic-rename
+    * ([[foldBatchDir]]), so a batch already accounted for in the new
+    * generation (merged, tombstoned, or folded by the other party)
+    * no-ops — fold can move a batch at most once. The r11 design relied
+    * on checkpoint replay to recover the T_l < T_c case, which is wrong
+    * in a healthy run: foreachBatch success commits the batch to the
+    * streaming checkpoint and it is never redelivered.
     *
     * Needed because the partial-per-batch layout grows by one dir per
     * micro-batch forever; after compaction the read side re-SUMs ONE
@@ -638,6 +708,15 @@ object StreamPipeline {
     val cur = new org.apache.hadoop.fs.Path(s"$stateBase/CURRENT-$genN")
     if (!fs.rename(tmp, cur))
       throw new java.io.IOException(s"pointer swap failed for $stateBase")
+    // straggler sweep: a batch that committed into the old generation
+    // after the re-list above is in neither the merge nor the
+    // tombstones — fold it into the new generation (atomic rename,
+    // no-op if the writer's own foldIfSuperseded got there first)
+    val idSet = ids.toSet
+    IdempotentSink.committedDirs(spark, gen)
+      .map(_.replaceAll(".*batch=", "").toLong)
+      .filterNot(idSet)
+      .foreach(id => foldBatchDir(fs, gen, s"$stateBase/$newGen", id))
   }
 
   /** Read-side resolve for supersede-per-batch state/output layouts

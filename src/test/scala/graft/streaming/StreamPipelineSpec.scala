@@ -699,6 +699,56 @@ class StreamPipelineSpec extends SparkSpec {
       "replay after second compaction skips")
   }
 
+  test("rollup compaction: a straggler batch committed into the old generation folds in") {
+    import graft.operators.Rollup
+    def batch(n: Int, seed: Int) = {
+      val rr = new scala.util.Random(seed)
+      Seq.fill(n)((s"p${rr.nextInt(3)}", rr.nextInt(2).toLong, rr.nextInt(100).toLong))
+        .toDF("prio", "yr", "cents")
+    }
+    val keys = Seq("prio", "yr")
+    val sums = Seq("cents_sum" -> col("cents"))
+    val st = java.nio.file.Files.createTempDirectory("graft-rollups-st").toString + "/state"
+    val b = Seq(batch(60, 31), batch(40, 32), batch(80, 33))
+    b.take(2).zipWithIndex.foreach { case (d, i) =>
+      StreamPipeline.rollupBatch(d, i.toLong, keys, sums, st)
+    }
+    StreamPipeline.compactRollup(spark, st, keys)
+    // simulate the race: a writer that resolved the OLD generation
+    // before the pointer swap commits its batch there AFTER the
+    // compactor's re-list — in r11 this batch silently vanished
+    IdempotentSink.writeBatch(st)(Rollup.partial(b(2), keys, sums), 2L)
+    // ... then runs its post-commit re-resolve, which must fold the
+    // batch into the live generation
+    StreamPipeline.foldIfSuperseded(spark, st, st, 2L)
+    val expect = Rollup.partial(b.reduce(_ unionByName _), keys, sums)
+    assertSameRows(StreamPipeline.currentRollup(spark, st, keys).get, expect,
+      "straggler batch must fold into the live generation, not vanish")
+    // the fold is idempotent: re-running it (and replaying the batch)
+    // must not double-count
+    StreamPipeline.foldIfSuperseded(spark, st, st, 2L)
+    StreamPipeline.rollupBatch(b(2), 2L, keys, sums, st)
+    assertSameRows(StreamPipeline.currentRollup(spark, st, keys).get, expect,
+      "fold + replay must be idempotent")
+    // a straggler whose id the new generation already tombstoned no-ops
+    StreamPipeline.foldIfSuperseded(spark, st, st, 0L)
+    assertSameRows(StreamPipeline.currentRollup(spark, st, keys).get, expect,
+      "tombstoned id must not re-fold")
+  }
+
+  test("rollup state: a legacy bare CURRENT pointer fails loudly") {
+    val st = java.nio.file.Files.createTempDirectory("graft-rollupl-st").toString + "/state"
+    StreamPipeline.rollupBatch(
+      Seq(("p0", 1L, 10L)).toDF("prio", "yr", "cents"), 0L,
+      Seq("prio", "yr"), Seq("cents_sum" -> col("cents")), st)
+    val cur = new java.io.File(st, "CURRENT")
+    java.nio.file.Files.write(cur.toPath, "gen-1".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      StreamPipeline.currentRollup(spark, st, Seq("prio", "yr"))
+    }
+    assert(e.getMessage.contains("legacy bare CURRENT"))
+  }
+
   test("rollup compaction: a half-built generation without its pointer is invisible") {
     import graft.operators.Rollup
     def batch(n: Int, seed: Int) = {
