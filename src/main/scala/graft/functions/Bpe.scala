@@ -74,15 +74,50 @@ object Bpe {
     syms
   }
 
-  /** Learn `k` BPE merges from a (word, freq) table — each round is one
-    * vocabulary-grain shuffle (adjacent-pair candidates → weighted
-    * count) plus a single-row argmax fetch; stops early when no
-    * candidate pair remains. `localCheckpoint` every 8 rounds bounds
-    * the lineage exactly like `Graph.pageRankFixedPoint`. Self-pairs
-    * are excluded (oracle-exactness pin, see object doc). */
-  def learnMerges(wordFreq: DataFrame, k: Int): Seq[(String, String)] = {
+  /** Learn `k` BPE merges from a (word, freq) table. Self-pairs are
+    * excluded (oracle-exactness pin, see object doc).
+    *
+    * Two regimes behind one call, the `maxDriverEdges` gate discipline
+    * of `Dedup.connectedComponents`:
+    *
+    *  - FAST PATH (default): the (word, freq) table is vocabulary-grain
+    *    and small BY CONSTRUCTION — when it fits `maxDriverVocab` rows
+    *    it is collected once (bounded driver action) and the classic
+    *    in-memory trainer runs all `k` rounds driver-side in
+    *    milliseconds-per-merge. Production tokenizers train
+    *    K=30,000–100,000 merges; the dataflow path costs one Spark job
+    *    PER MERGE, i.e. days of scheduler overhead at that K regardless
+    *    of cluster size, so the local path is the production regime
+    *    (K=2000 measured in seconds — SCALING.md "BPE").
+    *  - DATAFLOW fallback (`maxDriverVocab` exceeded, or forced with
+    *    `maxDriverVocab = 0` as q148 and the spec's parity tests do):
+    *    each round is one vocabulary-grain shuffle (adjacent-pair
+    *    candidates → weighted count) plus a single-row argmax fetch;
+    *    stops early when no candidate pair remains. `localCheckpoint`
+    *    every 8 rounds bounds the lineage exactly like
+    *    `Graph.pageRankFixedPoint`.
+    *
+    * The two paths are merge-for-merge IDENTICAL (BpeSpec property
+    * tests, including frequency ties): same adjacent-occurrence
+    * weighted counts, same (cnt DESC, l, r) argmax with l/r compared in
+    * UTF-8 BINARY order (Spark's StringType sort), same greedy
+    * non-overlapping merge pass. */
+  def learnMerges(wordFreq: DataFrame, k: Int,
+      maxDriverVocab: Int = 1 << 20): Seq[(String, String)] = {
+    if (maxDriverVocab > 0) {
+      val head = wordFreq
+        .select(col("w").cast("string"), col("freq").cast("long"))
+        .limit(maxDriverVocab + 1).collect()
+      if (head.length <= maxDriverVocab)
+        return learnMergesLocal(head.map(r => (r.getString(0), r.getLong(1))), k)
+    }
     var state = wordFreq
-      .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
+      // split(w, '') appends a trailing "" (Java regex split, limit -1):
+      // strip it, or phantom (lastChar, "") candidates enter training
+      // and — "" being the UTF-8 minimum — win any frequency tie,
+      // diverging from the oracle replay and the local fast path
+      .select(col("w"), col("freq"),
+        array_remove(split(col("w"), ""), "").as("syms"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
@@ -127,6 +162,96 @@ object Bpe {
     }
     if (pending != null) pending.unpersist(blocking = false)
     state.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** Unsigned byte-wise comparison of the UTF-8 encodings — the exact
+    * order Spark sorts StringType by (UTF8String.compareTo), replicated
+    * driver-side so local argmax tie-breaks match the dataflow's. */
+  private[functions] def utf8Compare(a: String, b: String): Int = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    while (i < n) {
+      val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    ab.length - bb.length
+  }
+
+  /** Code-point split — `split(w, '')` semantics minus the trailing
+    * empty: Java's zero-width regex matches between code POINTS, so a
+    * surrogate pair stays one symbol (toCharArray would split it). */
+  private[functions] def codePointSyms(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Driver-local exact twin of the dataflow trainer — the production
+    * path for real tokenizer K (see [[learnMerges]]). Per round:
+    * weighted adjacent-OCCURRENCE pair counts (self-pairs excluded),
+    * argmax by (count DESC, l, r) in UTF-8 binary order, one greedy
+    * [[mergePass]] over the words still containing the pair. O(V·L)
+    * per round over the vocabulary — no job scheduling, no shuffle. */
+  def learnMergesLocal(words: Array[(String, Long)], k: Int): Seq[(String, String)] = {
+    var state: Array[(Array[String], Long)] =
+      words.map { case (w, f) => (codePointSyms(w), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < k && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      var wi = 0
+      while (wi < state.length) {
+        val (syms, f) = state(wi)
+        var i = 0
+        while (i + 1 < syms.length) {
+          if (syms(i) != syms(i + 1)) {
+            val key = (syms(i), syms(i + 1))
+            val cur = counts.get(key)
+            counts.put(key, if (cur == null) f else cur.longValue() + f)
+          }
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestPair: (String, String) = null
+        var bestCnt = Long.MinValue
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val p = e.getKey
+          val c = e.getValue.longValue()
+          val better = c > bestCnt || (c == bestCnt && {
+            val cl = utf8Compare(p._1, bestPair._1)
+            cl < 0 || (cl == 0 && utf8Compare(p._2, bestPair._2) < 0)
+          })
+          if (better) { bestPair = p; bestCnt = c }
+        }
+        merges += bestPair
+        state = state.map { case (syms, f) =>
+          var has = false
+          var i = 0
+          while (!has && i + 1 < syms.length) {
+            has = syms(i) == bestPair._1 && syms(i + 1) == bestPair._2
+            i += 1
+          }
+          if (has) (mergePass(syms, bestPair._1, bestPair._2), f) else (syms, f)
+        }
+        round += 1
+      }
+    }
     merges.toSeq
   }
 

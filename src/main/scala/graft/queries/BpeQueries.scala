@@ -41,8 +41,14 @@ object BpeQueries {
   private def trainedMerges(s: org.apache.spark.sql.SparkSession, dir: String,
       retrain: Boolean = false): Seq[(String, String)] = {
     val key = (dir, K)
+    // q148's retrain pins the DATAFLOW trainer (maxDriverVocab = 0) so
+    // the distributed reference stays under the oracle; cache misses
+    // take the default driver-local fast path (q156 pins it to the same
+    // oracle; BpeSpec proves merge-for-merge equality)
     if (retrain) {
-      val m = Bpe.learnMerges(Bpe.wordFreq(Tables.load(s, dir, "documents"), "text"), K)
+      val m = Bpe.learnMerges(
+        Bpe.wordFreq(Tables.load(s, dir, "documents"), "text"), K,
+        maxDriverVocab = 0)
       mergeCache.put(key, m)
       m
     } else mergeCache.computeIfAbsent(key, _ =>
@@ -169,6 +175,26 @@ object BpeQueries {
         SELECT rank, l AS left_sym, r AS right_sym FROM merges"""),
       (s, dir) => {
         val m = trainedMerges(s, dir, retrain = true)
+        import s.implicits._
+        m.zipWithIndex
+          .map { case ((l, r), i) => (i + 1L, l, r) }
+          .toDF("rank", "left_sym", "right_sym")
+      }),
+
+    // ---- q156: the PRODUCTION trainer path under the same oracle as
+    // q148 — the driver-local fast trainer (the vocabulary-grain
+    // (word, freq) table collapses once on the cluster, then all K
+    // argmax rounds run in-memory; one Spark job total instead of one
+    // per merge). Same merges, bit for bit: BpeSpec proves path parity
+    // and this gate proves it against the independent DuckDB replay. ----
+    QuerySpec(
+      "q156_bpe_merges_local",
+      Some(s"""
+        WITH RECURSIVE $preludeSql
+        SELECT rank, l AS left_sym, r AS right_sym FROM merges"""),
+      (s, dir) => {
+        val m = Bpe.learnMerges(
+          Bpe.wordFreq(Tables.load(s, dir, "documents"), "text"), K)
         import s.implicits._
         m.zipWithIndex
           .map { case ((l, r), i) => (i + 1L, l, r) }

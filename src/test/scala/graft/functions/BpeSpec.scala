@@ -36,7 +36,7 @@ class BpeSpec extends SparkSpec {
       Bpe.mergePass(s.toArray, l, r).toSeq
     }
 
-  test("learnMerges matches the brute-force trainer on random corpora") {
+  test("learnMerges: dataflow and local paths both match the brute-force trainer") {
     val rng = new scala.util.Random(5)
     for (trial <- 0 until 3) {
       val alphabet = "abcde"
@@ -44,15 +44,59 @@ class BpeSpec extends SparkSpec {
         (0 until (1 + rng.nextInt(7))).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
       val wf = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
       val wfDf = wf.toSeq.toDF("w", "freq")
-      val got = Bpe.learnMerges(wfDf, 12)
-      assert(got == refTrain(wf, 12), s"trial $trial")
+      val expect = refTrain(wf, 12)
+      // maxDriverVocab = 0 forces the dataflow; the default gate admits
+      // this vocabulary and takes the driver-local fast path
+      assert(Bpe.learnMerges(wfDf, 12, maxDriverVocab = 0) == expect,
+        s"dataflow, trial $trial")
+      assert(Bpe.learnMerges(wfDf, 12) == expect, s"local, trial $trial")
     }
   }
 
-  test("learnMerges stops early when no non-self pair remains") {
+  test("local == dataflow on deliberate frequency ties (argmax l/r order)") {
+    // (a,b) and (c,d) tie at 3 -> (a,b) wins on l; then within the
+    // a-words, (a,c) vs (a,d) tie -> r breaks it. Every round of both
+    // paths must agree, so compare full merge lists.
+    val wf = Seq(
+      ("ab", 3L), ("cd", 3L), ("ac", 2L), ("ad", 2L), ("ce", 1L), ("be", 1L))
+    val wfDf = wf.toDF("w", "freq")
+    val local = Bpe.learnMergesLocal(wf.toArray, 8)
+    val dataflow = Bpe.learnMerges(wfDf, 8, maxDriverVocab = 0)
+    assert(local == dataflow)
+    assert(local == refTrain(wf.toMap, 8))
+    assert(local.head == ("a", "b"), "l-order tie-break")
+  }
+
+  test("learnMerges falls back to dataflow when the vocabulary exceeds the gate") {
+    val wf = Seq(("ab", 5L), ("ba", 4L), ("aab", 3L), ("bb", 2L))
+    val wfDf = wf.toDF("w", "freq")
+    // gate of 2 rows < 4 words: must fall through to the dataflow and
+    // still produce the reference merges
+    assert(Bpe.learnMerges(wfDf, 6, maxDriverVocab = 2) == refTrain(wf.toMap, 6))
+  }
+
+  test("local trainer runs production-scale K in seconds") {
+    // ~8k distinct words, K=2000 requested (stops when pairs exhaust).
+    // The dataflow path costs one Spark job per merge - minutes at this
+    // K even locally; the local path must stay well under that.
+    val rng = new scala.util.Random(17)
+    val alphabet = "abcdefghijklmnop"
+    val words = (0 until 8000).map(_ =>
+      (0 until (3 + rng.nextInt(10))).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+      .distinct.map(w => (w, 1L + rng.nextInt(50))).toArray
+    val t0 = System.nanoTime()
+    val merges = Bpe.learnMergesLocal(words, 2000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"K=${merges.size} merges over ${words.length} words in $sec%.2f s")
+    assert(merges.size == 2000, "vocabulary this size must sustain 2000 merges")
+    assert(sec < 60.0, f"local trainer too slow: $sec%.1f s")
+  }
+
+  test("learnMerges stops early when no non-self pair remains (both paths)") {
     // single repeated letter words: every adjacent pair is a self-pair
     val wfDf = Seq(("aaa", 5L), ("aa", 3L), ("b", 2L)).toDF("w", "freq")
     assert(Bpe.learnMerges(wfDf, 10).isEmpty)
+    assert(Bpe.learnMerges(wfDf, 10, maxDriverVocab = 0).isEmpty)
   }
 
   test("mergePass is greedy left-to-right, non-overlapping") {
