@@ -275,6 +275,41 @@ object Bpe {
     import org.apache.spark.sql.graft.shim
     shim.column(BpeTokenCount(shim.expression(text), merges))
   }
+
+  /** Vocabulary id for pieces the vocabulary doesn't contain (ids are
+    * 1-based). With a vocabulary built by [[pieceVocab]] over the same
+    * corpus being encoded, UNK never fires; it exists so encoding a
+    * NEW corpus against a frozen tokenizer degrades to a flagged id
+    * instead of an error — the production OOV contract. */
+  val UnkId = 0
+
+  /** The tokenizer's piece→id table: every distinct piece the merge
+    * table produces over the corpus vocabulary, id'd 1..N in UTF-8
+    * binary order (deterministic, and exactly DuckDB's default string
+    * collation, so an oracle can replay the assignment). The piece set
+    * is bounded by |base alphabet| + K merges — a bounded driver
+    * object by construction, same class as the merges themselves. */
+  def pieceVocab(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): Map[String, Int] = {
+    val pieces = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .distinct()
+      .select(explode(segment(col("w"), merges)).as("piece"))
+      .distinct()
+      .collect().map(_.getString(0))
+    pieces.sortWith((a, b) => utf8Compare(a, b) < 0)
+      .zipWithIndex.map { case (p, i) => (p, i + 1) }.toMap
+  }
+
+  /** The document's flat BPE token-ID sequence (`array<int>`) in ONE
+    * scan pass — the artifact a training pipeline actually ships (the
+    * count form above only feeds budgeting). Same no-explode/no-shuffle
+    * shape as [[bpeTokenCount]]; merges AND vocab ride the closure. */
+  def encodeIds(text: Column, merges: Seq[(String, String)],
+      vocab: Map[String, Int]): Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.column(BpeEncodeIds(shim.expression(text), merges, vocab))
+  }
 }
 
 /** `array<string>` → `array<string>`: one greedy left-to-right merge
@@ -380,5 +415,76 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
   }
 
   override protected def withNewChildInternal(c: Expression): BpeTokenCount =
+    copy(child = c)
+}
+
+/** `string` text → `array<int>`: the flat BPE token-id sequence of the
+  * whole document — normalize, whitespace-split, segment each word
+  * under the merge table, map every piece through the piece→id
+  * vocabulary ([[Bpe.pieceVocab]]; unknown pieces → [[Bpe.UnkId]]).
+  * Per-task memo keyed by word caches each distinct word's id array
+  * (Zipf: almost every occurrence is a hash probe + arraycopy), capped
+  * like [[BpeTokenCount]]'s so an adversarial vocabulary degrades to
+  * recompute, not OOM. No explode, no shuffle — the id sequence is
+  * born inside the scan. */
+case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)],
+    vocab: Map[String, Int]) extends UnaryExpression with CodegenFallback {
+  require(merges.forall(m => m._1 != m._2),
+    "self-pair merges break oracle replay (see Bpe object doc)")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode_ids"
+
+  @transient private lazy val mergeArr = merges.toArray
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+  private val memoCap = 1 << 20
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  private def idsOf(w: String): Array[Int] = {
+    val cached = memo.get(w)
+    if (cached != null) cached
+    else {
+      val pieces = Bpe.segmentWord(w, mergeArr)
+      val ids = new Array[Int](pieces.length)
+      var i = 0
+      while (i < pieces.length) {
+        ids(i) = vocab.getOrElse(pieces(i), Bpe.UnkId)
+        i += 1
+      }
+      if (memo.size < memoCap) memo.put(w, ids)
+      ids
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT).trim
+    if (text.isEmpty)
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Int])
+    else {
+      val words = text.split("\\s+")
+      val perWord = new Array[Array[Int]](words.length)
+      var total = 0
+      var i = 0
+      while (i < words.length) {
+        perWord(i) = idsOf(words(i)); total += perWord(i).length; i += 1
+      }
+      val out = new Array[Int](total)
+      var o = 0
+      i = 0
+      while (i < words.length) {
+        System.arraycopy(perWord(i), 0, out, o, perWord(i).length)
+        o += perWord(i).length
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeEncodeIds =
     copy(child = c)
 }

@@ -273,6 +273,116 @@ object BpeQueries {
           budget = 2048L)
       }),
 
+    // ---- q157: BPE token-ID encoding — the artifact a training
+    // pipeline actually ships (q149's counts only feed budgeting).
+    // Pieces map to ids 1..N in UTF-8 binary order over the corpus
+    // piece set (Bpe.pieceVocab — bounded by |alphabet| + K merges, a
+    // driver object the same class as the merges); the whole document
+    // encodes to array<int> inside the scan (BpeEncodeIds: no explode,
+    // no shuffle; merges + vocab in the closure, per-task word memo).
+    // Output explodes to (doc_id, pos, token_id) rows on a 1-in-10 doc
+    // sample so the gate hashes token-exact sequences, not counts;
+    // vocabulary and ids still come from the FULL corpus. ----
+    QuerySpec(
+      "q157_bpe_token_ids",
+      Some(s"""
+        WITH RECURSIVE $preludeSql,
+        wpieces AS (
+          SELECT w, list_filter(string_split(st, '|'), x -> x <> '') AS pieces
+          FROM encw WHERE encw.r = (SELECT COUNT(*) FROM merges)),
+        idvocab AS (
+          SELECT piece, CAST(ROW_NUMBER() OVER (ORDER BY piece) AS INT) AS token_id
+          FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wpieces)),
+        tokso AS (
+          SELECT doc_id, i AS wpos, ts[i] AS w
+          FROM (SELECT doc_id, $tokensSql AS ts FROM documents
+                WHERE regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') <> ''
+                  AND doc_id % 10 = 0),
+               UNNEST(generate_series(1, len(ts))) AS t(i)),
+        docpieces AS (
+          SELECT t.doc_id, t.wpos, p AS ppos, wp.pieces[p] AS piece
+          FROM tokso t JOIN wpieces wp ON t.w = wp.w,
+               UNNEST(generate_series(1, len(wp.pieces))) AS u(p))
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wpos, ppos) - 1
+                 AS BIGINT) AS pos,
+               v.token_id
+        FROM docpieces JOIN idvocab v USING (piece)"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val merges = trainedMerges(s, dir)
+        val vocabIds = Bpe.pieceVocab(docs, "text", merges)
+        graft.operators.Fanout.forKernel(docs)
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            posexplode(Bpe.encodeIds(col("text"), merges, vocabIds)))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("col").as("token_id"))
+      }),
+
+    // ---- q158: PACKED token-id sequences — q151's packing emitting
+    // the real artifact: (seq_id, pos, token_id) rows, i.e. each 2048-
+    // token training sequence's concatenated id stream in collator
+    // order. Same distributed prefix sum (Packing.packDocs — per-bucket
+    // windows + driver offsets, zero global windows); the id arrays
+    // join the doc-grain pack table and explode with the sequence-
+    // relative position computed from the global token offset. Runs on
+    // the q157 doc sample (tokenizer still trained on the full corpus)
+    // so the gate stays row-bounded. ----
+    QuerySpec(
+      "q158_bpe_packed_ids",
+      Some(s"""
+        WITH RECURSIVE $preludeSql,
+        wpieces AS (
+          SELECT w, list_filter(string_split(st, '|'), x -> x <> '') AS pieces
+          FROM encw WHERE encw.r = (SELECT COUNT(*) FROM merges)),
+        idvocab AS (
+          SELECT piece, CAST(ROW_NUMBER() OVER (ORDER BY piece) AS INT) AS token_id
+          FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wpieces)),
+        tokso AS (
+          SELECT doc_id, i AS wpos, ts[i] AS w
+          FROM (SELECT doc_id, $tokensSql AS ts FROM documents
+                WHERE regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') <> ''
+                  AND doc_id % 10 = 0),
+               UNNEST(generate_series(1, len(ts))) AS t(i)),
+        docpieces AS (
+          SELECT t.doc_id, t.wpos, p AS ppos, wp.pieces[p] AS piece
+          FROM tokso t JOIN wpieces wp ON t.w = wp.w,
+               UNNEST(generate_series(1, len(wp.pieces))) AS u(p)),
+        doctok AS (
+          SELECT doc_id, COUNT(*) AS n FROM docpieces GROUP BY doc_id),
+        packed AS (
+          SELECT doc_id,
+                 SUM(n) OVER (ORDER BY ${graft.Exact.hashOrderSql("doc_id", 97)}, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS off
+          FROM doctok)
+        SELECT CAST(p.off // 2048 AS BIGINT) AS seq_id,
+               CAST(p.off - (p.off // 2048) * 2048
+                 + ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY d.wpos, d.ppos) - 1
+                 AS BIGINT) AS pos,
+               v.token_id
+        FROM docpieces d
+        JOIN packed p USING (doc_id)
+        JOIN idvocab v USING (piece)"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val merges = trainedMerges(s, dir)
+        val vocabIds = Bpe.pieceVocab(docs, "text", merges)
+        val withIds = graft.operators.Fanout.forKernel(docs)
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            Bpe.encodeIds(col("text"), merges, vocabIds).as("ids"))
+        val packed = graft.operators.Packing.packDocs(
+          withIds.select(col("doc_id"), size(col("ids")).cast("long").as("n_toks")),
+          "doc_id", "n_toks", budget = 2048L)
+        withIds.join(packed, Seq("doc_id"))
+          .select(col("seq_id"), col("token_offset"), posexplode(col("ids")))
+          .select(col("seq_id"),
+            (col("token_offset") - col("seq_id") * 2048 + col("pos"))
+              .cast("long").as("pos"),
+            col("col").as("token_id"))
+      }),
+
     // ---- q154: the tokenizer VOCABULARY artifact — per subword piece,
     // how many distinct word types contain it and how many corpus token
     // occurrences it covers. This is the "vocab file" a production

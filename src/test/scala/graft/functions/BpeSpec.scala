@@ -134,6 +134,30 @@ class BpeSpec extends SparkSpec {
     assert(got("zzz") == Seq("z", "z", "z")) // nothing merges: char fallback
   }
 
+  test("encodeIds: flat id sequence == per-word segment + vocab lookup; OOV -> UnkId") {
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val vocab = Map("abc" -> 1, "d" -> 2, "z" -> 3, "ab" -> 4)
+    val got = Seq((0L, "abc d"), (1L, "  ZQ  aB "), (2L, ""), (3L, "abc abc abc"))
+      .toDF("i", "t")
+      .select(col("i"), Bpe.encodeIds(col("t"), merges, vocab).as("ids"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got(0L) == Seq(1, 2))
+    // normalization lowers + trims; "zq" segments to [z, q]; q is OOV
+    assert(got(1L) == Seq(3, Bpe.UnkId, 4))
+    assert(got(2L) == Seq.empty)
+    assert(got(3L) == Seq(1, 1, 1), "memoized repeat words")
+  }
+
+  test("pieceVocab ids are 1-based, UTF-8 ordered, and cover every corpus piece") {
+    val docs = Seq((0L, "abc abd"), (1L, "ca b")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    val v = Bpe.pieceVocab(docs, "text", merges)
+    // pieces: abc->[ab,c], abd->[ab,d], ca->[c,a], b->[b]
+    assert(v.keySet == Set("ab", "c", "d", "a", "b"))
+    assert(v.values.toSeq.sorted == (1 to v.size))
+    assert(v("a") < v("ab") && v("ab") < v("b") && v("b") < v("c") && v("c") < v("d"))
+  }
+
   test("bpeTokenCount == explode + per-word segment + sum") {
     val docsDf = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val merges = Bpe.learnMerges(Bpe.wordFreq(docsDf, "text"), 16)
