@@ -384,6 +384,149 @@ object Multimodal {
       .select(col(idCol), col("dhash").cast("long"))
   }
 
+  /** Near-duplicate audio fixture — the q152 playbook for the WAV
+    * modality: groups of 5 clips share one closed-form PCM16 base
+    * signal (group g = id/5); members m = 1..4 nudge one sample per
+    * frame by a small amplitude (+7m at positions t ≡ m mod 64), so
+    * within a group the spectral hashes differ in at most a few bits
+    * while across groups they are unrelated. Every sample is an
+    * integer function of (id, t) — kept in sync with the q159 oracle
+    * SQL — and the payload is a genuine RIFF/WAVE container (8 kHz
+    * mono PCM16, 576 samples), so the engine path runs the real
+    * parse → sample-decode → hash loop on real bytes:
+    *   g = id/5, m = id%5,
+    *   s(t) = ((3g + 2t)·(t%7 + 1) + 5g·(t%13)) % 4096 − 2048
+    *          [+ 7m when m > 0 and t % 64 == m].
+    * The base is NONLINEAR in t for the same reason the image fixture
+    * is nonlinear in (x, y): a linear ramp collapses all hashes onto a
+    * few values and degenerates the candidate join to near-all-pairs. */
+  def synthesizeNearDupWavs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val g = id / 5
+          val m = (id % 5).toInt
+          val n = 576
+          val bytes = new java.io.ByteArrayOutputStream(44 + n * 2)
+          def le16(v: Int): Unit = { bytes.write(v & 0xff); bytes.write((v >> 8) & 0xff) }
+          def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+          bytes.write("RIFF".getBytes("US-ASCII")); le32(36 + n * 2)
+          bytes.write("WAVE".getBytes("US-ASCII"))
+          bytes.write("fmt ".getBytes("US-ASCII")); le32(16)
+          le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+          bytes.write("data".getBytes("US-ASCII")); le32(n * 2)
+          var t = 0
+          while (t < n) {
+            var s = (((3 * g + 2 * t) * (t % 7 + 1) + 5 * g * (t % 13)) % 4096 - 2048).toInt
+            if (m > 0 && t % 64 == m) s += 7 * m
+            le16(s & 0xffff)
+            t += 1
+          }
+          (id, bytes.toByteArray)
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** PCM16 MONO samples of a WAV payload (sign-extended ints), or None
+    * when the container isn't 16-bit single-channel PCM — the regime
+    * [[audioDhash64]] is defined over. Walks the chunk list with the
+    * same unsigned-Long cursor discipline as [[parseWavMeta]]. */
+  def wavPcm16MonoSamples(b: Array[Byte]): Option[Array[Int]] = {
+    val meta = parseWavMeta(b)
+    if (meta.isEmpty) return None
+    val (_, ch, bits, _) = meta.get
+    if (ch != 1 || bits != 16) return None
+    def u(i: Int) = b(i) & 0xff
+    def le32(i: Int) = u(i).toLong | (u(i + 1).toLong << 8) |
+      (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val at = i.toInt
+      val id = new String(b, at, 4, "US-ASCII")
+      val len = le32(at + 4)
+      if (id == "data") {
+        val avail = math.min(len, (b.length - at - 8).toLong).toInt
+        val out = new Array[Int](avail / 2)
+        var k = 0
+        while (k < out.length) {
+          out(k) = ((u(at + 8 + 2 * k + 1) << 8) | u(at + 8 + 2 * k)).toShort.toInt
+          k += 1
+        }
+        return Some(out)
+      }
+      i += 8L + len + (len & 1L)
+    }
+    None
+  }
+
+  /** 64-bit spectral-band difference hash of PCM16 audio — the
+    * chromaprint idea (band-energy deltas over time) in pure-integer
+    * form so a SQL oracle can replay it on closed-form fixtures: the
+    * first 9 frames of 64 samples are correlated against the 8 Walsh
+    * functions W_b(t) = (−1)^popcount(b & t) (an integer square-wave
+    * filterbank — sequency plays frequency's role), band energy is the
+    * |correlation|, and bit b·8+f is set iff E[b][f+1] > E[b][f] —
+    * exactly [[dhash64]]'s adjacent-comparison layout with (band,
+    * frame) for (row, column). Near-identical clips agree on almost
+    * every comparison; Hamming distance ranks perceptual similarity. */
+  def audioDhash64(samples: Array[Int]): Option[Long] = {
+    val frames = 9
+    val flen = 64
+    if (samples.length < frames * flen) return None
+    val e = Array.ofDim[Long](8, frames)
+    var f = 0
+    while (f < frames) {
+      var b = 0
+      while (b < 8) {
+        var acc = 0L
+        var t = 0
+        while (t < flen) {
+          val sign = if (java.lang.Integer.bitCount(b & t) % 2 == 0) 1 else -1
+          acc += samples(f * flen + t).toLong * sign
+          t += 1
+        }
+        e(b)(f) = math.abs(acc)
+        b += 1
+      }
+      f += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 8) {
+      f = 0
+      while (f < 8) {
+        if (e(b)(f + 1) > e(b)(f)) hash |= 1L << (b * 8 + f)
+        f += 1
+      }
+      b += 1
+    }
+    Some(hash)
+  }
+
+  /** Perceptual hash per WAV payload: parse (dependency-free byte
+    * reader, partition-batched) → [[audioDhash64]]. Unparseable or
+    * too-short payloads yield a null hash for downstream filtering —
+    * a poison payload must not kill the job. Output: (idCol, dhash) —
+    * the same shape [[dHashImages]] emits, so the entire Hamming
+    * candidate/keeper/incremental/streaming machinery applies as-is. */
+  def audioDHashWavs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          (id, wavPcm16MonoSamples(payload).flatMap(audioDhash64))
+        }
+      }
+      .toDF(idCol, "dhash")
+      .filter(col("dhash").isNotNull)
+      .select(col(idCol), col("dhash").cast("long"))
+  }
+
   /** Partition-batched "decode": one pass per partition over the binary
     * payloads. STUB — retained as the template for formats the JDK
     * cannot decode (video/audio codecs); images now have the REAL

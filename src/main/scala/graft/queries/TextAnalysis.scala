@@ -1199,6 +1199,68 @@ object TextAnalysis {
         val pairs = graft.operators.Dedup.hammingPairs(sigs, "doc_id", "dhash",
           maxHamming = 3).select("id_a", "id_b")
         graft.operators.Dedup.keeperFrom(docs, "doc_id", pairs)
+      }),
+
+    // ---- q159: AUDIO perceptual near-dup — the modality triplet's
+    // third leg (text: MinHash/SimHash; images: q152 dHash; audio:
+    // this). Each doc synthesizes a genuine RIFF/WAVE PCM16 payload
+    // from the closed-form near-dup fixture (groups of 5 share a base
+    // signal, members nudge one sample per frame); the engine runs the
+    // real parse → sample decode → spectral hash loop: 9 frames × 64
+    // samples correlated against the 8 Walsh square-wave bands
+    // ((−1)^popcount(b&t) — an integer filterbank, so the oracle
+    // replays every energy exactly), band-energy deltas over time
+    // become the 64-bit hash (chromaprint's construction), and
+    // candidates come from the same pigeonhole chunk equi-join as
+    // every Hamming family (Dedup.hammingPairs — never all-pairs).
+    // The oracle computes the hash bit-for-bit from the sample
+    // formula as four 16-bit chunks and brute-forces pairs — the
+    // quarantined baseline the banding provably equals. ----
+    QuerySpec(
+      "q159_audio_dhash_pairs",
+      Some("""
+        WITH samp AS (
+          SELECT doc_id, t, CAST(t // 64 AS INT) AS f,
+                 ((3*(doc_id//5) + 2*t) * (t % 7 + 1) + 5*(doc_id//5)*(t % 13)) % 4096 - 2048
+                   + CASE WHEN doc_id % 5 > 0 AND t % 64 = doc_id % 5
+                          THEN 7 * (doc_id % 5) ELSE 0 END AS s
+          FROM documents, UNNEST(range(576)) AS tt(t)),
+        energy AS (
+          SELECT doc_id, b, f,
+                 ABS(SUM(s * CASE WHEN bit_count(b & (t % 64)) % 2 = 0
+                                  THEN 1 ELSE -1 END)) AS e
+          FROM samp, UNNEST(range(8)) AS bb(b)
+          GROUP BY doc_id, b, f),
+        bits AS (
+          SELECT a.doc_id, (a.b * 8 + a.f) // 16 AS chunk,
+                 CASE WHEN n.e > a.e
+                      THEN CAST(1 AS BIGINT) << CAST((a.b * 8 + a.f) % 16 AS INT)
+                      ELSE CAST(0 AS BIGINT) END AS wgt
+          FROM energy a JOIN energy n
+            ON n.doc_id = a.doc_id AND n.b = a.b AND n.f = a.f + 1
+          WHERE a.f < 8),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN chunk = 0 THEN wgt ELSE 0 END) AS BIGINT) AS c0,
+                 CAST(SUM(CASE WHEN chunk = 1 THEN wgt ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN chunk = 2 THEN wgt ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN chunk = 3 THEN wgt ELSE 0 END) AS BIGINT) AS c3
+          FROM bits GROUP BY doc_id)
+        SELECT id_a, id_b, hamming FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+                    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+                    AS BIGINT) AS hamming
+          FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id)
+        WHERE hamming <= 3"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sigs = graft.operators.Multimodal.audioDHashWavs(
+          graft.operators.Multimodal.synthesizeNearDupWavs(
+            graft.operators.Fanout.forKernel(docs), "doc_id"), "doc_id")
+        graft.operators.Dedup.hammingPairs(sigs, "doc_id", "dhash",
+            maxHamming = 3)
+          .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       })
   )
 }

@@ -225,4 +225,60 @@ class MultimodalSpec extends SparkSpec {
     val junk = Seq((99L, "nope".getBytes("UTF-8"))).toDF("doc_id", "payload")
     assert(Multimodal.dHashImages(junk, "doc_id").count() == 0)
   }
+
+  test("WAV near-dup fixture: container round-trips and samples match the formula") {
+    val wavs = Multimodal.synthesizeNearDupWavs(
+      (0L until 20L).toDF("doc_id"), "doc_id")
+      .as[(Long, Array[Byte])].collect().toMap
+    for ((id, payload) <- wavs) {
+      assert(Multimodal.sniffFormat(payload) == "wav")
+      assert(Multimodal.parseWavMeta(payload).contains((8000, 1, 16, 576L)), s"id $id")
+      val samples = Multimodal.wavPcm16MonoSamples(payload).get
+      assert(samples.length == 576)
+      val g = id / 5; val m = (id % 5).toInt
+      for (t <- 0 until 576) {
+        var s = (((3 * g + 2 * t) * (t % 7 + 1) + 5 * g * (t % 13)) % 4096 - 2048).toInt
+        if (m > 0 && t % 64 == m) s += 7 * m
+        assert(samples(t) == s, s"id $id sample $t")
+      }
+    }
+  }
+
+  test("audioDhash64: spectral hash separates groups, tolerates nudges, rejects junk") {
+    val hashes = Multimodal.audioDHashWavs(
+      Multimodal.synthesizeNearDupWavs((0L until 50L).toDF("doc_id"), "doc_id"),
+      "doc_id").as[(Long, Long)].collect().toMap
+    assert(hashes.size == 50)
+    // members nudge one sample per frame by ≤28 against ±2048 energies:
+    // within a group the hash moves at most a few bits
+    for (g <- 0 until 10; m <- 1 until 5) {
+      val d = java.lang.Long.bitCount(hashes(g * 5L) ^ hashes(g * 5L + m))
+      assert(d <= 3, s"group $g member $m hamming $d")
+    }
+    // distinct groups must not collapse onto one hash (the nonlinear-
+    // base guarantee): demand a healthy spread of distinct base hashes
+    assert((0 until 10).map(g => hashes(g * 5L)).distinct.size >= 8)
+    // wavPcm16MonoSamples: stereo and short payloads are rejected
+    val mono = wavs(8000, 1, 16, Array.fill(1152)(0.toByte))
+    assert(Multimodal.wavPcm16MonoSamples(mono).exists(_.length == 576))
+    val stereo = wavs(8000, 2, 16, Array.fill(1152)(0.toByte))
+    assert(Multimodal.wavPcm16MonoSamples(stereo).isEmpty)
+    assert(Multimodal.audioDhash64(Array.fill(100)(0)).isEmpty, "too short")
+    val junk = Seq((7L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(Multimodal.audioDHashWavs(junk, "doc_id").count() == 0)
+  }
+
+  /** Minimal WAV builder for negative cases. */
+  private def wavs(rate: Int, ch: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    bos.write("RIFF".getBytes("US-ASCII")); le32(36 + data.length)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1); le16(ch); le32(rate); le32(rate * ch * bits / 8); le16(ch * bits / 8); le16(bits)
+    bos.write("data".getBytes("US-ASCII")); le32(data.length)
+    bos.write(data)
+    bos.toByteArray
+  }
 }
