@@ -1019,6 +1019,112 @@ object Extended {
           .select(col("vec_id"), col("list_id"), col("keep_id"), col("is_duplicate"))
       }),
 
+    // ---- q160: semanticDedup's CAPPED path under the hash gate —
+    // q153 deliberately uncaps clusterPairs so the oracle's plain
+    // self-join stays exact; that left the production hotClusterCap
+    // star topology (a hot cluster emits (min_id → member) pairs, not
+    // |cluster|²) with no gate of its own. Here cap = 40 splits the
+    // sf0.01 clustering into 6 hot + 6 cold clusters (sizes 34–53), so
+    // BOTH regimes run in one query, and the oracle replays the exact
+    // capped semantics: all-pairs where n ≤ cap, star-to-min-id where
+    // n > cap. `in_hot_cluster` rides in the output so the gate also
+    // pins WHICH clusters both engines consider hot. Scale: this is
+    // the path that bounds a degenerate cluster (dead centroid, all-
+    // identical embeddings) to O(|cluster|) pairs at 100 TB. ----
+    QuerySpec(
+      "q160_semantic_dedup_capped",
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), n2 AS (
+          SELECT vec_id, v,
+                 CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS nn
+          FROM qz
+        ), cents AS (
+          SELECT vec_id AS list_id, v AS centv FROM qz ORDER BY vec_id LIMIT 12
+        ), assigned AS (
+          SELECT vec_id, v, nn, list_id FROM (
+            SELECT q.vec_id, q.v, q.nn, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, len(q.v)),
+                       i -> q.v[i] * c.centv[i])) AS BIGINT) DESC, c.list_id) AS r
+            FROM n2 q, cents c) t
+          WHERE r = 1
+        ), csize AS (
+          SELECT list_id, COUNT(*) AS n, MIN(vec_id) AS rep
+          FROM assigned GROUP BY list_id
+        ), cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assigned a
+          JOIN assigned b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+          JOIN csize c ON c.list_id = a.list_id
+          WHERE c.n <= 40
+          UNION ALL
+          SELECT c.rep AS id_a, a.vec_id AS id_b
+          FROM assigned a JOIN csize c ON c.list_id = a.list_id
+          WHERE c.n > 40 AND a.vec_id <> c.rep
+        ), scored AS (
+          SELECT cand.id_a, cand.id_b, a.nn AS na, b.nn AS nb,
+                 CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+                   i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+          FROM cand
+          JOIN assigned a ON a.vec_id = cand.id_a
+          JOIN assigned b ON b.vec_id = cand.id_b
+        ), verified AS (
+          SELECT id_a, id_b FROM scored
+          WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb
+        ), best AS (
+          SELECT id_b AS vec_id, MIN(id_a) AS partner_min FROM verified GROUP BY 1
+        )
+        SELECT e.vec_id, s.list_id,
+               LEAST(COALESCE(partner_min, e.vec_id), e.vec_id) AS keep_id,
+               LEAST(COALESCE(partner_min, e.vec_id), e.vec_id) <> e.vec_id AS is_duplicate,
+               c.n > 40 AS in_hot_cluster
+        FROM embeddings e
+        JOIN assigned s USING (vec_id)
+        JOIN csize c ON c.list_id = s.list_id
+        LEFT JOIN best USING (vec_id)"""),
+      (s, dir) => {
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        def dotOf(a: String, b: String) =
+          graft.functions.VectorFunctions.longDot(col(a), col(b))
+        val base = emb.select(col("vec_id").cast("long").as("vec_id"), quant.as("v"))
+          .withColumn("nn", graft.functions.VectorFunctions.longDot(col("v"), col("v")))
+        val cents = base.orderBy("vec_id").limit(12)
+          .select(col("vec_id").as("list_id"), col("v").as("centv"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d").desc, col("list_id"))
+        val assigned = base.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"), col("nn"), col("list_id"),
+            dotOf("v", "centv").as("d"))
+          .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+          .select(col("vec_id"), col("v"), col("nn"), col("list_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // THE production path: hot clusters (n > 40) emit a star to
+        // their min id instead of |cluster|² pairs
+        val pairs = graft.operators.Dedup.clusterPairs(
+          assigned, "list_id", "vec_id", cap = 40)
+        val verified = pairs
+          .join(assigned.select(col("vec_id").as("id_a"), col("v").as("va"),
+            col("nn").as("na")), Seq("id_a"))
+          .join(assigned.select(col("vec_id").as("id_b"), col("v").as("vb"),
+            col("nn").as("nb")), Seq("id_b"))
+          .withColumn("dot", dotOf("va", "vb"))
+          .filter(col("dot") > 0 && expr("25 * dot * dot") >= expr("4 * na * nb"))
+          .select("id_a", "id_b")
+        val sizes = assigned.groupBy(col("list_id")).agg(count(lit(1)).as("_n"))
+        graft.operators.Dedup.keeperFrom(emb, "vec_id", verified)
+          .join(assigned.select(col("vec_id"), col("list_id")), Seq("vec_id"))
+          .join(sizes, Seq("list_id"))
+          .select(col("vec_id"), col("list_id"), col("keep_id"),
+            col("is_duplicate"), (col("_n") > 40).as("in_hot_cluster"))
+      }),
+
     // ---- q93: quantized LSH top-k — q42's exact TOPOLOGY (hyperplane
     // signature → pigeonhole chunk equi-join → Hamming postfilter →
     // score survivors → top-k) in all-integer arithmetic (VERDICT r5

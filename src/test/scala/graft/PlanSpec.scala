@@ -126,7 +126,8 @@ class PlanSpec extends SparkSpec {
       "q49_ann_ivf_kmeans_topk",   // same, trained centroids
       "q86_ann_quantized_exact_topk", // quantized exact search baseline
       "q90_ann_ivf_quantized_topk",   // centroid assignment, quantized twin
-      "q153_semantic_dedup_quantized") // centroid assignment: corpus x 12 pinned centroids (q90 pattern)
+      "q153_semantic_dedup_quantized", // centroid assignment: corpus x 12 pinned centroids (q90 pattern)
+      "q160_semantic_dedup_capped")    // same assignment scan, capped-pairs path
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(deliberate)
       .flatMap { name =>

@@ -288,6 +288,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup capped path: a degenerate hot cluster emits a closed-form star") {
+    // all-identical embeddings — the dead-centroid nightmare: every row
+    // lands in ONE cluster. Uncapped that is n(n-1)/2 pairs; the
+    // production hotClusterCap path must emit exactly the n-1 star
+    // pairs to the min id, and the keeper output is closed-form:
+    // everyone keeps min_id.
+    val n = 40
+    val vec: Seq[Float] = Seq.fill(8)(1.0f)
+    val df = (0 until n).map(i => (100L + i, vec)).toDF("vec_id", "embedding")
+    // pair-level pin: star, not clique
+    val assigned = df.select(col("vec_id").cast("long").as("vec_id"), lit(0L).as("c"))
+    val pairs = graft.operators.Dedup.clusterPairs(assigned, "c", "vec_id", cap = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == (101 until 100 + n).map(i => (100L, i.toLong)).toSet,
+      s"hot cluster must emit the ${n - 1}-edge star to the min id, got ${pairs.size} pairs")
+    // end-to-end pin: capped semanticDedup elects the closed-form keeper
+    val res = graft.operators.Similarity
+      .semanticDedup(df, "vec_id", "embedding", k = 2, threshold = 0.99,
+        hotClusterCap = 10)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(res.size == n)
+    assert(res(100L) == (100L, false), "min id keeps itself")
+    for (i <- 101 until 100 + n)
+      assert(res(i.toLong) == (100L, true), s"row $i must point at the star center")
+  }
+
   test("hyperplane signature: identical vectors identical, negated all-differ") {
     val sigs = corpus.filter(col("vec_id") < 3)
       .select(col("vec_id"), V.hyperplaneSignature(col("embedding"), 16).as("sig"))
