@@ -157,6 +157,58 @@ object Analytics {
           .select(col("node").as("n_nationkey"), col("r").as("rank_fp"))
       }),
 
+    // ---- q161: PageRank TO CONVERGENCE — q141's fixed-K topology with
+    // the tolerance-mode early stop proven end to end (not just in
+    // GraphSpec): toleranceL1 = 0 halts at the exact integer fixpoint
+    // (measured: round 51 at sf0.01), after which further rounds
+    // provably change nothing, so the result hash-matches the oracle's
+    // full K=60 replay REGARDLESS of where (or whether) the stop fires
+    // — the gate can't be faked by a lucky iteration count. Production
+    // meaning: K stops being a magic constant; the cluster runs only
+    // the rounds the graph actually needs, each round still one
+    // edge-grain shuffle with node-sized broadcast ranks. ----
+    QuerySpec(
+      "q161_pagerank_converged",
+      Some(s"""
+        WITH RECURSIVE
+        edges AS (
+          SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          GROUP BY src, dst),
+        outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+        eshare AS (
+          SELECT src, dst, w * 1000000 // ow AS s
+          FROM edges JOIN outw USING (src)
+          UNION ALL
+          SELECT n_nationkey, n_nationkey, 0 FROM nation),
+        pr AS (
+          SELECT 0 AS it, n_nationkey AS node, ${prScale} // COUNT(*) OVER () AS r
+          FROM nation
+          UNION ALL
+          SELECT it + 1, e.dst,
+                 ${prScale * 15 / 100} // 25 + 85 * SUM(pr.r * e.s // 1000000) // 100
+          FROM pr JOIN eshare e ON e.src = pr.node
+          WHERE it < 60 GROUP BY it, e.dst)
+        SELECT node AS n_nationkey, r AS rank_fp
+        FROM pr WHERE it = 60"""),
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("s_nationkey").cast("long").as("src"),
+            col("c_nationkey").cast("long").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val nodes = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("node"))
+        graft.operators.Graph.pageRankFixedPoint(edges, nodes,
+            iterations = 60, scale = prScale, toleranceL1 = 0L)
+          .select(col("node").as("n_nationkey"), col("r").as("rank_fp"))
+      }),
+
     // ---- q142: bigram frequency ranking per language — the n-gram LM
     // statistic behind corpus similarity scoring and quality priors.
     // Raw (non-distinct) bigram counts, top 10 per language with ties
