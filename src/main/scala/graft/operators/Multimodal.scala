@@ -527,6 +527,178 @@ object Multimodal {
       .select(col(idCol), col("dhash").cast("long"))
   }
 
+  /** Near-duplicate VIDEO fixture — the q152/q159 playbook for the
+    * moving-picture modality: groups of 5 clips share one closed-form
+    * frame sequence (group g = id/5); members m = 1..4 bump one
+    * pixel's luma by +128 in frame f = m only, so
+    * within a group the temporal hashes differ in at most a few bits
+    * while across groups they are unrelated. The payload is a genuine
+    * YUV4MPEG2 (y4m) container — the uncompressed interchange format
+    * ffmpeg/x264 consume — with plane layout C444, so the engine path
+    * runs a real header parse → FRAME-marker walk → plane decode on
+    * real bytes. Every luma value is an integer function of
+    * (id, f, x, y), kept in sync with the q162 oracle SQL:
+    *   g = id/5, m = id%5, w = 8 + g%3, h = 8 + g%2, nF = 10 + g%3,
+    *   Y(f,x,y) = ((3g + 5x + 7y + 2f)·(x + y + f + 1) + g) % 256
+    *              [+128 mod 256 at ((3m)%w, (2m)%h) when m > 0 and
+    *               f == m].
+    * Nonlinear in (x, y, f) for the same anti-degeneracy reason as the
+    * image/audio fixtures (a linear ramp collapses the hash space and
+    * turns the candidate join near-all-pairs). Chroma planes are
+    * constant 128 (gray): the hash is luma-only, but the parser still
+    * has to skip them at the right plane strides. */
+  def synthesizeNearDupY4m(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val g = id / 5
+          val m = (id % 5).toInt
+          val w = (8 + g % 3).toInt
+          val h = (8 + g % 2).toInt
+          val nF = (10 + g % 3).toInt
+          val px = (m * 3) % w
+          val py = (m * 2) % h
+          val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n"
+            .getBytes("US-ASCII")
+          val out = new java.io.ByteArrayOutputStream(
+            header.length + nF * (6 + 3 * w * h))
+          out.write(header)
+          var f = 0
+          while (f < nF) {
+            out.write("FRAME\n".getBytes("US-ASCII"))
+            var y = 0
+            while (y < h) { // Y plane
+              var x = 0
+              while (x < w) {
+                var v = (((3 * g + 5 * x + 7 * y + 2 * f) * (x + y + f + 1) + g) % 256).toInt
+                if (m > 0 && f == m && x == px && y == py) v = (v + 128) % 256
+                out.write(v)
+                x += 1
+              }
+              y += 1
+            }
+            var c = 0 // U then V plane: constant gray
+            while (c < 2 * w * h) { out.write(128); c += 1 }
+            f += 1
+          }
+          (id, out.toByteArray)
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** REAL YUV4MPEG2 header parse: verifies the `YUV4MPEG2 ` magic,
+    * reads the space-separated W/H/C parameters from the first line.
+    * Returns (width, height, colorspace, headerLen). The y4m spec's
+    * default colorspace when no C tag is present is 4:2:0 — reported
+    * as "420" here so callers can reject plane layouts they don't
+    * implement rather than misread strides. */
+  def parseY4mHeader(b: Array[Byte]): Option[(Int, Int, String, Int)] = {
+    val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+    if (b.length < magic.length ||
+      !java.util.Arrays.equals(b.slice(0, magic.length), magic)) return None
+    var nl = magic.length
+    while (nl < b.length && b(nl) != '\n') nl += 1
+    if (nl >= b.length) return None
+    val params = new String(b, magic.length, nl - magic.length, "US-ASCII")
+      .split(" ").filter(_.nonEmpty)
+    var (w, h) = (-1, -1)
+    var cs = "420"
+    params.foreach { p =>
+      try {
+        if (p.startsWith("W")) w = p.substring(1).toInt
+        else if (p.startsWith("H")) h = p.substring(1).toInt
+        else if (p.startsWith("C")) cs = p.substring(1)
+      } catch { case _: NumberFormatException => return None }
+    }
+    if (w <= 0 || h <= 0) None else Some((w, h, cs, nl + 1))
+  }
+
+  /** 64-bit temporal difference hash of a C444 y4m video — the TIRI /
+    * temporal-fingerprint idea in pure-integer form so a SQL oracle can
+    * replay it on closed-form fixtures. 9 frames are sampled at
+    * nearest-neighbor indices f_k = k·nF/9 (exactly [[dhash64]]'s grid
+    * arithmetic, applied to time); each sampled frame reduces to 8
+    * vertical-strip luma sums (pixel x belongs to strip x·8/w — pure
+    * integer, no area weighting); bit r·8+k is set iff
+    * S[r][k+1] > S[r][k] — adjacent-comparison layout with (strip,
+    * sampled-frame) for (row, column). Near-identical clips agree on
+    * almost every comparison; Hamming distance ranks perceptual
+    * similarity. Walks the real container: each frame must present its
+    * `FRAME` marker line (parameters tolerated per spec), planes
+    * advance by C444 strides. Returns None for non-y4m bytes,
+    * unsupported colorspaces, truncated frames, or clips shorter than
+    * 2 frames — poison payloads must not kill the job. */
+  def videoDhash64(b: Array[Byte]): Option[Long] = {
+    val hdr = parseY4mHeader(b)
+    if (hdr.isEmpty) return None
+    val (w, h, cs, headerLen) = hdr.get
+    if (cs != "444") return None
+    val frameBytes = 3 * w * h
+    // walk FRAME markers to index frame payload offsets
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = headerLen
+    while (i < b.length) {
+      val marker = "FRAME".getBytes("US-ASCII")
+      if (i + marker.length > b.length ||
+        !java.util.Arrays.equals(b.slice(i, i + marker.length), marker)) return None
+      var nl = i + marker.length
+      while (nl < b.length && b(nl) != '\n') nl += 1
+      if (nl >= b.length || nl + 1 + frameBytes > b.length) return None
+      offsets += (nl + 1)
+      i = nl + 1 + frameBytes
+    }
+    val nF = offsets.length
+    if (nF < 2) return None
+    val sums = Array.ofDim[Long](8, 9)
+    var k = 0
+    while (k < 9) {
+      val at = offsets(k * nF / 9)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sums(x * 8 / w)(k) += (b(at + y * w + x) & 0xff).toLong
+          x += 1
+        }
+        y += 1
+      }
+      k += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      k = 0
+      while (k < 8) {
+        if (sums(r)(k + 1) > sums(r)(k)) hash |= 1L << (r * 8 + k)
+        k += 1
+      }
+      r += 1
+    }
+    Some(hash)
+  }
+
+  /** Perceptual hash per y4m payload: parse (dependency-free byte
+    * reader, partition-batched) → [[videoDhash64]]. Unparseable or
+    * too-short payloads yield a null hash for downstream filtering.
+    * Output: (idCol, dhash) — the same shape [[dHashImages]] and
+    * [[audioDHashWavs]] emit, so the entire Hamming candidate/keeper/
+    * incremental/streaming machinery applies to video as-is. */
+  def videoDHashY4m(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) => (id, videoDhash64(payload)) }
+      }
+      .toDF(idCol, "dhash")
+      .filter(col("dhash").isNotNull)
+      .select(col(idCol), col("dhash").cast("long"))
+  }
+
   /** Partition-batched "decode": one pass per partition over the binary
     * payloads. STUB — retained as the template for formats the JDK
     * cannot decode (video/audio codecs); images now have the REAL

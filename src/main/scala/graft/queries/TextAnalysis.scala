@@ -1261,6 +1261,78 @@ object TextAnalysis {
         graft.operators.Dedup.hammingPairs(sigs, "doc_id", "dhash",
             maxHamming = 3)
           .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      }),
+
+    // ---- q162: VIDEO perceptual near-dup — the modality QUARTET's
+    // fourth leg (text: MinHash/SimHash; images: q152; audio: q159;
+    // video: this). Each doc synthesizes a genuine YUV4MPEG2 container
+    // (the uncompressed interchange format ffmpeg consumes) from the
+    // closed-form near-dup fixture (groups of 5 share a base frame
+    // sequence, members bump one pixel's luma in a single frame); the
+    // engine runs the real parse → FRAME-marker walk → C444 plane
+    // decode loop: 9 frames sampled at nearest-neighbor time indices
+    // (dhash64's grid arithmetic applied to time), each reduced to 8
+    // vertical-strip luma sums, strip-sum deltas over time become the
+    // 64-bit temporal hash (the TIRI construction), and candidates
+    // come from the same pigeonhole chunk equi-join as every Hamming
+    // family (Dedup.hammingPairs — never all-pairs). The oracle
+    // computes the hash bit-for-bit from the luma formula as four
+    // 16-bit chunks and brute-forces pairs — the quarantined baseline
+    // the banding provably equals. ----
+    QuerySpec(
+      "q162_video_dhash_pairs",
+      Some("""
+        WITH geom AS (
+          SELECT doc_id, doc_id // 5 AS g, CAST(doc_id % 5 AS INT) AS m,
+                 CAST(8 + (doc_id // 5) % 3 AS INT) AS w,
+                 CAST(8 + (doc_id // 5) % 2 AS INT) AS h,
+                 CAST(10 + (doc_id // 5) % 3 AS INT) AS nf
+          FROM documents),
+        samp AS (
+          SELECT doc_id, g, m, w, h, k, (k * nf) // 9 AS f, x, y
+          FROM geom, UNNEST(range(9)) AS tk(k), UNNEST(range(10)) AS tx(x),
+               UNNEST(range(9)) AS ty(y)
+          WHERE x < w AND y < h),
+        luma AS (
+          SELECT doc_id, k, (x * 8) // w AS strip,
+                 CASE WHEN m > 0 AND f = m
+                       AND x = (3*m) % w AND y = (2*m) % h
+                      THEN (((3*g + 5*x + 7*y + 2*f)*(x + y + f + 1) + g) % 256 + 128) % 256
+                      ELSE ((3*g + 5*x + 7*y + 2*f)*(x + y + f + 1) + g) % 256 END AS yv
+          FROM samp),
+        sums AS (
+          SELECT doc_id, strip, k, SUM(yv) AS s
+          FROM luma GROUP BY doc_id, strip, k),
+        bits AS (
+          SELECT a.doc_id, (a.strip * 8 + a.k) // 16 AS chunk,
+                 CASE WHEN n.s > a.s
+                      THEN CAST(1 AS BIGINT) << CAST((a.strip * 8 + a.k) % 16 AS INT)
+                      ELSE CAST(0 AS BIGINT) END AS wgt
+          FROM sums a JOIN sums n
+            ON n.doc_id = a.doc_id AND n.strip = a.strip AND n.k = a.k + 1
+          WHERE a.k < 8),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN chunk = 0 THEN wgt ELSE 0 END) AS BIGINT) AS c0,
+                 CAST(SUM(CASE WHEN chunk = 1 THEN wgt ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN chunk = 2 THEN wgt ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN chunk = 3 THEN wgt ELSE 0 END) AS BIGINT) AS c3
+          FROM bits GROUP BY doc_id)
+        SELECT id_a, id_b, hamming FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+                    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+                    AS BIGINT) AS hamming
+          FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id)
+        WHERE hamming <= 3"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sigs = graft.operators.Multimodal.videoDHashY4m(
+          graft.operators.Multimodal.synthesizeNearDupY4m(
+            graft.operators.Fanout.forKernel(docs), "doc_id"), "doc_id")
+        graft.operators.Dedup.hammingPairs(sigs, "doc_id", "dhash",
+            maxHamming = 3)
+          .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       })
   )
 }

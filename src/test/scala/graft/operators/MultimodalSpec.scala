@@ -268,6 +268,66 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioDHashWavs(junk, "doc_id").count() == 0)
   }
 
+  test("y4m near-dup fixture: container round-trips and luma matches the formula") {
+    val vids = Multimodal.synthesizeNearDupY4m(
+      (0L until 20L).toDF("doc_id"), "doc_id")
+      .as[(Long, Array[Byte])].collect().toMap
+    for ((id, payload) <- vids) {
+      val g = id / 5; val m = (id % 5).toInt
+      val w = (8 + g % 3).toInt; val h = (8 + g % 2).toInt
+      val nF = (10 + g % 3).toInt
+      val hdr = Multimodal.parseY4mHeader(payload)
+      assert(hdr.exists { case (pw, ph, cs, _) => pw == w && ph == h && cs == "444" },
+        s"id $id header $hdr")
+      val headerLen = hdr.get._4
+      // walk frames by hand and check every luma byte against the formula
+      val frameBytes = 3 * w * h
+      var at = headerLen
+      for (f <- 0 until nF) {
+        assert(new String(payload, at, 6, "US-ASCII") == "FRAME\n", s"id $id frame $f")
+        at += 6
+        for (y <- 0 until h; x <- 0 until w) {
+          var v = (((3 * g + 5 * x + 7 * y + 2 * f) * (x + y + f + 1) + g) % 256).toInt
+          if (m > 0 && f == m && x == (3 * m) % w && y == (2 * m) % h)
+            v = (v + 128) % 256
+          assert((payload(at + y * w + x) & 0xff) == v, s"id $id f=$f x=$x y=$y")
+        }
+        // chroma planes constant gray
+        assert((payload(at + w * h) & 0xff) == 128 && (payload(at + 3 * w * h - 1) & 0xff) == 128)
+        at += frameBytes
+      }
+      assert(at == payload.length, s"id $id trailing bytes")
+    }
+  }
+
+  test("videoDhash64: temporal hash separates groups, tolerates nudges, rejects junk") {
+    val hashes = Multimodal.videoDHashY4m(
+      Multimodal.synthesizeNearDupY4m((0L until 50L).toDF("doc_id"), "doc_id"),
+      "doc_id").as[(Long, Long)].collect().toMap
+    assert(hashes.size == 50)
+    // members bump one pixel by +128 in a single frame against strip
+    // sums in the thousands: within a group the hash moves at most 2 bits
+    for (g <- 0 until 10; m <- 1 until 5) {
+      val d = java.lang.Long.bitCount(hashes(g * 5L) ^ hashes(g * 5L + m))
+      assert(d <= 3, s"group $g member $m hamming $d")
+    }
+    // distinct groups must not collapse onto one hash
+    assert((0 until 10).map(g => hashes(g * 5L)).distinct.size >= 8)
+    // guards: non-y4m, unsupported colorspace, truncated frame, <2 frames
+    assert(Multimodal.videoDhash64("not video".getBytes("UTF-8")).isEmpty)
+    val c420 = "YUV4MPEG2 W8 H8 C420\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill(96)(0.toByte)
+    assert(Multimodal.videoDhash64(c420).isEmpty, "unsupported colorspace")
+    val good = Multimodal.synthesizeNearDupY4m(Seq(0L).toDF("doc_id"), "doc_id")
+      .as[(Long, Array[Byte])].collect().head._2
+    assert(Multimodal.videoDhash64(good.dropRight(1)).isEmpty, "truncated frame")
+    val oneFrame = "YUV4MPEG2 W8 H8 C444\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill(192)(0.toByte)
+    assert(Multimodal.videoDhash64(oneFrame).isEmpty, "single frame")
+    val junk = Seq((7L, "not video".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(Multimodal.videoDHashY4m(junk, "doc_id").count() == 0)
+  }
+
   /** Minimal WAV builder for negative cases. */
   private def wavs(rate: Int, ch: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
