@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the corpus: inverted-index construction and
+  * BM25 ranking — the query-based curation tools a training-data
+  * pipeline uses to pull topical slices out of a 100 TB crawl.
+  *
+  * Scale shape:
+  *   - [[postings]] is ONE corpus shuffle keyed by (token, doc) with
+  *     map-side combine; document text never moves after tokenize.
+  *   - [[indexStats]] reduces postings to vocabulary grain (second
+  *     shuffle is vocab-sized, not corpus-sized).
+  *   - [[bm25TopK]] broadcasts the query-term table into the postings
+  *     scan so only documents containing a query term survive; the
+  *     per-term document frequencies and the two corpus scalars (N, L)
+  *     ride along as broadcasts. The one corpus-grain join (doc length
+  *     into surviving postings) is keyed by doc id — exactly the join
+  *     a distributed search engine shards by.
+  *
+  * Scoring is BM25 in FIXED-POINT INTEGER arithmetic (k1 = 1.2,
+  * b = 0.75, Lucene's positivity form idf = log((N+1)/(df+0.5))): the
+  * log2 runs at 16 fractional bits via the exact integer construction
+  *   log2_fp(x) = msb·2^16 + (x − 2^msb)·2^16 / 2^msb,  msb = ⌊log2 x⌋
+  * (bit-length arithmetic — `length(bin(x))` in both Spark and DuckDB),
+  * and the tf normalization clears denominators instead of dividing:
+  *   contrib = idf_fp · tf·22·L  //  (10·L·tf + 3·L + 9·dl·N)
+  * which is BM25 with every term scaled by 10·L. Integer end to end, so
+  * results are bit-identical across engines and platforms — no float
+  * drift between a laptop and a 1000-executor cluster — and a SQL
+  * oracle replays the ranking exactly. Overflow headroom: the product
+  * idf_fp·tf·22·L stays under 2^63 through corpus sizes of ~10^12
+  * tokens with tf ≤ 10^3.
+  */
+object Search {
+
+  /** Inverted-index postings: one row per (token, doc) with the term
+    * frequency. One shuffle, map-side combined. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Vocabulary-grain index statistics: document frequency, collection
+    * frequency, max term frequency per token — the dictionary half of
+    * the index, and the profile a curation pass filters stopwords and
+    * hapaxes with. */
+  def indexStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    postings(docs, idCol, textCol)
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"), max("tf").as("max_tf"))
+
+  /** Exact integer ⌊log2 x⌋·2^16 + 16-bit linear fraction, x ≥ 1. Kept
+    * as a SQL string so the engine expression and the DuckDB oracle are
+    * verbatim the same formula (`div` ↔ `//`, `shiftleft` ↔ `<<`). */
+  private[graft] def log2FpExpr(x: String): String = {
+    val msb = s"(length(bin($x)) - 1)"
+    val pow = s"shiftleft(CAST(1 AS BIGINT), $msb)"
+    s"(CAST($msb AS BIGINT) * 65536 + ((($x) - $pow) * 65536) div $pow)"
+  }
+
+  /** Top-k documents per query under fixed-point BM25. `queries` is a
+    * small (query_id, term) table — broadcast, never shuffled. Ties
+    * broken by doc id; rank() keeps score ties like every top-per-group
+    * query in the catalog. Output: (query_id, doc_id, score_fp, rk). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val tf = postings(docs, idCol, textCol)
+    val dl = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextFunctions.tokenCount(col(textCol)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("l"))
+    val qterms = queries.select(col("term").as("token")).distinct()
+    // df only for query terms: vocabulary-grain aggregate, then the
+    // tiny query-term semi-join — the broadcast stays query-sized
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .join(broadcast(qterms), "token")
+    val hit = tf
+      .join(broadcast(queries.select(col("query_id"), col("term").as("token"))), "token")
+      .join(broadcast(dfq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+    val idfFp = s"(${log2FpExpr("2*n + 2")} - ${log2FpExpr("2*df + 1")})"
+    val scored = hit
+      .withColumn("contrib",
+        expr(s"($idfFp * (tf * 22 * l)) div (10 * l * tf + 3 * l + 9 * dl * n)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("score_fp"))
+    val w = Window.partitionBy("query_id").orderBy(col("score_fp").desc, col("doc_id"))
+    scored.withColumn("rk", rank().over(w)).filter(col("rk") <= k)
+  }
+}

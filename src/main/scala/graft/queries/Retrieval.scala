@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the documents corpus (round 12): inverted
+  * index construction and fixed-point BM25 ranking — the query-based
+  * curation surface (pull topical slices out of a crawl, filter
+  * stopwords/hapaxes by dictionary statistics). Backed by
+  * [[graft.operators.Search]]; every query is hash-oracled in DuckDB
+  * because the scoring is integer end to end.
+  */
+object Retrieval {
+
+  /** DuckDB twin of [[graft.functions.TextFunctions.tokens]] (same
+    * string as Analytics.tokensSql — the catalog-wide convention). */
+  private val tokensSql: String =
+    """string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')"""
+
+  /** DuckDB twin of [[graft.operators.Search.log2FpExpr]]. */
+  private def log2FpSql(x: String): String = {
+    val msb = s"(length(bin(CAST($x AS BIGINT))) - 1)"
+    val pow = s"(CAST(1 AS BIGINT) << $msb)"
+    s"(CAST($msb AS BIGINT) * 65536 + ((($x) - $pow) * 65536) // $pow)"
+  }
+
+  /** The fixed retrieval workload: three queries mixing common and
+    * rare vocabulary, shared verbatim by engine and oracle. */
+  private val queryTerms: Seq[(Int, String)] = Seq(
+    0 -> "spark", 0 -> "window", 0 -> "agg",
+    1 -> "hash", 1 -> "join", 1 -> "customer",
+    2 -> "stream", 2 -> "vector", 2 -> "the")
+
+  private val queryValuesSql: String =
+    queryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // ---- q163: inverted-index dictionary statistics — document
+    // frequency, collection frequency, max tf per token. The postings
+    // build is ONE corpus shuffle keyed by (token, doc) with map-side
+    // combine (text never moves after tokenize); the dictionary reduce
+    // is vocabulary-grain. This is the stopword/hapax-filter profile a
+    // curation pass runs before indexing a 100 TB crawl. ----
+    QuerySpec(
+      "q163_inverted_postings",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+        tf AS (
+          SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+        SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+               MAX(tf) AS max_tf
+        FROM tf GROUP BY token"""),
+      (s, dir) =>
+        graft.operators.Search.indexStats(
+          Tables.load(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- q164: BM25 top-10 per query, FIXED-POINT INTEGER scoring —
+    // k1=1.2, b=0.75, Lucene's positivity idf, log2 at 16 fractional
+    // bits via exact bit-length arithmetic, tf-normalization with
+    // cleared denominators (every term scaled by 10·L). Integer end to
+    // end means bit-identical ranking across engines and platforms (no
+    // float drift between a laptop and a 1000-executor cluster), which
+    // is what lets the oracle replay the scores exactly rather than
+    // settling for a rows-only check. The query-term table broadcasts
+    // into the postings scan, so only documents containing a query
+    // term survive to the doc-length join; df and the (N, L) scalars
+    // ride as broadcasts (the 1-row stats cross join is the q20
+    // pattern). Ties kept by rank(), broken-for-order by doc id. ----
+    QuerySpec(
+      "q164_bm25_topk",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+        tf AS (
+          SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (
+          SELECT doc_id, len($tokensSql) AS dl FROM documents),
+        stats AS (
+          SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dl),
+        qt AS (
+          SELECT * FROM (VALUES $queryValuesSql) AS v(query_id, term)),
+        dfq AS (
+          SELECT token, COUNT(*) AS df FROM tf
+          WHERE token IN (SELECT term FROM qt) GROUP BY token),
+        contrib AS (
+          SELECT qt.query_id, tf.doc_id,
+                 (${log2FpSql("2*n + 2")} - ${log2FpSql("2*df + 1")})
+                   * (tf * 22 * l) // (10 * l * tf + 3 * l + 9 * dl * n) AS c
+          FROM tf
+          JOIN qt ON qt.term = tf.token
+          JOIN dfq ON dfq.token = tf.token
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats),
+        scores AS (
+          SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_fp
+          FROM contrib GROUP BY 1, 2)
+        SELECT query_id, doc_id, score_fp, rk FROM (
+          SELECT query_id, doc_id, score_fp,
+                 rank() OVER (PARTITION BY query_id
+                              ORDER BY score_fp DESC, doc_id) AS rk
+          FROM scores) r
+        WHERE rk <= 10"""),
+      (s, dir) => {
+        import s.implicits._
+        val queries = queryTerms.toDF("query_id", "term")
+        graft.operators.Search.bm25TopK(
+          Tables.load(s, dir, "documents"), "doc_id", "text", queries, k = 10)
+          .select(col("query_id"), col("doc_id"), col("score_fp"),
+            col("rk").cast("long").as("rk"))
+      })
+  )
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick quick fox"),
+    (2L, "lazy lazy lazy dog dog"),
+    (3L, "a completely unrelated document about sparks"),
+    (4L, "fox")).toDF("doc_id", "text")
+
+  test("postings: one row per (token, doc) with term frequency") {
+    val p = Search.postings(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+      .map { case (t, d, tf) => (t, d) -> tf }.toMap
+    assert(p(("the", 0L)) == 2 && p(("quick", 1L)) == 2 && p(("lazy", 2L)) == 3)
+    assert(p(("fox", 4L)) == 1)
+    assert(!p.contains(("quick", 2L)))
+  }
+
+  test("indexStats: df/cf/max_tf at vocabulary grain") {
+    val st = Search.indexStats(docs, "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (t, df, cf, mx) => t -> (df, cf, mx) }.toMap
+    assert(st("fox") == ((3L, 3L, 1L)))
+    assert(st("lazy") == ((2L, 4L, 3L)))
+    assert(st("the") == ((2L, 3L, 2L)))
+  }
+
+  test("log2FpExpr is the exact integer construction") {
+    val got = spark.range(1, 5000)
+      .selectExpr("id", Search.log2FpExpr("id") + " AS fp")
+      .as[(Long, Long)].collect()
+    for ((x, fp) <- got) {
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val want = msb * 65536L + ((x - (1L << msb)) * 65536L) / (1L << msb)
+      assert(fp == want, s"x=$x")
+      // within the linear-fraction's analytic worst case of true log2:
+      // max |log2(1+f) - f| = 1 - (1 + ln ln 2)/ln 2 ≈ 0.0861
+      assert(math.abs(fp / 65536.0 - math.log(x.toDouble) / math.log(2)) < 0.0862)
+    }
+  }
+
+  test("bm25TopK matches a scalar brute-force replay, ranks relevance sanely") {
+    val queries = Seq((0, "fox"), (0, "quick"), (1, "lazy")).toDF("query_id", "term")
+    val got = Search.bm25TopK(docs, "doc_id", "text", queries, k = 10)
+      .select("query_id", "doc_id", "score_fp", "rk")
+      .as[(Int, Long, Long, Int)].collect()
+      .map { case (q, d, s, r) => (q, d) -> (s, r) }.toMap
+
+    // scalar replay of the documented fixed-point formula
+    val texts = Map(0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "the quick quick fox", 2L -> "lazy lazy lazy dog dog",
+      3L -> "a completely unrelated document about sparks", 4L -> "fox")
+    val toks = texts.view.mapValues(_.split(" ").toSeq).toMap
+    val n = texts.size.toLong
+    val l = toks.values.map(_.size).sum.toLong
+    def log2Fp(x: Long): Long = {
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      msb * 65536L + ((x - (1L << msb)) * 65536L) / (1L << msb)
+    }
+    def score(qterms: Seq[String], d: Long): Long = qterms.map { t =>
+      val tf = toks(d).count(_ == t).toLong
+      if (tf == 0) 0L
+      else {
+        val df = toks.values.count(_.contains(t)).toLong
+        val dl = toks(d).size.toLong
+        val idf = log2Fp(2 * n + 2) - log2Fp(2 * df + 1)
+        idf * (tf * 22 * l) / (10 * l * tf + 3 * l + 9 * dl * n)
+      }
+    }.sum
+    for (((q, d), (s, _)) <- got) {
+      val qterms = if (q == 0) Seq("fox", "quick") else Seq("lazy")
+      assert(s == score(qterms, d), s"query $q doc $d")
+    }
+    // relevance sanity: doc 1 (quick×2 + fox, short) outranks doc 0
+    assert(got((0, 1L))._2 < got((0, 0L))._2)
+    // doc 3 contains no query terms: absent from results
+    assert(!got.contains((0, 3L)) && !got.contains((1, 3L)))
+    // query 1: only doc 2 and doc 0 contain "lazy"; doc 2 wins on tf
+    assert(got((1, 2L))._2 == 1 && got((1, 0L))._2 == 2)
+  }
+}
