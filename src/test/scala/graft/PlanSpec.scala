@@ -128,7 +128,8 @@ class PlanSpec extends SparkSpec {
       "q90_ann_ivf_quantized_topk",   // centroid assignment, quantized twin
       "q153_semantic_dedup_quantized", // centroid assignment: corpus x 12 pinned centroids (q90 pattern)
       "q160_semantic_dedup_capped",    // same assignment scan, capped-pairs path
-      "q164_bm25_topk")                // 1-row (N, L) corpus-stats broadcast cross join (q20 pattern)
+      "q164_bm25_topk",                // 1-row (N, L) corpus-stats broadcast cross join (q20 pattern)
+      "q165_bigram_lm_quality")        // 1-row vocab-size broadcast cross join (q20 pattern)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(deliberate)
       .flatMap { name =>
