@@ -1919,6 +1919,105 @@ object Extended {
           .agg(count(lit(1)).as("n_pairs"),
             sum(col("d")).cast("long").as("sum_dist"),
             min(col("d")).cast("long").as("min_dist"))
+      }),
+
+    // ---- q166: PRODUCT-QUANTIZATION ANN (FAISS IndexPQ) — the
+    // memory-compression leg of the ANN family: each 64-dim vector is
+    // encoded as M=4 subspace codes against Ks=8 codebook entries per
+    // subspace (the q90 untrained convention: codebooks are the 8
+    // lowest-id vectors' subvectors), i.e. the corpus compresses from
+    // 64 floats to 4 small ints per vector — the representation that
+    // lets a 100 TB embedding store live in cluster RAM. Search is
+    // asymmetric distance computation (ADC): each query precomputes a
+    // (m, code) → partial-dot lookup table (M·Ks = 32 entries,
+    // broadcast), approx dot = Σ_m lut[m][code_m], expressed
+    // relationally as codes ⋈ broadcast LUT + groupBy sum. Encoding
+    // is argmin integer L2 per (vector, subspace) with lowest-code-id
+    // tiebreak — corpus × 32 codebook rows, the q90 assignment shape.
+    // All integer (×1000 quantization, integer dots and distances),
+    // so DuckDB replays encoding, LUTs, and ranking bit-for-bit.
+    // Composing this with q90's IVF assignment gives IVF-PQ — the two
+    // topologies are pinned separately. ----
+    QuerySpec(
+      "q166_ann_pq_topk",
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), cb AS (
+          SELECT vec_id AS cb_id, v FROM qz ORDER BY vec_id LIMIT 8
+        ), ms AS (
+          SELECT unnest(range(4)) AS m
+        ), enc AS (
+          SELECT vec_id, m, code FROM (
+            SELECT c.vec_id, ms.m, s.cb_id AS code,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id, ms.m
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, 16),
+                       i -> (c.v[ms.m*16+i] - s.v[ms.m*16+i])
+                          * (c.v[ms.m*16+i] - s.v[ms.m*16+i]))) AS BIGINT),
+                       s.cb_id) AS r
+            FROM qz c, ms, cb s) t
+          WHERE r = 1
+        ), q AS (
+          SELECT vec_id AS query_id, v FROM qz WHERE vec_id < 20
+        ), qlut AS (
+          SELECT q.query_id, ms.m, s.cb_id,
+                 CAST(list_sum(list_transform(generate_series(1, 16),
+                   i -> q.v[ms.m*16+i] * s.v[ms.m*16+i])) AS BIGINT) AS pdot
+          FROM q, ms, cb s
+        ), scored AS (
+          SELECT l.query_id, c.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS dot_pq
+          FROM enc c JOIN qlut l ON l.m = c.m AND l.cb_id = c.code
+          WHERE c.vec_id <> l.query_id
+          GROUP BY 1, 2
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY dot_pq DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, dot_pq, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5"""),
+      (s, dir) => {
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        val corpus = emb.select(col("vec_id").cast("long").as("vec_id"), quant.as("v"))
+        // explode each vector into its M=4 subvectors (16 dims each)
+        def subspaces(vCol: String) = explode(array((0 until 4).map { m =>
+          struct(lit(m).as("m"), expr(s"slice($vCol, ${m * 16 + 1}, 16)").as("sv"))
+        }: _*)).as("s")
+        val cbRows = corpus.orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("cb_id"), subspaces("v"))
+          .select(col("cb_id"), col("s.m").as("m"), col("s.sv").as("centv"))
+        // encode: argmin integer L2 per (vector, subspace), code-id tiebreak
+        val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("dist"), col("cb_id"))
+        val codes = corpus
+          .select(col("vec_id"), subspaces("v"))
+          .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+          .join(broadcast(cbRows), Seq("m"))
+          .withColumn("dist", expr(
+            "aggregate(zip_with(sv, centv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("r", row_number().over(wEnc)).filter(col("r") === 1)
+          .select(col("vec_id"), col("m"), col("cb_id").as("code"))
+        // per-query ADC lookup tables: (query, m, code) -> partial dot
+        val qlut = corpus.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), subspaces("v"))
+          .select(col("query_id"), col("s.m").as("m"), col("s.sv").as("qsv"))
+          .join(broadcast(cbRows), Seq("m"))
+          .select(col("query_id"), col("m"), col("cb_id"),
+            graft.functions.VectorFunctions.longDot(col("qsv"), col("centv")).as("pdot"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("dot_pq").desc, col("vec_id"))
+        codes
+          .join(broadcast(qlut), codes("m") === qlut("m") && codes("code") === qlut("cb_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("pdot")).as("dot_pq"))
+          .withColumn("rank", row_number().over(wTop).cast("long"))
+          .filter(col("rank") <= 5)
       })
   )
 }
