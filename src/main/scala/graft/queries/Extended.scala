@@ -2018,6 +2018,153 @@ object Extended {
           .agg(sum(col("pdot")).as("dot_pq"))
           .withColumn("rank", row_number().over(wTop).cast("long"))
           .filter(col("rank") <= 5)
+      }),
+
+    // ---- q167: IVF-PQ — the composition q90 (IVF) and q166 (PQ) pin
+    // separately, fused into the topology that actually serves 100 TB
+    // vector search (FAISS IndexIVFPQ): coarse-quantize onto 16 lists,
+    // PQ-encode each vector's RESIDUAL (v − centroid) as 4 subspace
+    // codes, probe the 6 best lists per query, and score candidates by
+    // ADC under the inner-product decomposition
+    //   dot(q, x) ≈ dot(q, c_list) + Σ_m lut_q[m][code_m]
+    // where lut_q[m][j] = dot(q_sub[m], codebook[m][j]) — the
+    // centroid dot falls out of probing, the residual reconstruction
+    // out of the broadcast LUT join, so the per-candidate work is M
+    // integer lookups against a 4-small-ints-per-vector compressed
+    // corpus. Codebooks are the 8 lowest-id vectors' residual
+    // subvectors (the untrained q90/q166 convention). All integer,
+    // bit-replayed by the oracle end to end. ----
+    QuerySpec(
+      "q167_ann_ivfpq_topk",
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), cents AS (
+          SELECT vec_id AS list_id, v AS centv FROM qz ORDER BY vec_id LIMIT 16
+        ), assigned AS (
+          SELECT vec_id, list_id,
+                 list_transform(generate_series(1, 64),
+                   i -> v[i] - centv[i]) AS rv
+          FROM (
+            SELECT c.vec_id, c.v, ct.list_id, ct.centv,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, 64),
+                       i -> c.v[i] * ct.centv[i])) AS BIGINT) DESC, ct.list_id) AS r
+            FROM qz c, cents ct) t
+          WHERE r = 1
+        ), ms AS (
+          SELECT unnest(range(4)) AS m
+        ), cb AS (
+          SELECT vec_id AS cb_id, rv FROM assigned ORDER BY vec_id LIMIT 8
+        ), enc AS (
+          SELECT vec_id, list_id, m, code FROM (
+            SELECT a.vec_id, a.list_id, ms.m, s.cb_id AS code,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id, ms.m
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, 16),
+                       i -> (a.rv[ms.m*16+i] - s.rv[ms.m*16+i])
+                          * (a.rv[ms.m*16+i] - s.rv[ms.m*16+i]))) AS BIGINT),
+                       s.cb_id) AS r
+            FROM assigned a, ms, cb s) t
+          WHERE r = 1
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 20
+        ), probes AS (
+          SELECT query_id, qv, list_id, d AS qcdot FROM (
+            SELECT q.query_id, q.qv, ct.list_id,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> q.qv[i] * ct.centv[i])) AS BIGINT) AS d,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, 64),
+                       i -> q.qv[i] * ct.centv[i])) AS BIGINT) DESC, ct.list_id) AS r
+            FROM q, cents ct) t
+          WHERE r <= 6
+        ), qlut AS (
+          SELECT q.query_id, ms.m, s.cb_id,
+                 CAST(list_sum(list_transform(generate_series(1, 16),
+                   i -> q.qv[ms.m*16+i] * s.rv[ms.m*16+i])) AS BIGINT) AS pdot
+          FROM q, ms, cb s
+        ), scored AS (
+          SELECT p.query_id, e.vec_id,
+                 MAX(p.qcdot) + CAST(SUM(l.pdot) AS BIGINT) AS dot_ivfpq
+          FROM enc e
+          JOIN probes p ON p.list_id = e.list_id
+          JOIN qlut l ON l.query_id = p.query_id AND l.m = e.m AND l.cb_id = e.code
+          WHERE e.vec_id <> p.query_id
+          GROUP BY p.query_id, e.vec_id
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY dot_ivfpq DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, dot_ivfpq, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5"""),
+      (s, dir) => {
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        def dotOf(a: String, b: String) =
+          graft.functions.VectorFunctions.longDot(col(a), col(b))
+        val corpus = emb.select(col("vec_id").cast("long").as("vec_id"), quant.as("v"))
+        val cents = corpus.orderBy("vec_id").limit(16)
+          .select(col("vec_id").as("list_id"), col("v").as("centv"))
+        // coarse assignment (q90), keeping the RESIDUAL v - centroid
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d").desc, col("list_id"))
+        val assigned = corpus.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"), col("list_id"), col("centv"),
+            dotOf("v", "centv").as("d"))
+          .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+          .select(col("vec_id"), col("list_id"),
+            expr("zip_with(v, centv, (a, b) -> a - b)").as("rv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def subspaces(vCol: String) = explode(array((0 until 4).map { m =>
+          struct(lit(m).as("m"), expr(s"slice($vCol, ${m * 16 + 1}, 16)").as("sv"))
+        }: _*)).as("s")
+        // residual codebooks: the 8 lowest-id vectors' residual subvectors
+        val cbRows = assigned.orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("cb_id"), subspaces("rv"))
+          .select(col("cb_id"), col("s.m").as("m"), col("s.sv").as("centv"))
+        val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("dist"), col("cb_id"))
+        val codes = assigned
+          .select(col("vec_id"), col("list_id"), subspaces("rv"))
+          .select(col("vec_id"), col("list_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+          .join(broadcast(cbRows), Seq("m"))
+          .withColumn("dist", expr(
+            "aggregate(zip_with(sv, centv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("r", row_number().over(wEnc)).filter(col("r") === 1)
+          .select(col("vec_id"), col("list_id"), col("m"), col("cb_id").as("code"))
+        val queries = corpus.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("qcdot").desc, col("list_id"))
+        val probes = queries.crossJoin(broadcast(cents))
+          .select(col("query_id"), col("qv"), col("list_id"),
+            dotOf("qv", "centv").as("qcdot"))
+          .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 6)
+          .select(col("query_id"), col("qv"), col("list_id"), col("qcdot"))
+        val qlut = queries
+          .select(col("query_id"), subspaces("qv"))
+          .select(col("query_id"), col("s.m").as("m"), col("s.sv").as("qsv"))
+          .join(broadcast(cbRows), Seq("m"))
+          .select(col("query_id").as("lq"), col("m"), col("cb_id"),
+            graft.functions.VectorFunctions.longDot(col("qsv"), col("centv")).as("pdot"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("dot_ivfpq").desc, col("vec_id"))
+        codes
+          .join(broadcast(probes.select(col("query_id"), col("list_id"), col("qcdot"))),
+            Seq("list_id"))
+          .join(broadcast(qlut),
+            col("lq") === col("query_id") && qlut("m") === codes("m") &&
+              qlut("cb_id") === codes("code"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg((max(col("qcdot")) + sum(col("pdot"))).as("dot_ivfpq"))
+          .withColumn("rank", row_number().over(wTop).cast("long"))
+          .filter(col("rank") <= 5)
       })
   )
 }
