@@ -2165,6 +2165,86 @@ object Extended {
           .agg((max(col("qcdot")) + sum(col("pdot"))).as("dot_ivfpq"))
           .withColumn("rank", row_number().over(wTop).cast("long"))
           .filter(col("rank") <= 5)
+      }),
+
+    // ---- q168: contrastive triplet mining — the (anchor, positive,
+    // hard-negative) data-prep step contrastive training (SimCSE/CLIP
+    // class) runs over a labeled embedding store: positive = the
+    // same-label vector with the highest dot (≠ self), hard negative =
+    // the DIFFERENT-label vector with the highest dot (the near-miss
+    // that actually teaches the margin). Quantized integer dots
+    // (q86 kernel) with vec_id tiebreaks, so the oracle replays both
+    // argmaxes exactly. Scale shape: positives are a LABEL-KEYED
+    // equi-join (co-partitioned, no broadcast of the corpus); hard
+    // negatives scan the corpus against the bounded broadcast anchor
+    // set (the q86 pattern, allowlisted) — at production scale the
+    // negative scan composes with q167's IVF-PQ probing instead of
+    // brute force, same downstream argmax. ----
+    QuerySpec(
+      "q168_contrastive_triplets",
+      Some("""
+        WITH qz AS (
+          SELECT vec_id, label,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), anchors AS (
+          SELECT vec_id AS anchor_id, label AS alabel, v AS av
+          FROM qz WHERE vec_id < 40
+        ), pos AS (
+          SELECT anchor_id, vec_id AS pos_id, dot AS pos_dot FROM (
+            SELECT a.anchor_id, c.vec_id,
+                   CAST(list_sum(list_transform(generate_series(1, len(c.v)),
+                     i -> c.v[i] * a.av[i])) AS BIGINT) AS dot,
+                   ROW_NUMBER() OVER (PARTITION BY a.anchor_id
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, len(c.v)),
+                       i -> c.v[i] * a.av[i])) AS BIGINT) DESC, c.vec_id) AS r
+            FROM qz c JOIN anchors a
+              ON c.label = a.alabel AND c.vec_id <> a.anchor_id) t
+          WHERE r = 1
+        ), neg AS (
+          SELECT anchor_id, vec_id AS neg_id, dot AS neg_dot FROM (
+            SELECT a.anchor_id, c.vec_id,
+                   CAST(list_sum(list_transform(generate_series(1, len(c.v)),
+                     i -> c.v[i] * a.av[i])) AS BIGINT) AS dot,
+                   ROW_NUMBER() OVER (PARTITION BY a.anchor_id
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, len(c.v)),
+                       i -> c.v[i] * a.av[i])) AS BIGINT) DESC, c.vec_id) AS r
+            FROM qz c, anchors a
+            WHERE c.label <> a.alabel) t
+          WHERE r = 1
+        )
+        SELECT anchor_id, pos_id, pos_dot, neg_id, neg_dot
+        FROM pos JOIN neg USING (anchor_id)"""),
+      (s, dir) => {
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        val corpus = emb.select(col("vec_id").cast("long").as("vec_id"),
+          col("label"), quant.as("v"))
+        val anchors = corpus.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("anchor_id"), col("label").as("alabel"),
+            col("v").as("av"))
+        def dotAV = graft.functions.VectorFunctions.longDot(col("v"), col("av"))
+        val wA = Window.partitionBy(col("anchor_id"))
+          .orderBy(col("dot").desc, col("vec_id"))
+        // positives: label-keyed equi-join — co-partitioned at scale
+        val pos = corpus
+          .join(broadcast(anchors), corpus("label") === anchors("alabel") &&
+            corpus("vec_id") =!= anchors("anchor_id"))
+          .select(col("anchor_id"), col("vec_id"), dotAV.as("dot"))
+          .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
+          .select(col("anchor_id"), col("vec_id").as("pos_id"),
+            col("dot").as("pos_dot"))
+        // hard negatives: bounded anchor broadcast against the corpus
+        val neg = corpus
+          .crossJoin(broadcast(anchors))
+          .filter(col("label") =!= col("alabel"))
+          .select(col("anchor_id"), col("vec_id"), dotAV.as("dot"))
+          .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
+          .select(col("anchor_id"), col("vec_id").as("neg_id"),
+            col("dot").as("neg_dot"))
+        pos.join(neg, Seq("anchor_id"))
       })
   )
 }

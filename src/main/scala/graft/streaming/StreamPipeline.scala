@@ -244,21 +244,33 @@ object StreamPipeline {
     * their signatures through [[IdempotentSink]]'s marker discipline.
     * Same crash contract as the text twin: survivors commit BEFORE
     * signatures, replays skip on markers, the index is shared at-rest
-    * state with zero executor memory between batches. */
+    * state with zero executor memory between batches.
+    *
+    * MODALITY-AGNOSTIC: everything downstream of the hash operates on
+    * the (id, dhash) shape, so `hasher` swaps the decode+hash front
+    * end — [[graft.operators.Multimodal.dHashImages]] (default),
+    * `audioDHashWavs` (q159's spectral hash), `videoDHashY4m` (q162's
+    * temporal hash) — without touching the index, bloom, banding, or
+    * marker machinery. */
   def dhashStreamDedup(images: DataFrame, idCol: String,
-      outBase: String, indexBase: String, maxHamming: Int = 3)
+      outBase: String, indexBase: String, maxHamming: Int = 3,
+      hasher: (DataFrame, String) => DataFrame =
+        graft.operators.Multimodal.dHashImages)
       : org.apache.spark.sql.streaming.StreamingQuery =
     images.writeStream
       .option("checkpointLocation", s"$outBase/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dhashIndexBatch(batch, batchId, idCol, outBase, indexBase, maxHamming)
+        dhashIndexBatch(batch, batchId, idCol, outBase, indexBase, maxHamming,
+          hasher)
       }
       .start()
 
   /** One micro-batch of [[dhashStreamDedup]] — named so replay and
     * crash-between-writes scenarios are directly testable. */
   def dhashIndexBatch(batch: DataFrame, batchId: Long, idCol: String,
-      outBase: String, indexBase: String, maxHamming: Int): Unit = {
+      outBase: String, indexBase: String, maxHamming: Int,
+      hasher: (DataFrame, String) => DataFrame =
+        graft.operators.Multimodal.dHashImages): Unit = {
     val spark = batch.sparkSession
     // committed dirs only — same torn-batch rationale as dedupIndexBatch
     val committed = IdempotentSink.committedDirs(spark, indexBase)
@@ -267,7 +279,7 @@ object StreamPipeline {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL("h BIGINT"))
-    val sigs = graft.operators.Multimodal.dHashImages(batch, idCol)
+    val sigs = hasher(batch, idCol)
     val survivors = graft.operators.Dedup.dedupIncrementalHamming(
       sigs, idCol, "dhash", index, "h", maxHamming)
     IdempotentSink.writeBatch(outBase)(survivors, batchId)

@@ -130,7 +130,8 @@ class PlanSpec extends SparkSpec {
       "q160_semantic_dedup_capped",    // same assignment scan, capped-pairs path
       "q164_bm25_topk",                // 1-row (N, L) corpus-stats broadcast cross join (q20 pattern)
       "q165_bigram_lm_quality",        // 1-row vocab-size broadcast cross join (q20 pattern)
-      "q167_ann_ivfpq_topk")           // centroid assignment: corpus x 16 centroids (q90 pattern)
+      "q167_ann_ivfpq_topk",           // centroid assignment: corpus x 16 centroids (q90 pattern)
+      "q168_contrastive_triplets")     // hard-negative scan: corpus x bounded anchor broadcast (q86 pattern)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(deliberate)
       .flatMap { name =>

@@ -390,6 +390,25 @@ class StreamPipelineSpec extends SparkSpec {
     assert(survivors() == Set(0L, 10L, 20L), s"got ${survivors()}")
   }
 
+  test("streaming perceptual dedup is modality-agnostic: video payloads through the same machinery") {
+    import graft.operators.Multimodal
+    val out = java.nio.file.Files.createTempDirectory("graft-vid-out").toString + "/out"
+    val idx = java.nio.file.Files.createTempDirectory("graft-vid-idx").toString + "/index"
+    // genuine y4m payloads from the q162 fixture; only the hasher swaps
+    def vidsOf(ids: Long*) = Multimodal.synthesizeNearDupY4m(
+      ids.toDF("doc_id"), "doc_id")
+    val hasher = Multimodal.videoDHashY4m _
+    StreamPipeline.dhashIndexBatch(vidsOf(0L, 1L), 0L, "doc_id", out, idx, 3, hasher)
+    StreamPipeline.dhashIndexBatch(vidsOf(2L, 10L, 11L), 1L, "doc_id", out, idx, 3, hasher)
+    def survivors() = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(survivors() == Set(0L, 10L), s"got ${survivors()}")
+    // replay no-op + shared-state drop, as in the image twin
+    StreamPipeline.dhashIndexBatch(vidsOf(2L, 10L, 11L), 1L, "doc_id", out, idx, 3, hasher)
+    assert(survivors() == Set(0L, 10L), "replay must not change survivors")
+    StreamPipeline.dhashIndexBatch(vidsOf(3L, 20L), 2L, "doc_id", out, idx, 3, hasher)
+    assert(survivors() == Set(0L, 10L, 20L), s"got ${survivors()}")
+  }
+
   test("capped bucket stars to the RUNNING min id, not the min of the first cap") {
     implicit val sqlCtx = spark.sqlContext
     // identical texts collide in every band bucket; cap=2 fills on the
