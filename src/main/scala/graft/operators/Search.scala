@@ -54,6 +54,19 @@ object Search {
       .groupBy("token")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"), max("tf").as("max_tf"))
 
+  /** Additive merge of two [[indexStats]] dictionaries built over
+    * DISJOINT document sets (the incremental-index maintenance step:
+    * at-rest index + tonight's delta). df and cf are additive across
+    * disjoint doc sets, max_tf is a max — all three mergeable without
+    * touching the documents that built the base, so the nightly cost
+    * is one delta scan plus a vocabulary-grain shuffle; history is
+    * never re-read. The q147 rollup-maintenance discipline applied to
+    * the inverted index. */
+  def mergeIndexStats(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta)
+      .groupBy("token")
+      .agg(sum("df").as("df"), sum("cf").as("cf"), max("max_tf").as("max_tf"))
+
   /** Exact integer ⌊log2 x⌋·2^16 + 16-bit linear fraction, x ≥ 1. Kept
     * as a SQL string so the engine expression and the DuckDB oracle are
     * verbatim the same formula (`div` ↔ `//`, `shiftleft` ↔ `<<`). */

@@ -413,6 +413,38 @@ object BpeQueries {
           .groupBy(col("piece"))
           .agg(countDistinct(col("w")).as("n_types"),
             sum(col("n")).as("n_occurrences"))
+      }),
+
+    // ---- q170: tokenizer fertility per language — the metric a
+    // tokenizer evaluation actually reports (how many characters one
+    // subword token covers, per language; low fertility on a language
+    // means the vocab under-serves it and its documents burn budget).
+    // chars_per_token at 16 fractional bits via integer division, so
+    // the oracle replays it exactly; token counts are the same
+    // memoized in-scan encode as q149 (no explode, no extra shuffle —
+    // the only exchange is the lang-grain aggregate). ----
+    QuerySpec(
+      "q170_tokenizer_fertility",
+      Some(s"""
+        WITH RECURSIVE $preludeSql
+        SELECT d.lang, COUNT(*) AS n_docs,
+               CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(b.n_bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+               CAST(SUM(d.n_chars) AS BIGINT) * 65536
+                 // CAST(SUM(b.n_bpe_tokens) AS BIGINT) AS chars_per_token_fp
+        FROM documents d JOIN docbpe b USING (doc_id)
+        GROUP BY d.lang"""),
+      (s, dir) => {
+        val merges = trainedMerges(s, dir)
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
+          .select(col("lang"), col("n_chars"),
+            Bpe.bpeTokenCount(col("text"), merges).as("n_bpe"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("n_bpe")).as("sum_bpe_tokens"))
+          .withColumn("chars_per_token_fp",
+            expr("(sum_chars * 65536) div sum_bpe_tokens"))
       })
   )
 }

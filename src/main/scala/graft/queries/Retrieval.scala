@@ -109,6 +109,34 @@ object Retrieval {
           Tables.load(s, dir, "documents"), "doc_id", "text", queries, k = 10)
           .select(col("query_id"), col("doc_id"), col("score_fp"),
             col("rk").cast("long").as("rk"))
+      }),
+
+    // ---- q169: incremental inverted-index maintenance — the q147
+    // rollup discipline applied to the search index. The engine builds
+    // the dictionary from the 90% "at-rest" corpus, the 10% nightly
+    // delta separately, and MERGES at vocabulary grain (df/cf additive
+    // across disjoint doc sets, max_tf a max): the delta is the only
+    // text scanned; the base collapses to its vocabulary-grain index
+    // before the merge, exactly what a nightly job reads back from
+    // disk. The oracle recomputes the FULL dictionary from scratch, so
+    // the hash gate proves incremental == recompute. ----
+    QuerySpec(
+      "q169_postings_incremental",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+        tf AS (
+          SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+        SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+               MAX(tf) AS max_tf
+        FROM tf GROUP BY token"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = graft.operators.Search.indexStats(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        val delta = graft.operators.Search.indexStats(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        graft.operators.Search.mergeIndexStats(base, delta)
       })
   )
 }

@@ -45,6 +45,24 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("mergeIndexStats: any disjoint split merges back to the full dictionary") {
+    val full = Search.indexStats(docs, "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect().toSet
+    for (mod <- Seq(2L, 3L)) {
+      val a = Search.indexStats(docs.filter(col("doc_id") % mod === 0), "doc_id", "text")
+      val b = Search.indexStats(docs.filter(col("doc_id") % mod =!= 0), "doc_id", "text")
+      val merged = Search.mergeIndexStats(a, b)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(merged == full, s"mod=$mod")
+    }
+    // three-way fold (base + two nightly deltas) also converges
+    val parts = (0L until 3L).map(r =>
+      Search.indexStats(docs.filter(col("doc_id") % 3 === r), "doc_id", "text"))
+    val folded = parts.reduce(Search.mergeIndexStats)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(folded == full)
+  }
+
   test("bm25TopK matches a scalar brute-force replay, ranks relevance sanely") {
     val queries = Seq((0, "fox"), (0, "quick"), (1, "lazy")).toDF("query_id", "term")
     val got = Search.bm25TopK(docs, "doc_id", "text", queries, k = 10)
