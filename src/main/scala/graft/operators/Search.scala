@@ -76,6 +76,50 @@ object Search {
     s"(CAST($msb AS BIGINT) * 65536 + ((($x) - $pow) * 65536) div $pow)"
   }
 
+  /** "More like this": top-k most similar documents per anchor doc via
+    * the INVERTED INDEX — the classic postings self-join, the topology
+    * behind related-articles and near-topical-dedup at corpus scale.
+    * Documents are tf·idf vectors over word `ngram`-shingles (idf in
+    * the same 16-bit fixed point as [[bm25TopK]]); similarity is the
+    * integer dot over shared terms. Two bounds make the self-join
+    * scale:
+    *   - the df cap prunes stopword-grade terms BEFORE the join — a
+    *     term in df docs contributes df² pair terms, so the join's
+    *     fan-out is Σ df² over surviving terms. The cap is a SHARE of
+    *     the corpus (keep df·maxDfShare ≤ N), not an absolute count,
+    *     so the same query stays non-degenerate at every scale. This
+    *     is the hot-key cap of the text world.
+    *   - anchors bound the output side: only anchor docs' postings
+    *     broadcast; the corpus side streams by term.
+    * Output: (doc_id, sim_id, dot_fp, rk ≤ k), ties broken by sim id. */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+      anchors: DataFrame, k: Int, maxDfShare: Int, ngram: Int = 2): DataFrame = {
+    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextFunctions.shingles(col(textCol), ngram)).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val dft = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * maxDfShare <= col("n"))
+      .selectExpr("token", "df",
+        s"(${log2FpExpr("2*n + 2")} - ${log2FpExpr("2*df + 1")}) AS idf_fp")
+    // weighted postings restricted to non-stopword tokens
+    val wp = tf.join(broadcast(dft.select("token", "idf_fp")), "token")
+      .select(col("token"), col("doc_id"), (col("tf") * col("idf_fp")).as("w"))
+    val ap = wp.join(broadcast(anchors.select(col(idCol).cast("long").as("adoc"))),
+        col("doc_id") === col("adoc"))
+      .select(col("token"), col("adoc"), col("w").as("aw"))
+    wp.join(broadcast(ap), Seq("token"))
+      .filter(col("doc_id") =!= col("adoc"))
+      .groupBy(col("adoc"), col("doc_id").as("sim_id"))
+      .agg(sum(expr("w * aw")).as("dot_fp"))
+      .select(col("adoc").as("doc_id"), col("sim_id"), col("dot_fp"))
+      .withColumn("rk", rank().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("dot_fp").desc, col("sim_id"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Top-k documents per query under fixed-point BM25. `queries` is a
     * small (query_id, term) table — broadcast, never shuffled. Ties
     * broken by doc id; rank() keeps score ties like every top-per-group

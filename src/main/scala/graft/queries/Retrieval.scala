@@ -17,6 +17,13 @@ object Retrieval {
   private val tokensSql: String =
     """string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')"""
 
+  /** DuckDB twin of TextFunctions.shingles over alias `t` (the
+    * Analytics.shinglesSql convention). */
+  private def shinglesSql(n: Int): String = s"""
+    CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - ${n - 1}),
+                p -> array_to_string(t[p:p+${n - 1}], ' ')) END"""
+
   /** DuckDB twin of [[graft.operators.Search.log2FpExpr]]. */
   private def log2FpSql(x: String): String = {
     val msb = s"(length(bin(CAST($x AS BIGINT))) - 1)"
@@ -137,6 +144,60 @@ object Retrieval {
         val delta = graft.operators.Search.indexStats(
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
         graft.operators.Search.mergeIndexStats(base, delta)
+      }),
+
+    // ---- q171: "more like this" — top-5 most similar documents per
+    // anchor via the postings SELF-join (the related-articles /
+    // topical-dedup topology). Documents are tf·idf vectors over word
+    // BIGRAMS (the unigram vocab is 31 near-stopwords — bigrams give
+    // 900+ terms with df ≈ corpus/15, the selectivity a real corpus's
+    // tail provides for free) in the q164 fixed point; similarity is
+    // the integer dot over shared terms. Scale bounds, both in the
+    // plan: the df cap is a SHARE of the corpus (keep df·15 ≤ N — an
+    // absolute cap degenerates at 10× scale; a df-doc term costs df²
+    // pair terms, the text world's hot-key cap), and the anchor set
+    // (doc_id < 25) bounds the broadcast side; the corpus side streams
+    // by term. Ties kept by rank(), broken-for-order by sim id. ----
+    QuerySpec(
+      "q171_more_like_this",
+      Some(s"""
+        WITH toksl AS (
+          SELECT doc_id, $tokensSql AS t FROM documents),
+        toks AS (
+          SELECT doc_id, unnest(${shinglesSql(2)}) AS token FROM toksl),
+        tf AS (
+          SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        dft AS (
+          SELECT token, df,
+                 (${log2FpSql("2*n + 2")} - ${log2FpSql("2*df + 1")}) AS idf_fp
+          FROM (SELECT token, COUNT(*) AS df FROM tf GROUP BY token) d
+          CROSS JOIN nn
+          WHERE df * 15 <= n),
+        wp AS (
+          SELECT tf.token, tf.doc_id, tf.tf * dft.idf_fp AS w
+          FROM tf JOIN dft USING (token)),
+        ap AS (
+          SELECT token, doc_id AS adoc, w AS aw FROM wp WHERE doc_id < 25),
+        scored AS (
+          SELECT ap.adoc AS doc_id, wp.doc_id AS sim_id,
+                 CAST(SUM(wp.w * ap.aw) AS BIGINT) AS dot_fp
+          FROM wp JOIN ap USING (token)
+          WHERE wp.doc_id <> ap.adoc
+          GROUP BY 1, 2)
+        SELECT doc_id, sim_id, dot_fp, rk FROM (
+          SELECT doc_id, sim_id, dot_fp,
+                 rank() OVER (PARTITION BY doc_id
+                              ORDER BY dot_fp DESC, sim_id) AS rk
+          FROM scored) r
+        WHERE rk <= 5"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val anchors = docs.filter(col("doc_id") < 25).select(col("doc_id"))
+        graft.operators.Search.moreLikeThis(docs, "doc_id", "text",
+            anchors, k = 5, maxDfShare = 15, ngram = 2)
+          .select(col("doc_id"), col("sim_id"), col("dot_fp"),
+            col("rk").cast("long").as("rk"))
       })
   )
 }
