@@ -2245,6 +2245,133 @@ object Extended {
           .select(col("anchor_id"), col("vec_id").as("neg_id"),
             col("dot").as("neg_dot"))
         pos.join(neg, Seq("anchor_id"))
+      }),
+
+    // ---- q172: ANN recall evaluation — recall@5 of the PQ index
+    // (q166) against the exact integer-dot baseline (q86), per query.
+    // The meta-capability a 100 TB vector deployment runs BEFORE
+    // trusting an index: compression loses information, and the only
+    // honest number is measured recall on your own corpus. Both
+    // pipelines are the already-pinned topologies; the evaluation is a
+    // LEFT join of the exact top-5 onto the PQ top-5 + a per-query
+    // count, recall in the catalog's 16-bit fixed point. Exact
+    // brute-force side is the deliberate q86 BNLJ baseline
+    // (allowlisted); everything is integer, so the oracle replays the
+    // measured recall bit-for-bit. ----
+    QuerySpec(
+      "q172_ann_recall_eval",
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 20
+        ), exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, len(c.v)),
+                       i -> c.v[i] * q.qv[i])) AS BIGINT) DESC, c.vec_id) AS rank
+            FROM qz c, q
+            WHERE c.vec_id <> q.query_id) t
+          WHERE rank <= 5
+        ), cb AS (
+          SELECT vec_id AS cb_id, v FROM qz ORDER BY vec_id LIMIT 8
+        ), ms AS (
+          SELECT unnest(range(4)) AS m
+        ), enc AS (
+          SELECT vec_id, m, code FROM (
+            SELECT c.vec_id, ms.m, s.cb_id AS code,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id, ms.m
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, 16),
+                       i -> (c.v[ms.m*16+i] - s.v[ms.m*16+i])
+                          * (c.v[ms.m*16+i] - s.v[ms.m*16+i]))) AS BIGINT),
+                       s.cb_id) AS r
+            FROM qz c, ms, cb s) t
+          WHERE r = 1
+        ), qlut AS (
+          SELECT q.query_id, ms.m, s.cb_id,
+                 CAST(list_sum(list_transform(generate_series(1, 16),
+                   i -> q.qv[ms.m*16+i] * s.v[ms.m*16+i])) AS BIGINT) AS pdot
+          FROM q, ms, cb s
+        ), pq AS (
+          SELECT query_id, vec_id FROM (
+            SELECT t.query_id, t.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY t.query_id
+                     ORDER BY t.dot_pq DESC, t.vec_id) AS rank
+            FROM (
+              SELECT l.query_id, c.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS dot_pq
+              FROM enc c JOIN qlut l ON l.m = c.m AND l.cb_id = c.code
+              WHERE c.vec_id <> l.query_id
+              GROUP BY 1, 2) t) r
+          WHERE rank <= 5
+        )
+        SELECT exact.query_id,
+               COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) * 65536 // COUNT(*) AS recall_fp
+        FROM exact LEFT JOIN pq
+          ON pq.query_id = exact.query_id AND pq.vec_id = exact.vec_id
+        GROUP BY exact.query_id"""),
+      (s, dir) => {
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        val corpus = emb.select(col("vec_id").cast("long").as("vec_id"), quant.as("v"))
+        val queries = corpus.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        // exact top-5: the q86 brute baseline
+        val wEx = Window.partitionBy(col("query_id"))
+          .orderBy(col("dot").desc, col("vec_id"))
+        val exact = corpus.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.VectorFunctions.longDot(col("v"), col("qv")).as("dot"))
+          .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= 5)
+          .select(col("query_id"), col("vec_id"))
+        // PQ top-5: the q166 codes + ADC pipeline
+        def subspaces(vCol: String) = explode(array((0 until 4).map { m =>
+          struct(lit(m).as("m"), expr(s"slice($vCol, ${m * 16 + 1}, 16)").as("sv"))
+        }: _*)).as("s")
+        val cbRows = corpus.orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("cb_id"), subspaces("v"))
+          .select(col("cb_id"), col("s.m").as("m"), col("s.sv").as("centv"))
+        val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("dist"), col("cb_id"))
+        val codes = corpus
+          .select(col("vec_id"), subspaces("v"))
+          .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+          .join(broadcast(cbRows), Seq("m"))
+          .withColumn("dist", expr(
+            "aggregate(zip_with(sv, centv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("r", row_number().over(wEnc)).filter(col("r") === 1)
+          .select(col("vec_id"), col("m"), col("cb_id").as("code"))
+        val qlut = queries
+          .select(col("query_id"), subspaces("qv"))
+          .select(col("query_id"), col("s.m").as("m"), col("s.sv").as("qsv"))
+          .join(broadcast(cbRows), Seq("m"))
+          .select(col("query_id"), col("m"), col("cb_id"),
+            graft.functions.VectorFunctions.longDot(col("qsv"), col("centv")).as("pdot"))
+        val wPq = Window.partitionBy(col("query_id"))
+          .orderBy(col("dot_pq").desc, col("vec_id"))
+        val pq = codes
+          .join(broadcast(qlut), codes("m") === qlut("m") && codes("code") === qlut("cb_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("pdot")).as("dot_pq"))
+          .withColumn("rank", row_number().over(wPq)).filter(col("rank") <= 5)
+          .select(col("query_id").as("pq_qid"), col("vec_id").as("pq_vid"))
+        exact
+          .join(pq, col("pq_qid") === col("query_id") && col("pq_vid") === col("vec_id"),
+            "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(when(col("pq_vid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .withColumn("recall_fp", expr("(n_hit * 65536) div n_exact"))
       })
   )
 }

@@ -132,7 +132,8 @@ class PlanSpec extends SparkSpec {
       "q165_bigram_lm_quality",        // 1-row vocab-size broadcast cross join (q20 pattern)
       "q167_ann_ivfpq_topk",           // centroid assignment: corpus x 16 centroids (q90 pattern)
       "q168_contrastive_triplets",     // hard-negative scan: corpus x bounded anchor broadcast (q86 pattern)
-      "q171_more_like_this")           // 1-row corpus-count broadcast cross join (q20 pattern)
+      "q171_more_like_this",           // 1-row corpus-count broadcast cross join (q20 pattern)
+      "q172_ann_recall_eval")          // exact-baseline side IS the deliberate q86 brute scan
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(deliberate)
       .flatMap { name =>
