@@ -2372,6 +2372,201 @@ object Extended {
           .agg(count(lit(1)).as("n_exact"),
             sum(when(col("pq_vid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
           .withColumn("recall_fp", expr("(n_hit * 65536) div n_exact"))
+      }),
+
+    // ---- q173: TRAINED PQ codebooks + recall — closing the arc q172
+    // opens: the untrained lowest-id codebooks measure 0.16 recall on
+    // this corpus, so train them. Two Lloyd iterations of k-means PER
+    // SUBSPACE in EXACT INTEGER arithmetic: assignment is integer-L2
+    // argmin with code-id tiebreak; the centroid update is a per-dim
+    // floor mean computed as (Σ(x+4096) // n) − 4096 — the +4096 shift
+    // keeps every numerator non-negative, so truncating and flooring
+    // division agree and both engines produce the identical centroid,
+    // dim for dim (empty clusters keep their previous centroid).
+    // Then encode, ADC, and measure recall@5 against the exact
+    // baseline exactly as q172 does. Same output shape as q172, so
+    // the two rows-per-query tables read as the before/after of
+    // training. The whole pipeline — training included — is
+    // oracle-replayed bit-for-bit. ----
+    QuerySpec(
+      "q173_ann_pq_trained_recall",
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 20
+        ), exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, len(c.v)),
+                       i -> c.v[i] * q.qv[i])) AS BIGINT) DESC, c.vec_id) AS rank
+            FROM qz c, q
+            WHERE c.vec_id <> q.query_id) t
+          WHERE rank <= 5
+        ), ms AS (
+          SELECT unnest(range(4)) AS m
+        ), cents0 AS (
+          SELECT m, cb_id, list(cv ORDER BY i) AS centv FROM (
+            SELECT ms.m, c.vec_id AS cb_id, i, c.v[ms.m*16+i] AS cv
+            FROM (SELECT vec_id, v FROM qz ORDER BY vec_id LIMIT 8) c,
+                 ms, UNNEST(range(1, 17)) AS ti(i)) t
+          GROUP BY m, cb_id
+        ), assign1 AS (
+          SELECT vec_id, m, cb_id, v FROM (
+            SELECT c.vec_id, s.m, s.cb_id, c.v,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id, s.m
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, 16),
+                       i -> (c.v[s.m*16+i] - s.centv[i])
+                          * (c.v[s.m*16+i] - s.centv[i]))) AS BIGINT),
+                       s.cb_id) AS r
+            FROM qz c, cents0 s) t
+          WHERE r = 1
+        ), upd1 AS (
+          SELECT m, cb_id, list(cv ORDER BY i) AS centv FROM (
+            SELECT a.m, a.cb_id, i,
+                   CAST(SUM(a.v[a.m*16+i] + 4096) AS BIGINT) // COUNT(*) - 4096 AS cv
+            FROM assign1 a, UNNEST(range(1, 17)) AS ti(i)
+            GROUP BY a.m, a.cb_id, i) t
+          GROUP BY m, cb_id
+        ), cents1 AS (
+          SELECT c0.m, c0.cb_id, COALESCE(u.centv, c0.centv) AS centv
+          FROM cents0 c0 LEFT JOIN upd1 u
+            ON u.m = c0.m AND u.cb_id = c0.cb_id
+        ), assign2 AS (
+          SELECT vec_id, m, cb_id, v FROM (
+            SELECT c.vec_id, s.m, s.cb_id, c.v,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id, s.m
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, 16),
+                       i -> (c.v[s.m*16+i] - s.centv[i])
+                          * (c.v[s.m*16+i] - s.centv[i]))) AS BIGINT),
+                       s.cb_id) AS r
+            FROM qz c, cents1 s) t
+          WHERE r = 1
+        ), upd2 AS (
+          SELECT m, cb_id, list(cv ORDER BY i) AS centv FROM (
+            SELECT a.m, a.cb_id, i,
+                   CAST(SUM(a.v[a.m*16+i] + 4096) AS BIGINT) // COUNT(*) - 4096 AS cv
+            FROM assign2 a, UNNEST(range(1, 17)) AS ti(i)
+            GROUP BY a.m, a.cb_id, i) t
+          GROUP BY m, cb_id
+        ), cents2 AS (
+          SELECT c1.m, c1.cb_id, COALESCE(u.centv, c1.centv) AS centv
+          FROM cents1 c1 LEFT JOIN upd2 u
+            ON u.m = c1.m AND u.cb_id = c1.cb_id
+        ), enc AS (
+          SELECT vec_id, m, code FROM (
+            SELECT c.vec_id, s.m, s.cb_id AS code,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id, s.m
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, 16),
+                       i -> (c.v[s.m*16+i] - s.centv[i])
+                          * (c.v[s.m*16+i] - s.centv[i]))) AS BIGINT),
+                       s.cb_id) AS r
+            FROM qz c, cents2 s) t
+          WHERE r = 1
+        ), qlut AS (
+          SELECT q.query_id, s.m, s.cb_id,
+                 CAST(list_sum(list_transform(generate_series(1, 16),
+                   i -> q.qv[s.m*16+i] * s.centv[i])) AS BIGINT) AS pdot
+          FROM q, cents2 s
+        ), pq AS (
+          SELECT query_id, vec_id FROM (
+            SELECT t.query_id, t.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY t.query_id
+                     ORDER BY t.dot_pq DESC, t.vec_id) AS rank
+            FROM (
+              SELECT l.query_id, c.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS dot_pq
+              FROM enc c JOIN qlut l ON l.m = c.m AND l.cb_id = c.code
+              WHERE c.vec_id <> l.query_id
+              GROUP BY 1, 2) t) r
+          WHERE rank <= 5
+        )
+        SELECT exact.query_id,
+               COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) * 65536 // COUNT(*) AS recall_fp
+        FROM exact LEFT JOIN pq
+          ON pq.query_id = exact.query_id AND pq.vec_id = exact.vec_id
+        GROUP BY exact.query_id"""),
+      (s, dir) => {
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        val corpus = emb.select(col("vec_id").cast("long").as("vec_id"), quant.as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val queries = corpus.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        def subspaces(vCol: String) = explode(array((0 until 4).map { m =>
+          struct(lit(m).as("m"), expr(s"slice($vCol, ${m * 16 + 1}, 16)").as("sv"))
+        }: _*)).as("s")
+        val sub = corpus.select(col("vec_id"), subspaces("v"))
+          .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+        val wMin = Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("dist"), col("cb_id"))
+        val l2 = expr(
+          "aggregate(zip_with(sv, centv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+        def assignTo(cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = sub
+          .join(broadcast(cents), Seq("m"))
+          .withColumn("dist", l2)
+          .withColumn("r", row_number().over(wMin)).filter(col("r") === 1)
+        // integer Lloyd update: per-dim floor mean via the +4096 shift
+        // (truncating div == floor on non-negative numerators), empty
+        // clusters keep their previous centroid
+        def update(cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val upd = assignTo(cents)
+            .select(col("m"), col("cb_id"), posexplode(col("sv")))
+            .groupBy(col("m"), col("cb_id"), col("pos"))
+            .agg(expr("sum(col + 4096) div count(1) - 4096").as("cv"))
+            .groupBy(col("m"), col("cb_id"))
+            .agg(expr(
+              "transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+              .as("newv"))
+          cents.join(upd, Seq("m", "cb_id"), "left")
+            .select(col("m"), col("cb_id"),
+              coalesce(col("newv"), col("centv")).as("centv"))
+        }
+        val cents0 = corpus.orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("cb_id"), subspaces("v"))
+          .select(col("cb_id"), col("s.m").as("m"), col("s.sv").as("centv"))
+        val cents2 = update(update(cents0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val codes = assignTo(cents2)
+          .select(col("vec_id"), col("m"), col("cb_id").as("code"))
+        val qlut = queries
+          .select(col("query_id"), subspaces("qv"))
+          .select(col("query_id"), col("s.m").as("m"), col("s.sv").as("qsv"))
+          .join(broadcast(cents2), Seq("m"))
+          .select(col("query_id"), col("m"), col("cb_id"),
+            graft.functions.VectorFunctions.longDot(col("qsv"), col("centv")).as("pdot"))
+        val wPq = Window.partitionBy(col("query_id"))
+          .orderBy(col("dot_pq").desc, col("vec_id"))
+        val pq = codes
+          .join(broadcast(qlut), codes("m") === qlut("m") && codes("code") === qlut("cb_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("pdot")).as("dot_pq"))
+          .withColumn("rank", row_number().over(wPq)).filter(col("rank") <= 5)
+          .select(col("query_id").as("pq_qid"), col("vec_id").as("pq_vid"))
+        val wEx = Window.partitionBy(col("query_id"))
+          .orderBy(col("dot").desc, col("vec_id"))
+        val exact = corpus.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.VectorFunctions.longDot(col("v"), col("qv")).as("dot"))
+          .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= 5)
+          .select(col("query_id"), col("vec_id"))
+        exact
+          .join(pq, col("pq_qid") === col("query_id") && col("pq_vid") === col("vec_id"),
+            "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(when(col("pq_vid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .withColumn("recall_fp", expr("(n_hit * 65536) div n_exact"))
       })
   )
 }

@@ -133,7 +133,8 @@ class PlanSpec extends SparkSpec {
       "q167_ann_ivfpq_topk",           // centroid assignment: corpus x 16 centroids (q90 pattern)
       "q168_contrastive_triplets",     // hard-negative scan: corpus x bounded anchor broadcast (q86 pattern)
       "q171_more_like_this",           // 1-row corpus-count broadcast cross join (q20 pattern)
-      "q172_ann_recall_eval")          // exact-baseline side IS the deliberate q86 brute scan
+      "q172_ann_recall_eval",          // exact-baseline side IS the deliberate q86 brute scan
+      "q173_ann_pq_trained_recall")    // same exact-baseline brute scan, trained-codebook variant
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(deliberate)
       .flatMap { name =>
