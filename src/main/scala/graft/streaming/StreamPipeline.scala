@@ -529,6 +529,33 @@ object StreamPipeline {
     foldIfSuperseded(spark, stateBase, gen, batchId)
   }
 
+  /** Streaming inverted-index maintenance — q169's batch merge as a
+    * foreachBatch pipeline: each micro-batch writes its OWN
+    * vocabulary-grain dictionary partial (df/cf/max_tf over just that
+    * batch's documents) through [[IdempotentSink]] markers; the
+    * current dictionary is the associative fold of committed partials
+    * (df/cf additive across disjoint doc sets, max_tf a max — the
+    * exact [[graft.operators.Search.mergeIndexStats]] algebra). Text
+    * is scanned once, in the batch that carried it; replays skip on
+    * markers; the partial store is restart-shared state. Rollup's
+    * generation/compaction machinery applies unchanged if partial
+    * count ever needs bounding (same marker discipline). */
+  def postingsIndexBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, stateBase: String): Unit =
+    IdempotentSink.writeBatch(stateBase)(
+      graft.operators.Search.indexStats(batch, idCol, textCol), batchId)
+
+  /** The dictionary as of all committed partials, or None before the
+    * first commit. */
+  def currentIndexStats(spark: org.apache.spark.sql.SparkSession,
+      stateBase: String): Option[DataFrame] = {
+    val committed = IdempotentSink.committedDirs(spark, stateBase)
+    if (committed.isEmpty) None
+    else Some(spark.read.parquet(committed: _*)
+      .groupBy("token")
+      .agg(sum("df").as("df"), sum("cf").as("cf"), max("max_tf").as("max_tf")))
+  }
+
   /** Writer half of the compaction-race protocol (see [[compactRollup]]
     * "Concurrency"): after committing into generation `committedGen`,
     * re-resolve; if a pointer swap intervened, fold this batch's dir

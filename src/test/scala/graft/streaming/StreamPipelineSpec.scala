@@ -409,6 +409,25 @@ class StreamPipelineSpec extends SparkSpec {
     assert(survivors() == Set(0L, 10L, 20L), s"got ${survivors()}")
   }
 
+  test("streaming index maintenance: partial fold == full recompute; replay skips") {
+    val state = java.nio.file.Files.createTempDirectory("graft-idx-state").toString + "/s"
+    def docsOf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val b0 = docsOf(1L -> "the quick fox", 2L -> "lazy dog dog")
+    val b1 = docsOf(3L -> "the the the quick", 4L -> "fox")
+    StreamPipeline.postingsIndexBatch(b0, 0L, "doc_id", "text", state)
+    StreamPipeline.postingsIndexBatch(b1, 1L, "doc_id", "text", state)
+    // replayed batch must be a marker no-op
+    StreamPipeline.postingsIndexBatch(b1, 1L, "doc_id", "text", state)
+    val got = StreamPipeline.currentIndexStats(spark, state).get
+      .as[(String, Long, Long, Long)].collect().toSet
+    val full = graft.operators.Search.indexStats(
+        b0.unionByName(b1), "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == full, s"fold != recompute:\n$got\n$full")
+    // spot-check the non-additive measure: max_tf is a max, not a sum
+    assert(got.collect { case ("the", df, cf, mx) => (df, cf, mx) }.head == ((2L, 4L, 3L)))
+  }
+
   test("capped bucket stars to the RUNNING min id, not the min of the first cap") {
     implicit val sqlCtx = spark.sqlContext
     // identical texts collide in every band bucket; cap=2 fills on the
