@@ -94,10 +94,13 @@ object Search {
     * Output: (doc_id, sim_id, dot_fp, rk ≤ k), ties broken by sim id. */
   def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
       anchors: DataFrame, k: Int, maxDfShare: Int, ngram: Int = 2): DataFrame = {
+    // materialized once (three consumers: df, weighted postings, the
+    // anchor slice) — the bm25TopK persist rationale applies verbatim
     val tf = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(TextFunctions.shingles(col(textCol), ngram)).as("token"))
       .groupBy("token", "doc_id")
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = docs.agg(count(lit(1)).as("n"))
     val dft = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
@@ -126,10 +129,24 @@ object Search {
     * query in the catalog. Output: (query_id, doc_id, score_fp, rk). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, k: Int): DataFrame = {
+    // The postings feed FOUR consumers (query hits, df, doc lengths,
+    // corpus totals); without materialization Spark re-plans the
+    // text scan + tokenize for each one (measured: 4 text scans in
+    // the physical plan). Persisting the (token, doc, tf) table is
+    // exactly what a search indexer does — the index IS a materialized
+    // artifact — and in the q169 incremental regime it's read back
+    // from parquet rather than recomputed at all.
     val tf = postings(docs, idCol, textCol)
-    val dl = docs.select(col(idCol).cast("long").as("doc_id"),
-      TextFunctions.tokenCount(col(textCol)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // document length and total-token count DERIVE from the postings
+    // (dl = Σ tf — identical to tokenCount for every doc that has
+    // tokens, and token-free docs can't score anyway), so the text
+    // column is scanned ONCE; N comes from a doc_id-only scan, which
+    // parquet serves without touching text bytes. At 100 TB the text
+    // scan IS the cost — this was 3 scans before the r12 audit.
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum("dl").as("l")))
     val qterms = queries.select(col("term").as("token")).distinct()
     // df only for query terms: vocabulary-grain aggregate, then the
     // tiny query-term semi-join — the broadcast stays query-sized

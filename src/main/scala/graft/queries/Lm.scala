@@ -76,10 +76,14 @@ object Lm {
         val docs = Tables.load(s, dir, "documents")
         val toks = docs.select(col("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("t"))
+        // materialized once: the doc-bigram table feeds both the model
+        // (counts -> surprisal) and the scoring join — unpersisted, the
+        // text scan + tokenize + explode re-runs per consumer
         val bg = docs
           .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 2)
           .select(col("doc_id"),
             explode(graft.functions.TextFunctions.shingles(col("text"), 2)).as("bigram"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cnt = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
         val pfx = cnt
           .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))

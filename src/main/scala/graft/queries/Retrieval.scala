@@ -83,9 +83,10 @@ object Retrieval {
         tf AS (
           SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
         dl AS (
-          SELECT doc_id, len($tokensSql) AS dl FROM documents),
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
         stats AS (
-          SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dl),
+          SELECT (SELECT COUNT(*) FROM documents) AS n,
+                 (SELECT CAST(SUM(tf) AS BIGINT) FROM tf) AS l),
         qt AS (
           SELECT * FROM (VALUES $queryValuesSql) AS v(query_id, term)),
         dfq AS (
