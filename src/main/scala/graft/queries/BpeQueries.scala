@@ -415,6 +415,214 @@ object BpeQueries {
             sum(col("n")).as("n_occurrences"))
       }),
 
+    // ---- q174: MULTIMODAL TRAINING-RECORD EXPORT — the capstone
+    // composition: one row per (sampled) document carrying everything
+    // a multimodal trainer's collator consumes, each field produced by
+    // an already-pinned pipeline: the BPE token-id sequence (q157's
+    // encode, reduced to a position-weighted signature so the row
+    // stays scalar for the gate), the image/audio/video perceptual
+    // hashes (q152/q159/q162, split lo/hi so 64-bit values stay inside
+    // signed BIGINT on both engines), and the image-dedup keeper
+    // election over the FULL corpus (q155 — is_duplicate is what the
+    // trainer filters on). The oracle staples the five proven replay
+    // chains and joins them — ~all of round 11-12's machinery under
+    // ONE hash. Engine-side everything composes from operators; the
+    // only text scan is the encode, the only corpus-wide exchange the
+    // image Hamming candidate join. ----
+    QuerySpec(
+      "q174_training_export",
+      Some(s"""
+        WITH RECURSIVE $preludeSql,
+        wpieces AS (
+          SELECT w, list_filter(string_split(st, '|'), x -> x <> '') AS pieces
+          FROM encw WHERE encw.r = (SELECT COUNT(*) FROM merges)),
+        idvocab AS (
+          SELECT piece, CAST(ROW_NUMBER() OVER (ORDER BY piece) AS INT) AS token_id
+          FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wpieces)),
+        tokso AS (
+          SELECT doc_id, i AS wpos, ts[i] AS w
+          FROM (SELECT doc_id, $tokensSql AS ts FROM documents
+                WHERE regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') <> ''
+                  AND doc_id % 10 = 0),
+               UNNEST(generate_series(1, len(ts))) AS t(i)),
+        docpieces AS (
+          SELECT t.doc_id, t.wpos, p AS ppos, wp.pieces[p] AS piece
+          FROM tokso t JOIN wpieces wp ON t.w = wp.w,
+               UNNEST(generate_series(1, len(wp.pieces))) AS u(p)),
+        ids AS (
+          SELECT doc_id, token_id,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wpos, ppos) AS pos1
+          FROM docpieces JOIN idvocab USING (piece)),
+        seqs AS (
+          SELECT doc_id, COUNT(*) AS n_ids,
+                 CAST(SUM(token_id * pos1) AS BIGINT) AS seq_sig
+          FROM ids GROUP BY doc_id),
+        img_geom AS (
+          SELECT doc_id, doc_id // 5 AS g, CAST(doc_id % 5 AS INT) AS m,
+                 CAST(8 + (doc_id // 5) % 3 AS INT) AS w,
+                 CAST(8 + (doc_id // 5) % 2 AS INT) AS h
+          FROM documents),
+        img_samp AS (
+          SELECT doc_id, g, m, w, h, j, i,
+                 (i * w) // 9 AS x, (j * h) // 8 AS y
+          FROM img_geom, UNNEST(range(8)) AS tj(j), UNNEST(range(9)) AS ti(i)),
+        img_gray AS (
+          SELECT doc_id, j, i, (r*299 + gg*587 + b*114) // 1000 AS gv
+          FROM (
+            SELECT doc_id, j, i,
+                   CASE WHEN pert THEN (((3*g + 5*x + 7*y)*(x + y + 1) + g) % 256 + 128) % 256
+                        ELSE ((3*g + 5*x + 7*y)*(x + y + 1) + g) % 256 END AS r,
+                   CASE WHEN pert THEN (((11*g + 3*x + 5*y)*(x + 2*y + 1) + 2*g) % 256 + 128) % 256
+                        ELSE ((11*g + 3*x + 5*y)*(x + 2*y + 1) + 2*g) % 256 END AS gg,
+                   CASE WHEN pert THEN (((7*g + 2*x + 3*y)*(2*x + y + 1) + 3*g) % 256 + 128) % 256
+                        ELSE ((7*g + 2*x + 3*y)*(2*x + y + 1) + 3*g) % 256 END AS b
+            FROM (SELECT *, m > 0 AND x = (m*3) % w AND y = (m*2) % h AS pert
+                  FROM img_samp))),
+        img_bits AS (
+          SELECT a.doc_id, (a.j * 8 + a.i) // 16 AS chunk,
+                 CASE WHEN b.gv > a.gv
+                      THEN CAST(1 AS BIGINT) << CAST((a.j*8 + a.i) % 16 AS INT)
+                      ELSE CAST(0 AS BIGINT) END AS wgt
+          FROM img_gray a JOIN img_gray b
+            ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+          WHERE a.i < 8),
+        img_hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN chunk = 0 THEN wgt ELSE 0 END) AS BIGINT) AS c0,
+                 CAST(SUM(CASE WHEN chunk = 1 THEN wgt ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN chunk = 2 THEN wgt ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN chunk = 3 THEN wgt ELSE 0 END) AS BIGINT) AS c3
+          FROM img_bits GROUP BY doc_id),
+        img_verified AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM img_hashes a JOIN img_hashes b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+              + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3),
+        img_best AS (
+          SELECT id_b AS doc_id, MIN(id_a) AS partner_min
+          FROM img_verified GROUP BY 1),
+        aud_samp AS (
+          SELECT doc_id, t, CAST(t // 64 AS INT) AS f,
+                 ((3*(doc_id//5) + 2*t) * (t % 7 + 1) + 5*(doc_id//5)*(t % 13)) % 4096 - 2048
+                   + CASE WHEN doc_id % 5 > 0 AND t % 64 = doc_id % 5
+                          THEN 7 * (doc_id % 5) ELSE 0 END AS s
+          FROM documents, UNNEST(range(576)) AS tt(t)
+          WHERE doc_id % 10 = 0),
+        aud_energy AS (
+          SELECT doc_id, b, f,
+                 ABS(SUM(s * CASE WHEN bit_count(b & (t % 64)) % 2 = 0
+                                  THEN 1 ELSE -1 END)) AS e
+          FROM aud_samp, UNNEST(range(8)) AS bb(b)
+          GROUP BY doc_id, b, f),
+        aud_bits AS (
+          SELECT a.doc_id, (a.b * 8 + a.f) // 16 AS chunk,
+                 CASE WHEN n.e > a.e
+                      THEN CAST(1 AS BIGINT) << CAST((a.b * 8 + a.f) % 16 AS INT)
+                      ELSE CAST(0 AS BIGINT) END AS wgt
+          FROM aud_energy a JOIN aud_energy n
+            ON n.doc_id = a.doc_id AND n.b = a.b AND n.f = a.f + 1
+          WHERE a.f < 8),
+        aud_hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN chunk = 0 THEN wgt ELSE 0 END) AS BIGINT) AS c0,
+                 CAST(SUM(CASE WHEN chunk = 1 THEN wgt ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN chunk = 2 THEN wgt ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN chunk = 3 THEN wgt ELSE 0 END) AS BIGINT) AS c3
+          FROM aud_bits GROUP BY doc_id),
+        vid_geom AS (
+          SELECT doc_id, doc_id // 5 AS g, CAST(doc_id % 5 AS INT) AS m,
+                 CAST(8 + (doc_id // 5) % 3 AS INT) AS w,
+                 CAST(8 + (doc_id // 5) % 2 AS INT) AS h,
+                 CAST(10 + (doc_id // 5) % 3 AS INT) AS nf
+          FROM documents WHERE doc_id % 10 = 0),
+        vid_samp AS (
+          SELECT doc_id, g, m, w, h, k, (k * nf) // 9 AS f, x, y
+          FROM vid_geom, UNNEST(range(9)) AS tk(k), UNNEST(range(10)) AS tx(x),
+               UNNEST(range(9)) AS ty(y)
+          WHERE x < w AND y < h),
+        vid_luma AS (
+          SELECT doc_id, k, (x * 8) // w AS strip,
+                 CASE WHEN m > 0 AND f = m
+                       AND x = (3*m) % w AND y = (2*m) % h
+                      THEN (((3*g + 5*x + 7*y + 2*f)*(x + y + f + 1) + g) % 256 + 128) % 256
+                      ELSE ((3*g + 5*x + 7*y + 2*f)*(x + y + f + 1) + g) % 256 END AS yv
+          FROM vid_samp),
+        vid_sums AS (
+          SELECT doc_id, strip, k, SUM(yv) AS sv
+          FROM vid_luma GROUP BY doc_id, strip, k),
+        vid_bits AS (
+          SELECT a.doc_id, (a.strip * 8 + a.k) // 16 AS chunk,
+                 CASE WHEN n.sv > a.sv
+                      THEN CAST(1 AS BIGINT) << CAST((a.strip * 8 + a.k) % 16 AS INT)
+                      ELSE CAST(0 AS BIGINT) END AS wgt
+          FROM vid_sums a JOIN vid_sums n
+            ON n.doc_id = a.doc_id AND n.strip = a.strip AND n.k = a.k + 1
+          WHERE a.k < 8),
+        vid_hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN chunk = 0 THEN wgt ELSE 0 END) AS BIGINT) AS c0,
+                 CAST(SUM(CASE WHEN chunk = 1 THEN wgt ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN chunk = 2 THEN wgt ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN chunk = 3 THEN wgt ELSE 0 END) AS BIGINT) AS c3
+          FROM vid_bits GROUP BY doc_id)
+        SELECT d.doc_id, d.lang,
+               COALESCE(s.n_ids, 0) AS n_ids,
+               COALESCE(s.seq_sig, 0) AS seq_sig,
+               ih.c0 + ih.c1 * 65536 AS img_lo,
+               ih.c2 + ih.c3 * 65536 AS img_hi,
+               ah.c0 + ah.c1 * 65536 AS aud_lo,
+               ah.c2 + ah.c3 * 65536 AS aud_hi,
+               vh.c0 + vh.c1 * 65536 AS vid_lo,
+               vh.c2 + vh.c3 * 65536 AS vid_hi,
+               LEAST(COALESCE(ib.partner_min, d.doc_id), d.doc_id) AS img_keep_id,
+               LEAST(COALESCE(ib.partner_min, d.doc_id), d.doc_id) <> d.doc_id
+                 AS img_is_dup
+        FROM documents d
+        LEFT JOIN seqs s USING (doc_id)
+        JOIN img_hashes ih USING (doc_id)
+        JOIN aud_hashes ah USING (doc_id)
+        JOIN vid_hashes vh USING (doc_id)
+        LEFT JOIN img_best ib USING (doc_id)
+        WHERE d.doc_id % 10 = 0"""),
+      (s, dir) => {
+        val M = graft.operators.Multimodal
+        val docs = Tables.load(s, dir, "documents")
+        val merges = trainedMerges(s, dir)
+        val vocabIds = Bpe.pieceVocab(docs, "text", merges)
+        val all = graft.operators.Fanout.forKernel(docs)
+        val sampled = all.filter(col("doc_id") % 10 === 0)
+        val bpe = sampled.select(col("doc_id"), col("lang"),
+            Bpe.encodeIds(col("text"), merges, vocabIds).as("ids"))
+          .select(col("doc_id"), col("lang"),
+            size(col("ids")).cast("long").as("n_ids"),
+            expr("""aggregate(zip_with(ids, sequence(1, size(ids)),
+                      (id, p) -> CAST(id AS BIGINT) * p),
+                    CAST(0 AS BIGINT), (a, x) -> a + x)""").as("seq_sig"))
+        def lohi(sigs: org.apache.spark.sql.DataFrame, p: String) =
+          sigs.select(col("doc_id"),
+            col("dhash").bitwiseAND(lit(4294967295L)).as(s"${p}_lo"),
+            shiftrightunsigned(col("dhash"), 32).as(s"${p}_hi"))
+        // image signatures over the FULL corpus: the keeper election
+        // must see every near-dup partner, sampled or not
+        val imgSigs = M.dHashImages(
+            M.synthesizeNearDupImages(all, "doc_id"), "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = graft.operators.Dedup.hammingPairs(
+          imgSigs, "doc_id", "dhash", maxHamming = 3).select("id_a", "id_b")
+        val keeper = graft.operators.Dedup.keeperFrom(docs, "doc_id", pairs)
+          .select(col("doc_id"), col("keep_id").as("img_keep_id"),
+            col("is_duplicate").as("img_is_dup"))
+        val aud = lohi(M.audioDHashWavs(
+          M.synthesizeNearDupWavs(sampled, "doc_id"), "doc_id"), "aud")
+        val vid = lohi(M.videoDHashY4m(
+          M.synthesizeNearDupY4m(sampled, "doc_id"), "doc_id"), "vid")
+        bpe
+          .join(lohi(imgSigs, "img"), Seq("doc_id"))
+          .join(aud, Seq("doc_id"))
+          .join(vid, Seq("doc_id"))
+          .join(keeper, Seq("doc_id"))
+      }),
+
     // ---- q170: tokenizer fertility per language — the metric a
     // tokenizer evaluation actually reports (how many characters one
     // subword token covers, per language; low fertility on a language
