@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Analytics, BpeQueries, Cleaning, Extended, Fused, Lm, PipelineParity, Relational, Retrieval, TextAnalysis, Warehouse}
+import graft.queries.{Analytics, BpeQueries, Cleaning, Curation, Extended, Fused, Lm, PipelineParity, Relational, Retrieval, TextAnalysis, Warehouse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,7 +19,7 @@ object SparkEntry {
     Relational.specs ++ Cleaning.specs ++ TextAnalysis.specs ++
       PipelineParity.specs ++ Extended.specs ++ Warehouse.specs ++
       Fused.specs ++ Analytics.specs ++ BpeQueries.specs ++ Retrieval.specs ++
-      Lm.specs
+      Lm.specs ++ Curation.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the Task-4-shaped 3-way join + group count + RANK()=1 + DISTINCT. */

@@ -228,4 +228,113 @@ object CorpusPrep {
           .when(hexByte < cut2, "valid")
           .otherwise("test"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw doc
+    * by how target-like its hashed n-gram feature distribution is,
+    * weight(doc) = Σ_features log p̂_target(f) − log p̂_raw(f), with
+    * add-1-smoothed bucket probabilities over `buckets` hashed feature
+    * buckets. The engine form keeps DSIR's defining property — the
+    * feature space is FIXED-size (hashed buckets), so the model is a
+    * `buckets`-row table no matter the corpus size:
+    *   - one corpus pass to (doc, bucket) feature instances;
+    *   - bucket stats for target and raw computed in ONE vocabulary
+    *     (bucket)-grain aggregate — the target flag rides the rows, so
+    *     there is no second corpus scan;
+    *   - λ(b) = log-ratio per bucket, a `buckets`-row broadcast joined
+    *     back into the feature stream; weights reduce per doc with
+    *     map-side partial aggregation.
+    * All arithmetic in the 16-fractional-bit fixed-point log2 of
+    * [[Search.log2FpExpr]] (exact bit-length construction), so weights
+    * are integers — bit-identical across engines, partitionings and
+    * platforms, which puts importance selection under the hash oracle
+    * (q177). log2 instead of ln only scales every weight by 1/ln 2 —
+    * rank-invariant.
+    *
+    * @param isTarget row predicate marking the target-domain docs
+    *                 (e.g. a trusted high-quality subset).
+    * @param buckets hashed feature buckets (≤ 65536: the bucket id is
+    *                the first 4 md5 hex chars mod `buckets`, replayable
+    *                by any engine with md5).
+    * @return (doc_id, n_feats, weight_fp) for every doc with ≥1
+    *         feature. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: org.apache.spark.sql.Column,
+      buckets: Int = 256, ngram: Int = 2): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536)
+    // two consumers (bucket stats, per-doc weights): materialize the
+    // feature stream once — the q164 postings-persist rationale; in a
+    // production nightly this lands as a parquet artifact instead
+    val feats = docs.select(col(idCol).cast("long").as("doc_id"),
+        isTarget.as("_tgt"),
+        explode(T.shingles(col(textCol), ngram)).as("f"))
+      .select(col("doc_id"), col("_tgt"),
+        (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long") % buckets)
+          .as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // target and raw bucket counts in one pass (the target flag is a
+    // conditional sum, not a second aggregation over the corpus)
+    val stats = feats.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("_tgt"), lit(1L)).otherwise(lit(0L))).as("ct"))
+    val tot = stats.agg(sum("cr").as("cr_tot"), sum("ct").as("ct_tot"))
+    val lam = stats.crossJoin(broadcast(tot)).selectExpr("b",
+      s"""((${Search.log2FpExpr("ct + 1")}
+            - ${Search.log2FpExpr(s"ct_tot + $buckets")})
+         - (${Search.log2FpExpr("cr + 1")}
+            - ${Search.log2FpExpr(s"cr_tot + $buckets")})) AS lam_fp""")
+    feats.join(broadcast(lam), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lam_fp").as("weight_fp"))
+  }
+
+  /** Exact integer square root as a SQL string shared verbatim with the
+    * DuckDB oracle: IEEE double sqrt is correctly rounded so
+    * FLOOR(SQRT(x)) is already deterministic cross-engine, and the ±1
+    * correction pins exactness against the integer definition even if
+    * an engine's sqrt were off by an ulp. Valid for 0 ≤ x < 2^52. */
+  private[graft] def isqrtSql(x: String): String = {
+    val t = s"CAST(FLOOR(SQRT(CAST(($x) AS DOUBLE))) AS BIGINT)"
+    s"(CASE WHEN ($t + 1) * ($t + 1) <= ($x) THEN $t + 1" +
+      s" WHEN $t * $t > ($x) THEN $t - 1 ELSE $t END)"
+  }
+
+  /** Temperature-based mixture sampling (the multilingual-pretraining
+    * rebalance of Conneau & Lample: sample groups ∝ p^τ with τ = 1/2):
+    * per-group budgets proportional to √(group mass) — boosting tail
+    * groups, damping the head — then a deterministic hash-ordered
+    * prefix of each group up to its budget.
+    *
+    *   n_g  = Σ items' `nCol` per group       (group-grain aggregate)
+    *   s_g  = isqrt(n_g)                      (exact integer sqrt)
+    *   T    = (Σ n_g) · budgetNum / budgetDen (overall kept mass)
+    *   B_g  = T · s_g / Σ s_g                 (per-group budget)
+    *
+    * Selection keeps items whose group-local running mass (ordered by
+    * the overflow-proof id hash, ties by id) stays ≤ B_g — the same
+    * running-sum-window shape as q122's token-budget sample, but
+    * per-group with √-rebalanced budgets. Group stats are
+    * group-grain (tiny) and broadcast back; the items table shuffles
+    * once for the per-group window. Integer end to end.
+    *
+    * @return kept items as (group, id, n, cum) — `cum` the inclusive
+    *         running mass within the group's hash order. */
+  def temperatureSample(items: DataFrame, groupCol: String, idCol: String,
+      nCol: String, budgetNum: Long = 1L, budgetDen: Long = 2L): DataFrame = {
+    require(budgetNum >= 1 && budgetDen >= budgetNum)
+    val grouped = items.select(col(groupCol).as("grp"),
+      col(idCol).cast("long").as("id"), col(nCol).cast("long").as("n"))
+    val gstats = grouped.groupBy("grp").agg(sum("n").as("n_g"))
+      .selectExpr("grp", "n_g", s"${isqrtSql("n_g")} AS s_g")
+    val tots = gstats.agg(sum("n_g").as("n_tot"), sum("s_g").as("s_tot"))
+    val budgets = gstats.crossJoin(broadcast(tots))
+      .selectExpr("grp",
+        s"((n_tot * $budgetNum div $budgetDen) * s_g div s_tot) AS b_g")
+    val w = Window.partitionBy("grp")
+      .orderBy(graft.Exact.hashOrder(col("id"), 1000000), col("id"))
+    grouped.join(broadcast(budgets), "grp")
+      .withColumn("cum", sum(col("n")).over(w))
+      .filter(col("cum") <= col("b_g"))
+      .select(col("grp"), col("id"), col("n"), col("cum"))
+  }
 }

@@ -123,6 +123,74 @@ object Search {
       .filter(col("rk") <= k)
   }
 
+  /** Positional postings: one row per (token, doc, pos) with 0-based
+    * token positions — the other half of a real search index (phrase
+    * and proximity queries need WHERE the term sits, not just that it
+    * does). Pure projection + generate: the corpus is scanned once and
+    * nothing shuffles here; downstream consumers group or join on the
+    * keys they need. ~L rows per document of length L, the same blow-up
+    * a production positional index pays (Lucene stores it compressed;
+    * the dataflow form carries it as rows through one stage). */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))))
+      .select(col("col").as("token"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** Exact phrase occurrences via the positional index — the classic
+    * decomposition: a phrase t₀ t₁ … t₍m₋₁₎ occurs at `start` iff
+    * position start+i holds tᵢ for every i, so each matching posting
+    * votes for candidate start `pos − idx` and a start with m votes is
+    * a full occurrence. One broadcast join (the phrase-term table is
+    * query-sized) + one aggregate keyed by (phrase, doc, start) — never
+    * an m-way self-join of the postings, which is how naive phrase
+    * search dies at scale: the vote count replaces m−1 position joins.
+    * Phrases with REPEATED terms are handled for free: a posting
+    * matching k phrase slots votes for k different starts, and within
+    * one start each slot contributes at most one vote (pos = start+idx
+    * pins it), so votes == m still means a full match.
+    *
+    * @param phrases `(phrase_id, idx, term)` — 0-based slot index.
+    * @return one row per (phrase_id, doc_id) containing the phrase:
+    *         `n_occ` occurrence count, `first_pos` earliest start. */
+  def phraseHits(docs: DataFrame, idCol: String, textCol: String,
+      phrases: DataFrame): DataFrame = {
+    val pp = positionalPostings(docs, idCol, textCol)
+    val plen = phrases.groupBy("phrase_id").agg(count(lit(1)).as("m"))
+    pp.join(broadcast(phrases.select(col("term").as("token"),
+        col("phrase_id"), col("idx"))), "token")
+      .select(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("idx")).as("start"))
+      .groupBy("phrase_id", "doc_id", "start")
+      .agg(count(lit(1)).as("nmatch"))
+      .join(broadcast(plen), "phrase_id")
+      .filter(col("nmatch") === col("m") && col("start") >= 0)
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_occ"), min("start").as("first_pos"))
+  }
+
+  /** Proximity hits: unordered co-occurrence of a term pair within a
+    * `window`-token span. Postings for the two terms meet on doc_id —
+    * a keyed equi-join, never a position-range theta join: per doc the
+    * pair lists are tiny (bounded by the terms' tfs), so the |p_a−p_b|
+    * filter runs on an already doc-local pair set. Output one row per
+    * (pair_id, doc_id): `n_pairs` qualifying position pairs and
+    * `min_dist` the closest distance (the "near" score). */
+  def proximityHits(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, window: Int): DataFrame = {
+    val pp = positionalPostings(docs, idCol, textCol)
+    val a = pp.join(broadcast(pairs.select(col("term_a").as("token"),
+        col("pair_id"))), "token")
+      .select(col("pair_id"), col("doc_id"), col("pos").as("pos_a"))
+    val b = pp.join(broadcast(pairs.select(col("term_b").as("token"),
+        col("pair_id"))), "token")
+      .select(col("pair_id"), col("doc_id"), col("pos").as("pos_b"))
+    a.join(b, Seq("pair_id", "doc_id"))
+      .filter(abs(col("pos_a") - col("pos_b")) <= window)
+      .groupBy("pair_id", "doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pos_a") - col("pos_b"))).as("min_dist"))
+  }
+
   /** Top-k documents per query under fixed-point BM25. `queries` is a
     * small (query_id, term) table — broadcast, never shuffled. Ties
     * broken by doc id; rank() keeps score ties like every top-per-group

@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation selection passes (round 12, continued): DSIR
+  * importance resampling and temperature-based mixture sampling — the
+  * two standard "which slice of the crawl do we actually train on"
+  * moves, both integer end to end so the full selection (not just a
+  * summary) sits under the DuckDB hash oracle. Backed by
+  * [[graft.operators.CorpusPrep.dsirWeights]] and
+  * [[graft.operators.CorpusPrep.temperatureSample]].
+  */
+object Curation {
+
+  /** DuckDB twin of [[T.tokens]] (catalog-wide convention). */
+  private val tokensSql: String =
+    """string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')"""
+
+  /** DuckDB twin of T.shingles over alias `t`. */
+  private def shinglesSql(n: Int): String = s"""
+    CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - ${n - 1}),
+                p -> array_to_string(t[p:p+${n - 1}], ' ')) END"""
+
+  /** DuckDB twin of [[graft.operators.Search.log2FpExpr]]. */
+  private def log2FpSql(x: String): String = {
+    val msb = s"(length(bin(CAST($x AS BIGINT))) - 1)"
+    val pow = s"(CAST(1 AS BIGINT) << $msb)"
+    s"(CAST($msb AS BIGINT) * 65536 + ((($x) - $pow) * 65536) // $pow)"
+  }
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // ---- q177: DSIR importance selection (Xie et al. 2023) — score
+    // every doc by Σ_features log p̂_target − log p̂_raw over 256 hashed
+    // bigram buckets (add-1 smoothing), keep the top-100. The hashed
+    // feature space is FIXED-size, so the "model" is a 256-row
+    // broadcast regardless of corpus size; target and raw bucket
+    // counts come from ONE bucket-grain aggregate (the target flag is
+    // a conditional sum riding the same rows). Weights in the 16-bit
+    // fixed-point log2 — integers, so the entire selection hashes. The
+    // top-100 slice is ORDER BY + LIMIT (TakeOrderedAndProject), never
+    // a global window. Target domain: the 'de' slice (17% of the
+    // corpus; it fills ~53% of the selected set — the importance
+    // weights demonstrably tilt toward the target). ----
+    QuerySpec(
+      "q177_dsir_importance",
+      Some(s"""
+        WITH toksl AS (
+          SELECT doc_id, lang, $tokensSql AS t FROM documents),
+        feats AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(unnest(${shinglesSql(2)})), 1, 4))::BIGINT
+                   % 256 AS b
+          FROM toksl),
+        stats AS (
+          SELECT b, COUNT(*) AS cr,
+                 CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+          FROM feats GROUP BY b),
+        tot AS (
+          SELECT CAST(SUM(cr) AS BIGINT) AS cr_tot,
+                 CAST(SUM(ct) AS BIGINT) AS ct_tot FROM stats),
+        lam AS (
+          SELECT b,
+                 (${log2FpSql("ct + 1")} - ${log2FpSql("ct_tot + 256")})
+               - (${log2FpSql("cr + 1")} - ${log2FpSql("cr_tot + 256")}) AS lam_fp
+          FROM stats CROSS JOIN tot),
+        w AS (
+          SELECT f.doc_id, COUNT(*) AS n_feats,
+                 CAST(SUM(lam_fp) AS BIGINT) AS weight_fp
+          FROM feats f JOIN lam USING (b) GROUP BY 1)
+        SELECT doc_id, n_feats, weight_fp
+        FROM w ORDER BY weight_fp DESC, doc_id LIMIT 100"""),
+      (s, dir) =>
+        graft.operators.CorpusPrep.dsirWeights(
+            graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents")),
+            "doc_id", "text", isTarget = col("lang") === "de",
+            buckets = 256, ngram = 2)
+          .orderBy(col("weight_fp").desc, col("doc_id"))
+          .limit(100)),
+
+    // ---- q178: temperature-based mixture sampling (τ = 1/2, the
+    // multilingual-pretraining rebalance): per-language token budgets
+    // ∝ √(language token mass) — tail languages boosted, the head
+    // damped — then a deterministic hash-ordered prefix of each
+    // language up to its budget. isqrt is the exact integer sqrt (the
+    // ±1-corrected FLOOR(SQRT(·)) shared verbatim with the oracle), so
+    // budgets and the kept set hash bit-for-bit. Group stats are
+    // language-grain and broadcast back; the corpus shuffles once for
+    // the per-language running-sum window (the q122 frame with
+    // √-rebalanced budgets). ----
+    QuerySpec(
+      "q178_mixture_temperature_sample",
+      Some(s"""
+        WITH items AS (
+          SELECT lang AS grp, doc_id AS id,
+                 CASE WHEN nrm = '' THEN 0
+                      ELSE CAST(LEN(STRING_SPLIT(nrm, ' ')) AS BIGINT) END AS n
+          FROM (SELECT doc_id, lang,
+                       regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
+                FROM documents)),
+        gstats AS (
+          SELECT grp, CAST(SUM(n) AS BIGINT) AS n_g FROM items GROUP BY grp),
+        gsqrt AS (
+          SELECT grp, n_g, ${graft.operators.CorpusPrep.isqrtSql("n_g")} AS s_g
+          FROM gstats),
+        tots AS (
+          SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot,
+                 CAST(SUM(s_g) AS BIGINT) AS s_tot FROM gsqrt),
+        budgets AS (
+          SELECT grp, ((n_tot * 1 // 2) * s_g // s_tot) AS b_g
+          FROM gsqrt CROSS JOIN tots),
+        ordered AS (
+          SELECT i.grp, i.id, i.n, b.b_g,
+                 CAST(SUM(i.n) OVER (
+                   PARTITION BY i.grp
+                   ORDER BY ${graft.Exact.hashOrderSql("i.id", 1000000)}, i.id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum
+          FROM items i JOIN budgets b USING (grp))
+        SELECT grp AS lang, id AS doc_id, n AS n_toks, cum
+        FROM ordered WHERE cum <= b_g"""),
+      (s, dir) => {
+        val items = Tables.load(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            T.tokenCount(col("text")).as("n_toks"))
+        graft.operators.CorpusPrep.temperatureSample(
+            items, "lang", "doc_id", "n_toks", budgetNum = 1L, budgetDen = 2L)
+          .select(col("grp").as("lang"), col("id").as("doc_id"),
+            col("n").as("n_toks"), col("cum"))
+      })
+  )
+}

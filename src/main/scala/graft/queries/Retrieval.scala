@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over the documents corpus (round 12): inverted
@@ -40,6 +41,24 @@ object Retrieval {
 
   private val queryValuesSql: String =
     queryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** The fixed phrase workload (phrase_id, 0-based slot idx, term) —
+    * phrase 2 repeats a term to exercise the multi-slot vote path. */
+  private val phraseTerms: Seq[(Int, Int, String)] = Seq(
+    (0, 0, "value"), (0, 1, "table"),
+    (1, 0, "fast"), (1, 1, "spark"),
+    (2, 0, "table"), (2, 1, "table"),
+    (3, 0, "scan"), (3, 1, "query"), (3, 2, "big"))
+
+  private val phraseValuesSql: String =
+    phraseTerms.map { case (p, i, t) => s"($p, $i, '$t')" }.mkString(", ")
+
+  /** The fixed proximity workload (pair_id, term_a, term_b). */
+  private val pairTerms: Seq[(Int, String, String)] = Seq(
+    (0, "spark", "window"), (1, "customer", "query"), (2, "vector", "stream"))
+
+  private val pairValuesSql: String =
+    pairTerms.map { case (p, a, b) => s"($p, '$a', '$b')" }.mkString(", ")
 
   def specs: Seq[QuerySpec] = Seq(
 
@@ -199,6 +218,103 @@ object Retrieval {
             anchors, k = 5, maxDfShare = 15, ngram = 2)
           .select(col("doc_id"), col("sim_id"), col("dot_fp"),
             col("rk").cast("long").as("rk"))
+      }),
+
+    // ---- q175: exact PHRASE search over the positional index — the
+    // vote decomposition: each posting matching phrase slot idx votes
+    // for candidate start pos−idx; a start with m votes is a full
+    // occurrence. ONE broadcast join (phrase terms are query-sized) +
+    // one aggregate keyed by (phrase, doc, start) — never an m-way
+    // postings self-join, which is how naive phrase search dies at
+    // scale (m−1 position joins replaced by a vote count). Phrase 2
+    // repeats a term ("table table"), exercising the multi-slot vote
+    // path. Top-10 docs per phrase by occurrence count; ties kept by
+    // rank(), broken-for-order by doc id. ----
+    QuerySpec(
+      "q175_phrase_search",
+      Some(s"""
+        WITH toksl AS (
+          SELECT doc_id, $tokensSql AS t FROM documents),
+        pp AS (
+          SELECT doc_id, u.p - 1 AS pos, t[u.p] AS token
+          FROM toksl, unnest(generate_series(1, len(t))) AS u(p)),
+        ph AS (
+          SELECT * FROM (VALUES $phraseValuesSql) v(phrase_id, idx, term)),
+        plen AS (SELECT phrase_id, COUNT(*) AS m FROM ph GROUP BY 1),
+        starts AS (
+          SELECT ph.phrase_id, pp.doc_id, pp.pos - ph.idx AS start,
+                 COUNT(*) AS nmatch
+          FROM pp JOIN ph ON ph.term = pp.token
+          GROUP BY 1, 2, 3),
+        occ AS (
+          SELECT s.phrase_id, s.doc_id, COUNT(*) AS n_occ,
+                 MIN(s.start) AS first_pos
+          FROM starts s JOIN plen USING (phrase_id)
+          WHERE s.nmatch = plen.m AND s.start >= 0
+          GROUP BY 1, 2)
+        SELECT phrase_id, doc_id, n_occ, first_pos, rk FROM (
+          SELECT phrase_id, doc_id, n_occ, first_pos,
+                 rank() OVER (PARTITION BY phrase_id
+                              ORDER BY n_occ DESC, doc_id) AS rk
+          FROM occ) r
+        WHERE rk <= 10"""),
+      (s, dir) => {
+        import s.implicits._
+        val phrases = phraseTerms.toDF("phrase_id", "idx", "term")
+        val hits = graft.operators.Search.phraseHits(
+          Tables.load(s, dir, "documents"), "doc_id", "text", phrases)
+        val w = Window.partitionBy("phrase_id")
+          .orderBy(col("n_occ").desc, col("doc_id"))
+        hits.withColumn("rk", rank().over(w).cast("long"))
+          .filter(col("rk") <= 10)
+          .select(col("phrase_id"), col("doc_id"), col("n_occ"),
+            col("first_pos"), col("rk"))
+      }),
+
+    // ---- q176: PROXIMITY search — unordered term-pair co-occurrence
+    // within a 4-token window. The pair postings meet on doc_id (a
+    // keyed equi-join; the |Δpos| predicate filters an already
+    // doc-local pair set, never a position-range theta join), so the
+    // plan scales with Σ tf_a·tf_b per doc, the same bound a
+    // production engine's sliding intersection pays. Top-10 docs per
+    // pair by qualifying-pair count. ----
+    QuerySpec(
+      "q176_proximity_search",
+      Some(s"""
+        WITH toksl AS (
+          SELECT doc_id, $tokensSql AS t FROM documents),
+        pp AS (
+          SELECT doc_id, u.p - 1 AS pos, t[u.p] AS token
+          FROM toksl, unnest(generate_series(1, len(t))) AS u(p)),
+        pr AS (
+          SELECT * FROM (VALUES $pairValuesSql) v(pair_id, term_a, term_b)),
+        hits AS (
+          SELECT a.pair_id, a.doc_id, COUNT(*) AS n_pairs,
+                 MIN(abs(a.pos - b.pos)) AS min_dist
+          FROM (SELECT pr.pair_id, pp.doc_id, pp.pos
+                FROM pp JOIN pr ON pr.term_a = pp.token) a
+          JOIN (SELECT pr.pair_id, pp.doc_id, pp.pos
+                FROM pp JOIN pr ON pr.term_b = pp.token) b
+            ON a.pair_id = b.pair_id AND a.doc_id = b.doc_id
+          WHERE abs(a.pos - b.pos) <= 4
+          GROUP BY 1, 2)
+        SELECT pair_id, doc_id, n_pairs, min_dist, rk FROM (
+          SELECT pair_id, doc_id, n_pairs, min_dist,
+                 rank() OVER (PARTITION BY pair_id
+                              ORDER BY n_pairs DESC, doc_id) AS rk
+          FROM hits) r
+        WHERE rk <= 10"""),
+      (s, dir) => {
+        import s.implicits._
+        val pairs = pairTerms.toDF("pair_id", "term_a", "term_b")
+        val hits = graft.operators.Search.proximityHits(
+          Tables.load(s, dir, "documents"), "doc_id", "text", pairs, window = 4)
+        val w = Window.partitionBy("pair_id")
+          .orderBy(col("n_pairs").desc, col("doc_id"))
+        hits.withColumn("rk", rank().over(w).cast("long"))
+          .filter(col("rk") <= 10)
+          .select(col("pair_id"), col("doc_id"), col("n_pairs"),
+            col("min_dist"), col("rk"))
       })
   )
 }

@@ -134,7 +134,9 @@ class PlanSpec extends SparkSpec {
       "q168_contrastive_triplets",     // hard-negative scan: corpus x bounded anchor broadcast (q86 pattern)
       "q171_more_like_this",           // 1-row corpus-count broadcast cross join (q20 pattern)
       "q172_ann_recall_eval",          // exact-baseline side IS the deliberate q86 brute scan
-      "q173_ann_pq_trained_recall")    // same exact-baseline brute scan, trained-codebook variant
+      "q173_ann_pq_trained_recall",    // same exact-baseline brute scan, trained-codebook variant
+      "q177_dsir_importance",          // 1-row feature-total broadcast cross join (q20 pattern)
+      "q178_mixture_temperature_sample") // 1-row (n_tot, s_tot) broadcast cross join (q20 pattern)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(deliberate)
       .flatMap { name =>

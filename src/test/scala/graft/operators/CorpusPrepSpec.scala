@@ -119,4 +119,90 @@ class CorpusPrepSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"domainSplit must not shuffle:\n$plan")
   }
+
+  test("dsirWeights matches a scalar replay; target==corpus zeroes all weights") {
+    val docs = Seq(
+      (0L, "alpha beta gamma", true),
+      (1L, "alpha beta beta", true),
+      (2L, "delta epsilon zeta eta", false),
+      (3L, "alpha delta", false),
+      (4L, "beta gamma gamma delta", false)).toDF("doc_id", "text", "tgt")
+    val buckets = 16
+    val got = CorpusPrep.dsirWeights(docs, "doc_id", "text", col("tgt"),
+        buckets = buckets, ngram = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, n, w) => d -> (n, w) }.toMap
+
+    // scalar replay of the documented formula
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def bucket(f: String): Long = java.lang.Long.parseLong(md5hex(f).take(4), 16) % buckets
+    def log2Fp(x: Long): Long = {
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      msb * 65536L + ((x - (1L << msb)) * 65536L) / (1L << msb)
+    }
+    val texts = Map(0L -> ("alpha beta gamma", true), 1L -> ("alpha beta beta", true),
+      2L -> ("delta epsilon zeta eta", false), 3L -> ("alpha delta", false),
+      4L -> ("beta gamma gamma delta", false))
+    def feats(t: String): Seq[Long] =
+      t.split(" ").toSeq.sliding(2).map(_.mkString(" ")).toSeq.map(bucket)
+    val all = texts.toSeq.flatMap { case (d, (t, tg)) => feats(t).map(b => (d, tg, b)) }
+    val cr = all.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val ct = all.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val crTot = all.size.toLong
+    val ctTot = all.count(_._2).toLong
+    def lam(b: Long): Long =
+      (log2Fp(ct.getOrElse(b, 0L) + 1) - log2Fp(ctTot + buckets)) -
+        (log2Fp(cr(b) + 1) - log2Fp(crTot + buckets))
+    for ((d, (t, _)) <- texts) {
+      val fs = feats(t)
+      assert(got(d) == ((fs.size.toLong, fs.map(lam).sum)), s"doc $d")
+    }
+    // degenerate pin: target == whole corpus → λ ≡ 0 → every weight 0
+    val allTgt = CorpusPrep.dsirWeights(docs, "doc_id", "text", lit(true),
+        buckets = buckets, ngram = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(allTgt.forall(_._3 == 0L), s"target==raw must zero weights: ${allTgt.toSeq}")
+  }
+
+  test("isqrtSql is the exact integer sqrt") {
+    val got = spark.range(0, 20000)
+      .selectExpr("id", CorpusPrep.isqrtSql("id") + " AS s")
+      .as[(Long, Long)].collect()
+    for ((x, s) <- got)
+      assert(s * s <= x && (s + 1) * (s + 1) > x, s"x=$x s=$s")
+    // and at the top of the documented range (perfect squares & neighbors)
+    val big = Seq(2251799813685248L, 4503599627370495L, 1L << 51)
+      .flatMap(x => Seq(x - 1, x, x + 1))
+    val gotBig = big.toDF("x").selectExpr("x", CorpusPrep.isqrtSql("x") + " AS s")
+      .as[(Long, Long)].collect()
+    for ((x, s) <- gotBig)
+      assert(s * s <= x && (s + 1) * (s + 1) > x, s"x=$x s=$s")
+  }
+
+  test("temperatureSample: √-proportional budgets, hash-prefix selection, determinism") {
+    // two groups with 16:1 mass ratio → sqrt ratio 4:1
+    val items = ((1L to 64L).map(i => ("big", i, 4L)) ++
+      (101L to 104L).map(i => ("small", i, 4L))).toDF("grp", "id", "n")
+    val out = CorpusPrep.temperatureSample(items, "grp", "id", "n",
+      budgetNum = 1L, budgetDen = 2L)
+      .as[(String, Long, Long, Long)].collect()
+    // replay the budget arithmetic: n_big=256 n_small=16, s=16,4; T=136
+    // B_big = 136*16/20 = 108 → 27 docs of 4; B_small = 136*4/20 = 27
+    // → all 4 small docs (16 mass) survive
+    val byGrp = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byGrp == Map("big" -> 27, "small" -> 4),
+      s"expected √-rebalanced prefix sizes, got $byGrp")
+    // small group got BOOSTED relative to proportional: 4/4 kept (100%)
+    // vs big 27/64 (42%) — the τ=1/2 tail boost
+    // cum is the inclusive running mass in hash order: max cum ≤ B_g
+    assert(out.filter(_._1 == "big").map(_._4).max <= 108L)
+    assert(out.filter(_._1 == "small").map(_._4).max <= 27L)
+    // deterministic across partitionings
+    val out2 = CorpusPrep.temperatureSample(items.repartition(7), "grp", "id", "n",
+      budgetNum = 1L, budgetDen = 2L).as[(String, Long, Long, Long)].collect()
+    assert(out.toSet == out2.toSet)
+  }
 }

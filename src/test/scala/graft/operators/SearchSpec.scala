@@ -63,6 +63,55 @@ class SearchSpec extends SparkSpec {
     assert(folded == full)
   }
 
+  test("positionalPostings: 0-based (token, doc, pos) rows") {
+    val p = Search.positionalPostings(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(p.contains(("the", 0L, 0L)) && p.contains(("quick", 0L, 1L)))
+    assert(p.contains(("the", 0L, 6L)) && p.contains(("dog", 0L, 8L)))
+    assert(p.contains(("fox", 4L, 0L)))
+    // empty-token docs produce nothing; doc 4 has exactly one posting
+    assert(p.count(_._2 == 4L) == 1)
+  }
+
+  test("phraseHits: occurrences, repeated-term phrases, overlap, and ranks") {
+    val pdocs = Seq(
+      (0L, "a b a b a"),   // "a b" at 0 and 2; "a a" nowhere; "b a b" at 1
+      (1L, "a a a"),       // "a a" at 0 AND 1 (overlapping occurrences)
+      (2L, "b b"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val phrases = Seq(
+      (0, 0, "a"), (0, 1, "b"),           // bigram
+      (1, 0, "a"), (1, 1, "a"),           // repeated term
+      (2, 0, "b"), (2, 1, "a"), (2, 2, "b")) // trigram
+      .toDF("phrase_id", "idx", "term")
+    val got = Search.phraseHits(pdocs, "doc_id", "text", phrases)
+      .as[(Int, Long, Long, Long)].collect()
+      .map { case (p, d, n, f) => (p, d) -> (n, f) }.toMap
+    assert(got((0, 0L)) == ((2L, 0L)))   // "a b" twice in doc 0, first at 0
+    assert(got((0, 3L)) == ((1L, 0L)))
+    assert(!got.contains((0, 1L)) && !got.contains((0, 2L)))
+    assert(got((1, 1L)) == ((2L, 0L)))   // overlapping "a a" both count
+    assert(!got.contains((1, 0L)))        // "a b a b a" has no adjacent a a
+    assert(got((2, 0L)) == ((1L, 1L)))   // "b a b" once, start 1
+    assert(!got.contains((2, 2L)))        // "b b" lacks the middle a
+  }
+
+  test("proximityHits: windowed pair counts and min distance") {
+    val pdocs = Seq(
+      (0L, "x q q q y"),   // x..y distance 4
+      (1L, "x y"),          // distance 1
+      (2L, "x q q q q q y"), // distance 6 — outside window
+      (3L, "y q x q y")).toDF("doc_id", "text") // two pairs: d2 and d2
+    val pairs = Seq((0, "x", "y")).toDF("pair_id", "term_a", "term_b")
+    val got = Search.proximityHits(pdocs, "doc_id", "text", pairs, window = 4)
+      .as[(Int, Long, Long, Long)].collect()
+      .map { case (p, d, n, m) => (p, d) -> (n, m) }.toMap
+    assert(got((0, 0L)) == ((1L, 4L)))
+    assert(got((0, 1L)) == ((1L, 1L)))
+    assert(!got.contains((0, 2L)))
+    assert(got((0, 3L)) == ((2L, 2L)))   // x at 2 pairs with y at 0 and y at 4
+  }
+
   test("bm25TopK matches a scalar brute-force replay, ranks relevance sanely") {
     val queries = Seq((0, "fox"), (0, "quick"), (1, "lazy")).toDF("query_id", "term")
     val got = Search.bm25TopK(docs, "doc_id", "text", queries, k = 10)
