@@ -27,6 +27,14 @@ object Analytics {
   private val tokensSql: String =
     """string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')"""
 
+  /** DuckDB twin of [[graft.operators.Search.log2FpExpr]] (the
+    * catalog-wide 16-fractional-bit exact log2 construction). */
+  private def log2FpSql(x: String): String = {
+    val msb = s"(length(bin(CAST($x AS BIGINT))) - 1)"
+    val pow = s"(CAST(1 AS BIGINT) << $msb)"
+    s"(CAST($msb AS BIGINT) * 65536 + ((($x) - $pow) * 65536) // $pow)"
+  }
+
   // PageRank fixed-point constants (shared by engine call + oracle)
   private val prScale = 1000000000L
   private val prIters = 5
@@ -446,6 +454,67 @@ object Analytics {
         graft.operators.Rollup.merge(state, delta, keys)
           .select(col("o_orderpriority"), col("o_year"),
             col("n_rows"), col("revenue_cents"))
+      }),
+
+    // ---- q180: PMI collocations — pointwise mutual information of
+    // adjacent word pairs, the classic "new york"/"machine learning"
+    // multiword-expression detector a tokenizer-vocab or phrase-mining
+    // pass runs over a crawl. Contingency-consistent marginals: c_a =
+    // occurrences as LEFT element, c_b = as RIGHT, T = total bigram
+    // instances, pmi_fp = (log2fp(c_ab) + log2fp(T)) − (log2fp(c_a) +
+    // log2fp(c_b)) in the 16-bit fixed point — the same exact log2
+    // surrogate as BM25, monotone in the true PMI at fixed arguments
+    // and bit-identical across engines. Support floor c_ab ≥ 5 (PMI's
+    // standard rare-pair guard). Scale shape: ONE corpus shuffle to
+    // bigram counts; marginals are aggregates OF the aggregate
+    // (vocabulary grain) broadcast back; global top-20 is ORDER BY +
+    // LIMIT (TakeOrderedAndProject), never a global window. ----
+    QuerySpec(
+      "q180_pmi_collocations",
+      Some(s"""
+        WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+        bg AS (
+          SELECT unnest(${shinglesSql(2)}) AS bigram FROM toks),
+        cnt AS (
+          SELECT bigram,
+                 string_split(bigram, ' ')[1] AS wa,
+                 string_split(bigram, ' ')[2] AS wb,
+                 COUNT(*) AS c_ab
+          FROM bg WHERE contains(bigram, ' ') GROUP BY 1),
+        ca AS (SELECT wa, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cnt GROUP BY wa),
+        cb AS (SELECT wb, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM cnt GROUP BY wb),
+        tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS t_tot FROM cnt)
+        SELECT bigram, c_ab, c_a, c_b,
+               (${log2FpSql("c_ab")} + ${log2FpSql("t_tot")})
+             - (${log2FpSql("c_a")} + ${log2FpSql("c_b")}) AS pmi_fp
+        FROM cnt JOIN ca USING (wa) JOIN cb USING (wb) CROSS JOIN tot
+        WHERE c_ab >= 5
+        ORDER BY pmi_fp DESC, bigram LIMIT 20"""),
+      (s, dir) => {
+        val S = graft.operators.Search
+        // bigram counts: ONE corpus shuffle; the persisted table is
+        // vocabulary²-grain (three consumers: marginals ×2 + the join)
+        val cnt = Tables.load(s, dir, "documents")
+          .select(explode(
+            graft.functions.TextFunctions.shingles(col("text"), 2)).as("bigram"))
+          .filter(col("bigram").contains(" "))
+          .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+          .withColumn("wa", split(col("bigram"), " ").getItem(0))
+          .withColumn("wb", split(col("bigram"), " ").getItem(1))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ca = cnt.groupBy("wa").agg(sum("c_ab").as("c_a"))
+        val cb = cnt.groupBy("wb").agg(sum("c_ab").as("c_b"))
+        val tot = cnt.agg(sum("c_ab").as("t_tot"))
+        // marginals are vocabulary-grain — broadcast back into the
+        // bigram table (≪ corpus at any scale); T is the q20 1-row
+        cnt.join(broadcast(ca), "wa").join(broadcast(cb), "wb")
+          .crossJoin(broadcast(tot))
+          .filter(col("c_ab") >= 5)
+          .selectExpr("bigram", "c_ab", "c_a", "c_b",
+            s"""((${S.log2FpExpr("c_ab")} + ${S.log2FpExpr("t_tot")})
+               - (${S.log2FpExpr("c_a")} + ${S.log2FpExpr("c_b")})) AS pmi_fp""")
+          .orderBy(col("pmi_fp").desc, col("bigram"))
+          .limit(20)
       })
   )
 }

@@ -2567,6 +2567,124 @@ object Extended {
           .agg(count(lit(1)).as("n_exact"),
             sum(when(col("pq_vid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
           .withColumn("recall_fp", expr("(n_hit * 65536) div n_exact"))
+      }),
+
+    // ---- q179: SCALAR-QUANTIZED (SQ8) search + recall — the FAISS
+    // ScalarQuantizer topology: per-DIMENSION min/max over the corpus
+    // (the SQ "codebook": 2 arrays of 64 ints — a 1-row broadcast at
+    // any corpus size), each coordinate squeezed to an 8-bit code
+    // (x−mn)·255/(mx−mn), asymmetric scoring against full-precision
+    // queries via the ×255 common-denominator reconstruction
+    // recon = mn·255 + code·(mx−mn) — integer end to end (numerators
+    // are ≥ 0 by construction, so Spark's `div` and DuckDB's `//`
+    // agree), so encoding, scoring AND the recall measurement all sit
+    // under the hash gate. Unlike the untrained-PQ q172 (recall 0.16),
+    // SQ8 keeps per-dim resolution: recall@5 here is near-perfect —
+    // the quantization-tradeoff endpoint a vector-infra team actually
+    // compares. Output: q172's per-query recall shape. ----
+    QuerySpec(
+      "q179_ann_sq8_recall",
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), dims AS (
+          SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM (
+            SELECT u.d AS d, v[u.d] AS x
+            FROM qz, unnest(generate_series(1, len(v))) AS u(d)) e
+          GROUP BY d
+        ), cb AS (
+          SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+          FROM dims
+        ), recon AS (
+          SELECT vec_id,
+                 list_transform(generate_series(1, len(v)), i ->
+                   mns[i]*255 + ((v[i] - mns[i]) * 255 //
+                     (CASE WHEN mxs[i] - mns[i] > 0
+                           THEN mxs[i] - mns[i] ELSE 1 END))
+                     * (mxs[i] - mns[i])) AS r
+          FROM qz CROSS JOIN cb
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 20
+        ), sq AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY CAST(list_sum(list_transform(
+                       generate_series(1, len(c.r)),
+                       i -> c.r[i] * q.qv[i])) AS BIGINT) DESC, c.vec_id) AS rank
+            FROM recon c, q
+            WHERE c.vec_id <> q.query_id) t
+          WHERE rank <= 5
+        ), exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY CAST(list_sum(list_transform(
+                       generate_series(1, len(c.v)),
+                       i -> c.v[i] * q.qv[i])) AS BIGINT) DESC, c.vec_id) AS rank
+            FROM qz c, q
+            WHERE c.vec_id <> q.query_id) t
+          WHERE rank <= 5
+        )
+        SELECT exact.query_id,
+               COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN sq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN sq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) * 65536 // COUNT(*) AS recall_fp
+        FROM exact LEFT JOIN sq
+          ON sq.query_id = exact.query_id AND sq.vec_id = exact.vec_id
+        GROUP BY exact.query_id"""),
+      (s, dir) => {
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        val corpus = emb.select(col("vec_id").cast("long").as("vec_id"), quant.as("v"))
+        // the SQ8 "codebook": per-dim min/max, a 64-row aggregate
+        // reassembled into ONE broadcastable row of arrays
+        val dims = corpus.select(posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+        val cb = dims.agg(
+          expr("transform(sort_array(collect_list(struct(d, mn))), s -> s.mn)").as("mns"),
+          expr("transform(sort_array(collect_list(struct(d, mx))), s -> s.mx)").as("mxs"))
+        // encode + reconstruct in one pass; range-0 dims code to 0 and
+        // reconstruct to mn·255 exactly
+        val recon = corpus.crossJoin(broadcast(cb))
+          .withColumn("r", expr(
+            """transform(sequence(0, size(v) - 1), i ->
+                 element_at(mns, i+1) * 255 +
+                 ((element_at(v, i+1) - element_at(mns, i+1)) * 255 div
+                    greatest(element_at(mxs, i+1) - element_at(mns, i+1), 1L))
+                   * (element_at(mxs, i+1) - element_at(mns, i+1)))"""))
+          .select(col("vec_id"), col("r"))
+        val queries = corpus.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val wSq = Window.partitionBy(col("query_id"))
+          .orderBy(col("dot_sq").desc, col("vec_id"))
+        val sq = recon.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.VectorFunctions.longDot(col("r"), col("qv")).as("dot_sq"))
+          .withColumn("rank", row_number().over(wSq)).filter(col("rank") <= 5)
+          .select(col("query_id").as("sq_qid"), col("vec_id").as("sq_vid"))
+        val wEx = Window.partitionBy(col("query_id"))
+          .orderBy(col("dot").desc, col("vec_id"))
+        val exact = corpus.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.VectorFunctions.longDot(col("v"), col("qv")).as("dot"))
+          .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= 5)
+          .select(col("query_id"), col("vec_id"))
+        exact
+          .join(sq, col("sq_qid") === col("query_id") && col("sq_vid") === col("vec_id"),
+            "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(when(col("sq_vid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .withColumn("recall_fp", expr("(n_hit * 65536) div n_exact"))
       })
   )
 }
