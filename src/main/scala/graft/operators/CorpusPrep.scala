@@ -261,32 +261,64 @@ object CorpusPrep {
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: org.apache.spark.sql.Column,
       buckets: Int = 256, ngram: Int = 2): DataFrame = {
-    require(buckets >= 2 && buckets <= 65536)
     // two consumers (bucket stats, per-doc weights): materialize the
     // feature stream once — the q164 postings-persist rationale; in a
     // production nightly this lands as a parquet artifact instead
-    val feats = docs.select(col(idCol).cast("long").as("doc_id"),
+    val feats = dsirFeatures(docs, idCol, textCol, isTarget, buckets, ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dsirScore(feats, dsirLambda(dsirBucketStats(feats), buckets))
+  }
+
+  /** (doc_id, _tgt, b) hashed-feature instances — the corpus pass the
+    * rest of the DSIR stack reduces. */
+  def dsirFeatures(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: org.apache.spark.sql.Column,
+      buckets: Int = 256, ngram: Int = 2): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536)
+    docs.select(col(idCol).cast("long").as("doc_id"),
         isTarget.as("_tgt"),
         explode(T.shingles(col(textCol), ngram)).as("f"))
       .select(col("doc_id"), col("_tgt"),
         (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long") % buckets)
           .as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // target and raw bucket counts in one pass (the target flag is a
-    // conditional sum, not a second aggregation over the corpus)
-    val stats = feats.groupBy("b").agg(
+  }
+
+  /** Bucket-grain model counts (b, cr, ct): target and raw tallied in
+    * ONE pass — the target flag is a conditional sum riding the same
+    * rows, not a second corpus aggregation. ADDITIVE across disjoint
+    * doc sets, which is what makes the model incrementally
+    * maintainable (q181) and streamable: tonight's delta batch tallies
+    * alone, merges at bucket grain, and the corpus that built the base
+    * stats is never re-read. */
+  def dsirBucketStats(feats: DataFrame): DataFrame =
+    feats.groupBy("b").agg(
       count(lit(1)).as("cr"),
       sum(when(col("_tgt"), lit(1L)).otherwise(lit(0L))).as("ct"))
+
+  /** Additive merge of [[dsirBucketStats]] tables built over DISJOINT
+    * doc sets (the q169/q147 maintenance discipline at bucket grain —
+    * both tables are ≤`buckets` rows, so the merge is free). */
+  def mergeDsirStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("b")
+      .agg(sum("cr").as("cr"), sum("ct").as("ct"))
+
+  /** λ(b) log-ratio table from the bucket stats — `buckets` rows, the
+    * broadcastable "model". */
+  def dsirLambda(stats: DataFrame, buckets: Int): DataFrame = {
     val tot = stats.agg(sum("cr").as("cr_tot"), sum("ct").as("ct_tot"))
-    val lam = stats.crossJoin(broadcast(tot)).selectExpr("b",
+    stats.crossJoin(broadcast(tot)).selectExpr("b",
       s"""((${Search.log2FpExpr("ct + 1")}
             - ${Search.log2FpExpr(s"ct_tot + $buckets")})
          - (${Search.log2FpExpr("cr + 1")}
             - ${Search.log2FpExpr(s"cr_tot + $buckets")})) AS lam_fp""")
-    feats.join(broadcast(lam), "b")
+  }
+
+  /** Per-doc importance weights: the λ model broadcast into the feature
+    * stream, reduced per doc with map-side partial aggregation. */
+  def dsirScore(feats: DataFrame, lambda: DataFrame): DataFrame =
+    feats.join(broadcast(lambda), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum("lam_fp").as("weight_fp"))
-  }
 
   /** Exact integer square root as a SQL string shared verbatim with the
     * DuckDB oracle: IEEE double sqrt is correctly rounded so

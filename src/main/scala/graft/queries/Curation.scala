@@ -130,6 +130,58 @@ object Curation {
             items, "lang", "doc_id", "n_toks", budgetNum = 1L, budgetDen = 2L)
           .select(col("grp").as("lang"), col("id").as("doc_id"),
             col("n").as("n_toks"), col("cum"))
+      }),
+
+    // ---- q181: INCREMENTAL DSIR — the q169/q147 maintenance
+    // discipline applied to the importance model. Bucket stats are
+    // additive across disjoint doc sets, so the nightly job tallies
+    // only the 10% delta, merges with the at-rest base at BUCKET grain
+    // (two ≤256-row tables — the merge is free), and re-derives λ; the
+    // corpus that built the base stats is never re-read to update the
+    // model. The oracle recomputes the FULL selection from scratch
+    // (q177's SQL verbatim), so the hash gate proves incremental ==
+    // recompute, λ included. ----
+    QuerySpec(
+      "q181_dsir_incremental",
+      Some(s"""
+        WITH toksl AS (
+          SELECT doc_id, lang, $tokensSql AS t FROM documents),
+        feats AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(unnest(${shinglesSql(2)})), 1, 4))::BIGINT
+                   % 256 AS b
+          FROM toksl),
+        stats AS (
+          SELECT b, COUNT(*) AS cr,
+                 CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+          FROM feats GROUP BY b),
+        tot AS (
+          SELECT CAST(SUM(cr) AS BIGINT) AS cr_tot,
+                 CAST(SUM(ct) AS BIGINT) AS ct_tot FROM stats),
+        lam AS (
+          SELECT b,
+                 (${log2FpSql("ct + 1")} - ${log2FpSql("ct_tot + 256")})
+               - (${log2FpSql("cr + 1")} - ${log2FpSql("cr_tot + 256")}) AS lam_fp
+          FROM stats CROSS JOIN tot),
+        w AS (
+          SELECT f.doc_id, COUNT(*) AS n_feats,
+                 CAST(SUM(lam_fp) AS BIGINT) AS weight_fp
+          FROM feats f JOIN lam USING (b) GROUP BY 1)
+        SELECT doc_id, n_feats, weight_fp
+        FROM w ORDER BY weight_fp DESC, doc_id LIMIT 100"""),
+      (s, dir) => {
+        val P = graft.operators.CorpusPrep
+        val docs = graft.operators.Fanout.forKernel(
+          Tables.load(s, dir, "documents"))
+        def fs(d: org.apache.spark.sql.DataFrame) = P.dsirFeatures(
+          d, "doc_id", "text", isTarget = col("lang") === "de",
+          buckets = 256, ngram = 2)
+        val base = P.dsirBucketStats(fs(docs.filter(col("doc_id") % 10 =!= 0)))
+        val delta = P.dsirBucketStats(fs(docs.filter(col("doc_id") % 10 === 0)))
+        val lam = P.dsirLambda(P.mergeDsirStats(base, delta), buckets = 256)
+        P.dsirScore(fs(docs), lam)
+          .orderBy(col("weight_fp").desc, col("doc_id"))
+          .limit(100)
       })
   )
 }

@@ -545,6 +545,35 @@ object StreamPipeline {
     IdempotentSink.writeBatch(stateBase)(
       graft.operators.Search.indexStats(batch, idCol, textCol), batchId)
 
+  /** Streaming DSIR model maintenance (the q181 discipline as a
+    * foreachBatch): each micro-batch tallies its OWN bucket stats —
+    * bucket-grain, ≤`buckets` rows per batch — and lands them through
+    * the IdempotentSink markers, so a replayed batch is a marker no-op
+    * and the model never double-counts. The documents themselves are
+    * read once, when their batch arrives. */
+  def dsirStatsBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String,
+      isTarget: org.apache.spark.sql.Column, stateBase: String,
+      buckets: Int = 256, ngram: Int = 2): Unit =
+    IdempotentSink.writeBatch(stateBase)(
+      graft.operators.CorpusPrep.dsirBucketStats(
+        graft.operators.CorpusPrep.dsirFeatures(
+          batch, idCol, textCol, isTarget, buckets, ngram)), batchId)
+
+  /** The λ model as of all committed partials (an associative fold of
+    * bucket counts, then the log-ratio derivation), or None before the
+    * first commit. Score any doc set against it with
+    * [[graft.operators.CorpusPrep.dsirScore]]. */
+  def currentDsirLambda(spark: org.apache.spark.sql.SparkSession,
+      stateBase: String, buckets: Int = 256): Option[DataFrame] = {
+    val committed = IdempotentSink.committedDirs(spark, stateBase)
+    if (committed.isEmpty) None
+    else Some(graft.operators.CorpusPrep.dsirLambda(
+      spark.read.parquet(committed: _*)
+        .groupBy("b").agg(sum("cr").as("cr"), sum("ct").as("ct")),
+      buckets))
+  }
+
   /** The dictionary as of all committed partials, or None before the
     * first commit. */
   def currentIndexStats(spark: org.apache.spark.sql.SparkSession,

@@ -167,6 +167,30 @@ class CorpusPrepSpec extends SparkSpec {
     assert(allTgt.forall(_._3 == 0L), s"target==raw must zero weights: ${allTgt.toSeq}")
   }
 
+  test("mergeDsirStats: any disjoint split merges back to the full model") {
+    val docs = Seq(
+      (0L, "alpha beta gamma", true),
+      (1L, "alpha beta beta", true),
+      (2L, "delta epsilon zeta eta", false),
+      (3L, "alpha delta", false),
+      (4L, "beta gamma gamma delta", false)).toDF("doc_id", "text", "tgt")
+    def stats(d: org.apache.spark.sql.DataFrame) = CorpusPrep.dsirBucketStats(
+      CorpusPrep.dsirFeatures(d, "doc_id", "text", col("tgt"), buckets = 16))
+    val full = stats(docs).as[(Long, Long, Long)].collect().toSet
+    for (mod <- Seq(2L, 3L)) {
+      val merged = CorpusPrep.mergeDsirStats(
+          stats(docs.filter(col("doc_id") % mod === 0)),
+          stats(docs.filter(col("doc_id") % mod =!= 0)))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(merged == full, s"mod=$mod")
+    }
+    // three-way fold converges too (base + two nightly deltas)
+    val folded = (0L until 3L).map(r => stats(docs.filter(col("doc_id") % 3 === r)))
+      .reduce(CorpusPrep.mergeDsirStats)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(folded == full)
+  }
+
   test("isqrtSql is the exact integer sqrt") {
     val got = spark.range(0, 20000)
       .selectExpr("id", CorpusPrep.isqrtSql("id") + " AS s")

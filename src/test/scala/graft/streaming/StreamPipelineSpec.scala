@@ -409,6 +409,35 @@ class StreamPipelineSpec extends SparkSpec {
     assert(survivors() == Set(0L, 10L, 20L), s"got ${survivors()}")
   }
 
+  test("streaming DSIR model: partial fold == full recompute; replay skips") {
+    import graft.operators.CorpusPrep
+    val state = java.nio.file.Files.createTempDirectory("graft-dsir-state").toString + "/s"
+    def docsOf(rows: (Long, String, Boolean)*) = rows.toDF("doc_id", "text", "tgt")
+    val b0 = docsOf((1L, "alpha beta gamma", true), (2L, "delta epsilon", false))
+    val b1 = docsOf((3L, "alpha beta beta", true), (4L, "beta gamma delta", false))
+    val b2 = docsOf((5L, "gamma gamma alpha beta", false))
+    val B = 16
+    StreamPipeline.dsirStatsBatch(b0, 0L, "doc_id", "text", col("tgt"), state, B)
+    StreamPipeline.dsirStatsBatch(b1, 1L, "doc_id", "text", col("tgt"), state, B)
+    // replayed batch must be a marker no-op
+    StreamPipeline.dsirStatsBatch(b1, 1L, "doc_id", "text", col("tgt"), state, B)
+    StreamPipeline.dsirStatsBatch(b2, 2L, "doc_id", "text", col("tgt"), state, B)
+    val all = b0.unionByName(b1).unionByName(b2)
+    val feats = CorpusPrep.dsirFeatures(all, "doc_id", "text", col("tgt"), B)
+    val lamBatch = CorpusPrep.dsirLambda(CorpusPrep.dsirBucketStats(feats), B)
+      .as[(Long, Long)].collect().toSet
+    val lamStream = StreamPipeline.currentDsirLambda(spark, state, B).get
+      .as[(Long, Long)].collect().toSet
+    assert(lamStream == lamBatch, s"fold != recompute:\n$lamStream\n$lamBatch")
+    // and scoring against the folded model == the one-shot weights
+    val wStream = CorpusPrep.dsirScore(feats,
+        StreamPipeline.currentDsirLambda(spark, state, B).get)
+      .as[(Long, Long, Long)].collect().toSet
+    val wBatch = CorpusPrep.dsirWeights(all, "doc_id", "text", col("tgt"), B)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(wStream == wBatch)
+  }
+
   test("streaming index maintenance: partial fold == full recompute; replay skips") {
     val state = java.nio.file.Files.createTempDirectory("graft-idx-state").toString + "/s"
     def docsOf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
