@@ -354,10 +354,20 @@ object CorpusPrep {
   def temperatureSample(items: DataFrame, groupCol: String, idCol: String,
       nCol: String, budgetNum: Long = 1L, budgetDen: Long = 2L): DataFrame = {
     require(budgetNum >= 1 && budgetDen >= budgetNum)
+    // (grp, id, n) is consumed three times (group stats, totals via
+    // stats, the selection join); without materialization each consumer
+    // re-runs the upstream projection — for the q178 shape that means
+    // re-TOKENIZING the text column per consumer (measured: 3 corpus
+    // scans in the plan). The cached table is 3 fixed-width columns —
+    // corpus-rows but not corpus-bytes.
     val grouped = items.select(col(groupCol).as("grp"),
       col(idCol).cast("long").as("id"), col(nCol).cast("long").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // group-grain (tiny) but with TWO consumers (totals, budgets) that
+    // would otherwise each re-aggregate the corpus-rows cache
     val gstats = grouped.groupBy("grp").agg(sum("n").as("n_g"))
       .selectExpr("grp", "n_g", s"${isqrtSql("n_g")} AS s_g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tots = gstats.agg(sum("n_g").as("n_tot"), sum("s_g").as("s_tot"))
     val budgets = gstats.crossJoin(broadcast(tots))
       .selectExpr("grp",

@@ -173,13 +173,17 @@ object Curation {
         val P = graft.operators.CorpusPrep
         val docs = graft.operators.Fanout.forKernel(
           Tables.load(s, dir, "documents"))
-        def fs(d: org.apache.spark.sql.DataFrame) = P.dsirFeatures(
-          d, "doc_id", "text", isTarget = col("lang") === "de",
-          buckets = 256, ngram = 2)
-        val base = P.dsirBucketStats(fs(docs.filter(col("doc_id") % 10 =!= 0)))
-        val delta = P.dsirBucketStats(fs(docs.filter(col("doc_id") % 10 === 0)))
+        // ONE tokenize+hash pass serves base stats, delta stats and
+        // scoring (filters run at feature grain on the cache); in the
+        // real nightly the base STATS come off the artifact store and
+        // only the delta's features are computed at all
+        val feats = P.dsirFeatures(docs, "doc_id", "text",
+            isTarget = col("lang") === "de", buckets = 256, ngram = 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val base = P.dsirBucketStats(feats.filter(col("doc_id") % 10 =!= 0))
+        val delta = P.dsirBucketStats(feats.filter(col("doc_id") % 10 === 0))
         val lam = P.dsirLambda(P.mergeDsirStats(base, delta), buckets = 256)
-        P.dsirScore(fs(docs), lam)
+        P.dsirScore(feats, lam)
           .orderBy(col("weight_fp").desc, col("doc_id"))
           .limit(100)
       })
