@@ -584,6 +584,64 @@ object Dedup {
         T.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs — the partial-duplicate axis Jaccard
+    * misses: a short doc quoted whole inside a long one has tiny
+    * Jaccard (union is the long doc) but containment
+    * |A∩B| / |A| ≈ 1. The curation move for quote/repost/wrapper
+    * detection: flag the SMALLER doc as contained in the larger.
+    *
+    * Topology is the q171 postings self-join, not any all-pairs form:
+    * distinct `ngram`-shingles per doc meet on the shingle key, and the
+    * df-share cap (drop shingles in > corpus/maxDfShare docs) bounds
+    * the self-join's fan-out by Σ df² over SURVIVING shingles — the
+    * text hot-key cap; boilerplate-grade shingles that would pair
+    * everything with everything never reach the join. Dropping
+    * high-df shingles can only LOWER measured containment, so the
+    * threshold reads "containment among distinctive shingles" — the
+    * deliberate, scale-safe semantics (same argument as q171's tf·idf
+    * weighting).
+    *
+    * Output: one row per ordered candidate pair, inner = the doc with
+    * the smaller distinctive-shingle set (ties by id),
+    * `cont_fp` = inter·65536 / sz_inner ≥ `minContainmentFp`.
+    * Integer end to end → DuckDB-oracle-checkable (q182). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, maxDfShare: Int = 15,
+      minContainmentFp: Long = 6554L): DataFrame = {
+    // distinct shingles per doc: FOUR consumers (sizes, df, join a/b) —
+    // materialized once, the q164/q171 persist rationale
+    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(T.shingles(col(textCol), ngram))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = docs.agg(count(lit(1)).as("n"))
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * maxDfShare <= col("n"))
+      .select("s")
+    // shingle-grain keyed equi-join (rare is shingle-grain — never a
+    // broadcast); the pair aggregate shuffles candidate pairs only.
+    // Sizes count the SAME distinctive universe as the intersection —
+    // numerator and denominator stay coherent, so containment 1.0 is
+    // reachable — three consumers, materialized
+    val rsh = sh.join(rare, "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = rsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = rsh.select(col("s"), col("doc_id").as("ia"))
+      .join(rsh.select(col("s"), col("doc_id").as("ib")), "s")
+      .filter(col("ia") =!= col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sz_a")), "ia")
+      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sz_b")), "ib")
+      .filter(col("sz_a") < col("sz_b") ||
+        (col("sz_a") === col("sz_b") && col("ia") < col("ib")))
+      .withColumn("cont_fp", expr("inter * 65536 div sz_a"))
+      .filter(col("cont_fp") >= minContainmentFp)
+      .select(col("ia").as("inner_id"), col("ib").as("outer_id"),
+        col("inter"), col("sz_a").as("sz_inner"), col("sz_b").as("sz_outer"),
+        col("cont_fp"))
+  }
+
   /** Sub-document (paragraph/chunk) dedup signal — the CCNet/Dolma-style
     * "duplicated paragraph fraction" quality feature. Documents are cut
     * into fixed `chunkTokens`-token chunks (the synthetic corpus has no

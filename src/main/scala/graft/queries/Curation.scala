@@ -186,6 +186,50 @@ object Curation {
         P.dsirScore(feats, lam)
           .orderBy(col("weight_fp").desc, col("doc_id"))
           .limit(100)
-      })
+      }),
+
+    // ---- q182: asymmetric CONTAINMENT pairs — the partial-duplicate
+    // axis Jaccard misses (a short doc quoted whole inside a long one
+    // has tiny Jaccard but containment ≈ 1); the quote/repost/wrapper
+    // detector. Topology is the q171 postings self-join: distinct
+    // trigram shingles meet on the shingle key, the df-share cap
+    // (df·15 ≤ N) prunes boilerplate-grade shingles BEFORE the join —
+    // fan-out bounded by Σ df² over surviving shingles, the text
+    // hot-key cap — and both the intersection and the denominator
+    // count the same distinctive universe, so containment 1.0 is
+    // reachable and the threshold reads "containment among
+    // distinctive shingles". Inner = smaller distinctive set (ties by
+    // id); cont_fp = inter·65536/sz_inner ≥ 0.2. Integer end to
+    // end. ----
+    QuerySpec(
+      "q182_containment_pairs",
+      Some(s"""
+        WITH toksl AS (
+          SELECT doc_id, $tokensSql AS t FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, unnest(${shinglesSql(3)}) AS s FROM toksl),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        rare AS (
+          SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh GROUP BY s) d
+          CROSS JOIN nn WHERE df * 15 <= n),
+        rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rsh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+          FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT ia AS inner_id, ib AS outer_id, inter,
+               sa.sz AS sz_inner, sb.sz AS sz_outer,
+               inter * 65536 // sa.sz AS cont_fp
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = ia
+        JOIN sizes sb ON sb.doc_id = ib
+        WHERE (sa.sz < sb.sz OR (sa.sz = sb.sz AND ia < ib))
+          AND inter * 65536 // sa.sz >= 13108"""),
+      (s, dir) =>
+        graft.operators.Dedup.containmentPairs(
+          graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents")),
+          "doc_id", "text", ngram = 3, maxDfShare = 15,
+          minContainmentFp = 13108L))
   )
 }

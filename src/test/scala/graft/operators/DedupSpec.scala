@@ -401,4 +401,34 @@ class DedupSpec extends SparkSpec {
         s"text must not cross an exchange: ${e.output}")
     }
   }
+
+  test("containmentPairs: full & partial containment, ordering, df cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),         // shingles {a b c, b c d}
+      (2L, "a b c d e f"),     // ⊇ doc 1's shingles + {c d e, d e f}
+      (3L, "x y z w"),         // unrelated
+      (4L, "c d e f g")        // shares {c d e, d e f} with doc 2
+    ).toDF("doc_id", "text")
+    // maxDfShare=2, n=4: shingles with df ≤ 2 survive — here all do
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        ngram = 3, maxDfShare = 2, minContainmentFp = 30000L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // doc 1 fully contained in doc 2 (2/2); doc 4 partially (2/3)
+    assert(got == Set(
+      (1L, 2L, 2L, 2L, 4L, 65536L),
+      (4L, 2L, 2L, 3L, 4L, 2L * 65536L / 3L)), s"got $got")
+    // a boilerplate shingle shared by all docs must be pruned by the
+    // df cap, not pair everything with everything
+    val boiler = Seq(
+      (1L, "w1 w2 w3 a b c"), (2L, "w1 w2 w3 d e f"),
+      (3L, "w1 w2 w3 g h i"), (4L, "w1 w2 w3 j k l"),
+      (5L, "w1 w2 w3 m n o")).toDF("doc_id", "text")
+    val gotB = Dedup.containmentPairs(boiler, "doc_id", "text",
+        ngram = 3, maxDfShare = 2, minContainmentFp = 1L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // "w1 w2 w3" has df=5 > 5/2 — pruned; remaining shingles unique →
+    // no candidate pairs at all
+    assert(gotB.isEmpty, s"df cap failed: ${gotB.toSeq}")
+  }
 }
