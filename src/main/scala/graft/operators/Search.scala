@@ -191,6 +191,63 @@ object Search {
         min(abs(col("pos_a") - col("pos_b"))).as("min_dist"))
   }
 
+  /** Top-k documents per query under the Dirichlet-smoothed
+    * QUERY-LIKELIHOOD model (Zhai & Lafferty 2001) — the other classic
+    * probabilistic ranker next to BM25, in the standard decomposition
+    * that confines work to matching postings:
+    *
+    *   score(q,d) = Σ_{t∈q∩d} log(1 + tf·L/(μ·cf_t))
+    *              + |q| · log(μ/(dl+μ))
+    *
+    * (L = corpus token count, cf = collection frequency, μ the
+    * Dirichlet pseudo-count). The first sum runs over MATCHING
+    * postings only; the second is a per-doc length penalty. In the
+    * 16-bit fixed-point log2: match term = log2fp(μ·cf + tf·L) −
+    * log2fp(μ·cf), doc term = |q|·(log2fp(μ) − log2fp(dl+μ)) —
+    * integer end to end, bit-identical across engines (log2 vs ln is
+    * a positive constant factor on every term: rank-invariant). Query
+    * terms absent from the corpus (cf = 0) are dropped, the standard
+    * OOV treatment; only docs matching ≥ 1 query term are ranked, as
+    * in any candidate-generation top-k. Same topology as [[bm25TopK]]:
+    * the postings materialize once, query-sized tables broadcast, one
+    * doc-keyed join. Output: (query_id, doc_id, score_fp, rk). */
+  def qlTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int, mu: Long = 2000L): DataFrame = {
+    require(mu >= 1)
+    val tf = postings(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(sum("dl").as("l"))
+    val qterms = queries.select(col("term").as("token")).distinct()
+    // collection frequency for query terms only (vocabulary-grain
+    // aggregate, then the tiny semi-join — the q164 df pattern)
+    val cfq = tf.groupBy("token").agg(sum("tf").as("cf"))
+      .join(broadcast(qterms), "token")
+    // |q| counts only in-vocabulary terms — an OOV term is dropped from
+    // the QUERY, not just from the match sum (the dl-dependent length
+    // penalty would otherwise still charge docs for it)
+    val qlen = queries.select(col("query_id"), col("term").as("token"))
+      .join(broadcast(cfq.select(col("token"))), "token")
+      .groupBy("query_id").agg(count(lit(1)).as("qlen"))
+    val hit = tf
+      .join(broadcast(queries.select(col("query_id"), col("term").as("token"))), "token")
+      .join(broadcast(cfq), "token")
+      .crossJoin(broadcast(stats))
+    val matchSum = hit
+      .withColumn("c", expr(
+        s"(${log2FpExpr(s"$mu * cf + tf * l")} - ${log2FpExpr(s"$mu * cf")})"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c").as("match_fp"))
+    val scored = matchSum
+      .join(dl, "doc_id")
+      .join(broadcast(qlen), "query_id")
+      .withColumn("score_fp", expr(
+        s"match_fp + qlen * (${log2FpExpr(mu.toString)} - ${log2FpExpr(s"dl + $mu")})"))
+    val w = Window.partitionBy("query_id").orderBy(col("score_fp").desc, col("doc_id"))
+    scored.select(col("query_id"), col("doc_id"), col("score_fp"))
+      .withColumn("rk", rank().over(w)).filter(col("rk") <= k)
+  }
+
   /** Top-k documents per query under fixed-point BM25. `queries` is a
     * small (query_id, term) table — broadcast, never shuffled. Ties
     * broken by doc id; rank() keeps score ties like every top-per-group

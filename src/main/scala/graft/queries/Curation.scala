@@ -230,6 +230,43 @@ object Curation {
         graft.operators.Dedup.containmentPairs(
           graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents")),
           "doc_id", "text", ngram = 3, maxDfShare = 15,
-          minContainmentFp = 13108L))
+          minContainmentFp = 13108L)),
+
+    // ---- q184: n-gram NOVELTY profile — per doc, the share of its
+    // distinct 5-gram shingles that appear NOWHERE else in the corpus
+    // (df = 1). The memorization/duplication risk signal: low novelty
+    // means the doc is assembled from text the corpus already has
+    // (templates, quotes, near-dups that slipped past pair-level
+    // dedup); the complement of q139's boilerplate view, at doc grain.
+    // Exactly two exchanges at any scale: the df window partitions by
+    // the shingle (each shingle's group is its df ≤ corpus docs), and
+    // the per-doc reduce partitions by doc — text never moves after
+    // the tokenize. Integer ratio → hash-gated. ----
+    QuerySpec(
+      "q184_ngram_novelty",
+      Some(s"""
+        WITH toksl AS (
+          SELECT doc_id, $tokensSql AS t FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, unnest(${shinglesSql(5)}) AS s FROM toksl),
+        d AS (
+          SELECT doc_id, COUNT(*) OVER (PARTITION BY s) AS df FROM sh)
+        SELECT doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unique,
+               CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 * 65536 // COUNT(*) AS novelty_fp
+        FROM d GROUP BY doc_id"""),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"),
+            explode(array_distinct(T.shingles(col("text"), 5))).as("s"))
+          .withColumn("df", count(lit(1)).over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
+          .withColumn("novelty_fp", expr("n_unique * 65536 div n_shingles"))
+      })
   )
 }

@@ -315,6 +315,64 @@ object Retrieval {
           .filter(col("rk") <= 10)
           .select(col("pair_id"), col("doc_id"), col("n_pairs"),
             col("min_dist"), col("rk"))
+      }),
+
+    // ---- q183: Dirichlet query-likelihood top-10 — the OTHER classic
+    // probabilistic ranker next to BM25 (Zhai & Lafferty), in the
+    // match-confined decomposition: Σ_{t∈q∩d} log(1 + tf·L/(μ·cf)) +
+    // |q|·log(μ/(dl+μ)), all in the 16-bit fixed-point log2 (log2 vs
+    // ln is a positive constant factor per term — rank-invariant), so
+    // scores hash bit-for-bit. μ = 2000, the literature default.
+    // Same workload and topology as q164 (one text scan via the
+    // persisted postings, query-sized broadcasts, one doc-keyed
+    // join) — a retrieval stack ships both rankers over one index. ----
+    QuerySpec(
+      "q183_ql_dirichlet_topk",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+        tf AS (
+          SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        stats AS (
+          SELECT (SELECT CAST(SUM(tf) AS BIGINT) FROM tf) AS l),
+        qt AS (
+          SELECT * FROM (VALUES $queryValuesSql) AS v(query_id, term)),
+        cfq AS (
+          SELECT token, CAST(SUM(tf) AS BIGINT) AS cf FROM tf
+          WHERE token IN (SELECT term FROM qt) GROUP BY token),
+        qlen AS (
+          SELECT query_id, COUNT(*) AS qlen FROM qt
+          WHERE term IN (SELECT token FROM cfq) GROUP BY query_id),
+        msum AS (
+          SELECT qt.query_id, tf.doc_id,
+                 CAST(SUM(${log2FpSql("2000 * cf + tf * l")}
+                        - ${log2FpSql("2000 * cf")}) AS BIGINT) AS match_fp
+          FROM tf
+          JOIN qt ON qt.term = tf.token
+          JOIN cfq ON cfq.token = tf.token
+          CROSS JOIN stats
+          GROUP BY 1, 2),
+        scores AS (
+          SELECT m.query_id, m.doc_id,
+                 m.match_fp + q.qlen *
+                   (${log2FpSql("2000")} - ${log2FpSql("dl + 2000")}) AS score_fp
+          FROM msum m JOIN dl USING (doc_id) JOIN qlen q USING (query_id))
+        SELECT query_id, doc_id, score_fp, rk FROM (
+          SELECT query_id, doc_id, score_fp,
+                 rank() OVER (PARTITION BY query_id
+                              ORDER BY score_fp DESC, doc_id) AS rk
+          FROM scores) r
+        WHERE rk <= 10"""),
+      (s, dir) => {
+        import s.implicits._
+        val queries = queryTerms.toDF("query_id", "term")
+        graft.operators.Search.qlTopK(
+          Tables.load(s, dir, "documents"), "doc_id", "text", queries,
+          k = 10, mu = 2000L)
+          .select(col("query_id"), col("doc_id"), col("score_fp"),
+            col("rk").cast("long").as("rk"))
       })
   )
 }

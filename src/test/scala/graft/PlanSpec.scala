@@ -140,7 +140,8 @@ class PlanSpec extends SparkSpec {
       "q179_ann_sq8_recall",           // brute exact baseline + 1-row SQ codebook broadcast (q172/q20)
       "q180_pmi_collocations",         // 1-row bigram-total broadcast cross join (q20 pattern)
       "q181_dsir_incremental",         // 1-row feature-total broadcast cross join (q177 pattern)
-      "q182_containment_pairs")        // 1-row corpus-count broadcast cross join (q171 pattern)
+      "q182_containment_pairs",        // 1-row corpus-count broadcast cross join (q171 pattern)
+      "q183_ql_dirichlet_topk")        // 1-row corpus-token-total broadcast cross join (q164 pattern)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(deliberate)
       .flatMap { name =>

@@ -112,6 +112,53 @@ class SearchSpec extends SparkSpec {
     assert(got((0, 3L)) == ((2L, 2L)))   // x at 2 pairs with y at 0 and y at 4
   }
 
+  test("qlTopK matches a scalar replay; OOV terms drop from |q|") {
+    val queries = Seq((0, "fox"), (0, "quick"), (0, "zzzunseen"), (1, "lazy"))
+      .toDF("query_id", "term")
+    val mu = 50L
+    val got = Search.qlTopK(docs, "doc_id", "text", queries, k = 10, mu = mu)
+      .select("query_id", "doc_id", "score_fp", "rk")
+      .as[(Int, Long, Long, Int)].collect()
+      .map { case (q, d, s, r) => (q, d) -> (s, r) }.toMap
+
+    val texts = Map(0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "the quick quick fox", 2L -> "lazy lazy lazy dog dog",
+      3L -> "a completely unrelated document about sparks", 4L -> "fox")
+    val toks = texts.view.mapValues(_.split(" ").toSeq).toMap
+    val l = toks.values.map(_.size).sum.toLong
+    def log2Fp(x: Long): Long = {
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      msb * 65536L + ((x - (1L << msb)) * 65536L) / (1L << msb)
+    }
+    def cf(t: String): Long = toks.values.map(_.count(_ == t)).sum.toLong
+    def score(qterms: Seq[String], d: Long): Long = {
+      val inVocab = qterms.filter(cf(_) > 0)
+      val dlen = toks(d).size.toLong
+      val m = inVocab.map { t =>
+        val tf = toks(d).count(_ == t).toLong
+        if (tf == 0) 0L
+        else log2Fp(mu * cf(t) + tf * l) - log2Fp(mu * cf(t))
+      }.sum
+      m + inVocab.size * (log2Fp(mu) - log2Fp(dlen + mu))
+    }
+    for (((q, d), (s, _)) <- got) {
+      val qterms = if (q == 0) Seq("fox", "quick", "zzzunseen") else Seq("lazy")
+      assert(s == score(qterms, d), s"query $q doc $d")
+    }
+    // the OOV term must not change ranking vs the 2-term query
+    val noOov = Search.qlTopK(docs, "doc_id", "text",
+        Seq((0, "fox"), (0, "quick")).toDF("query_id", "term"), k = 10, mu = mu)
+      .select("query_id", "doc_id", "score_fp")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(noOov == got.collect { case ((0, d), (s, _)) => (0, d, s) }.toSet)
+    // relevance sanity: doc 1 ("the quick quick fox") matches BOTH
+    // terms in 4 tokens — it outranks the single-term docs
+    assert(got((0, 1L))._2 == 1)
+    assert(got.contains((0, 4L)))
+    // doc 3 matches nothing: absent
+    assert(!got.contains((0, 3L)) && !got.contains((1, 3L)))
+  }
+
   test("bm25TopK matches a scalar brute-force replay, ranks relevance sanely") {
     val queries = Seq((0, "fox"), (0, "quick"), (1, "lazy")).toDF("query_id", "term")
     val got = Search.bm25TopK(docs, "doc_id", "text", queries, k = 10)
