@@ -212,10 +212,18 @@ object Search {
     * the postings materialize once, query-sized tables broadcast, one
     * doc-keyed join. Output: (query_id, doc_id, score_fp, rk). */
   def qlTopK(docs: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, k: Int, mu: Long = 2000L): DataFrame = {
+      queries: DataFrame, k: Int, mu: Long = 2000L): DataFrame =
+    qlFromPostings(
+      postings(docs, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      queries, k, mu)
+
+  /** [[qlTopK]] over an already-materialized postings table — the form
+    * a serving stack uses: ONE index, many rankers (q185 fuses this
+    * with [[bm25FromPostings]] over a single postings build). */
+  def qlFromPostings(tf: DataFrame, queries: DataFrame, k: Int,
+      mu: Long = 2000L): DataFrame = {
     require(mu >= 1)
-    val tf = postings(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(sum("dl").as("l"))
     val qterms = queries.select(col("term").as("token")).distinct()
@@ -253,7 +261,7 @@ object Search {
     * broken by doc id; rank() keeps score ties like every top-per-group
     * query in the catalog. Output: (query_id, doc_id, score_fp, rk). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, k: Int): DataFrame = {
+      queries: DataFrame, k: Int): DataFrame =
     // The postings feed FOUR consumers (query hits, df, doc lengths,
     // corpus totals); without materialization Spark re-plans the
     // text scan + tokenize for each one (measured: 4 text scans in
@@ -261,17 +269,26 @@ object Search {
     // exactly what a search indexer does — the index IS a materialized
     // artifact — and in the q169 incremental regime it's read back
     // from parquet rather than recomputed at all.
-    val tf = postings(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bm25FromPostings(
+      postings(docs, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      docs.agg(count(lit(1)).as("n")), queries, k)
+
+  /** [[bm25TopK]] over an already-materialized postings table (the
+    * one-index-many-rankers form; see [[qlFromPostings]]).
+    * @param docCount 1-row (n) frame — the corpus doc count INCLUDING
+    *                 token-free docs, which the postings can't see
+    *                 (from a doc_id-only scan: parquet serves it
+    *                 without touching text bytes). */
+  def bm25FromPostings(tf: DataFrame, docCount: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
     // document length and total-token count DERIVE from the postings
     // (dl = Σ tf — identical to tokenCount for every doc that has
     // tokens, and token-free docs can't score anyway), so the text
-    // column is scanned ONCE; N comes from a doc_id-only scan, which
-    // parquet serves without touching text bytes. At 100 TB the text
-    // scan IS the cost — this was 3 scans before the r12 audit.
+    // column is scanned ONCE. At 100 TB the text scan IS the cost —
+    // this was 3 scans before the r12 audit.
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val stats = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(dl.agg(sum("dl").as("l")))
+    val stats = docCount.crossJoin(dl.agg(sum("dl").as("l")))
     val qterms = queries.select(col("term").as("token")).distinct()
     // df only for query terms: vocabulary-grain aggregate, then the
     // tiny query-term semi-join — the broadcast stays query-sized

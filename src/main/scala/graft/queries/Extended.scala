@@ -2685,6 +2685,104 @@ object Extended {
           .agg(count(lit(1)).as("n_exact"),
             sum(when(col("sq_vid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
           .withColumn("recall_fp", expr("(n_hit * 65536) div n_exact"))
+      }),
+
+    // ---- q186: TWO-STAGE serving — SQ8 first stage (q179's codes
+    // scan the corpus) proposes top-20 candidates per query, then the
+    // REFINE step fetches full-precision vectors for candidates ONLY
+    // (a query-sized broadcast join — ~20·|queries| rows touch raw
+    // vectors, not the corpus) and exact-reranks to top-5. This is the
+    // standard production path (FAISS's refine / two-tower serving):
+    // the quantized index bounds the scan, exactness comes from a
+    // join that moves almost nothing. Integer end to end. ----
+    QuerySpec(
+      "q186_ann_sq8_refine",
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), dims AS (
+          SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM (
+            SELECT u.d AS d, v[u.d] AS x
+            FROM qz, unnest(generate_series(1, len(v))) AS u(d)) e
+          GROUP BY d
+        ), cb AS (
+          SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+          FROM dims
+        ), recon AS (
+          SELECT vec_id,
+                 list_transform(generate_series(1, len(v)), i ->
+                   mns[i]*255 + ((v[i] - mns[i]) * 255 //
+                     (CASE WHEN mxs[i] - mns[i] > 0
+                           THEN mxs[i] - mns[i] ELSE 1 END))
+                     * (mxs[i] - mns[i])) AS r
+          FROM qz CROSS JOIN cb
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 20
+        ), cand AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY CAST(list_sum(list_transform(
+                       generate_series(1, len(c.r)),
+                       i -> c.r[i] * q.qv[i])) AS BIGINT) DESC, c.vec_id) AS rank
+            FROM recon c, q
+            WHERE c.vec_id <> q.query_id) t
+          WHERE rank <= 20
+        )
+        SELECT query_id, vec_id, dot, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT cand.query_id, cand.vec_id,
+                 CAST(list_sum(list_transform(generate_series(1, len(c.v)),
+                   i -> c.v[i] * q.qv[i])) AS BIGINT) AS dot,
+                 ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                   ORDER BY CAST(list_sum(list_transform(generate_series(1, len(c.v)),
+                     i -> c.v[i] * q.qv[i])) AS BIGINT) DESC, cand.vec_id) AS rank
+          FROM cand
+          JOIN qz c ON c.vec_id = cand.vec_id
+          JOIN q ON q.query_id = cand.query_id) t
+        WHERE rank <= 5"""),
+      (s, dir) => {
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        val corpus = emb.select(col("vec_id").cast("long").as("vec_id"), quant.as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dims = corpus.select(posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+        val cb = dims.agg(
+          expr("transform(sort_array(collect_list(struct(d, mn))), s -> s.mn)").as("mns"),
+          expr("transform(sort_array(collect_list(struct(d, mx))), s -> s.mx)").as("mxs"))
+        val recon = corpus.crossJoin(broadcast(cb))
+          .withColumn("r", expr(
+            """transform(sequence(0, size(v) - 1), i ->
+                 element_at(mns, i+1) * 255 +
+                 ((element_at(v, i+1) - element_at(mns, i+1)) * 255 div
+                    greatest(element_at(mxs, i+1) - element_at(mns, i+1), 1L))
+                   * (element_at(mxs, i+1) - element_at(mns, i+1)))"""))
+          .select(col("vec_id"), col("r"))
+        val queries = corpus.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val wC = Window.partitionBy(col("query_id"))
+          .orderBy(col("dot_sq").desc, col("vec_id"))
+        val cand = recon.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.VectorFunctions.longDot(col("r"), col("qv")).as("dot_sq"))
+          .withColumn("rank", row_number().over(wC)).filter(col("rank") <= 20)
+          .select(col("query_id"), col("vec_id"))
+        // REFINE: full-precision vectors fetched for candidates only —
+        // the broadcast is |queries|·20 pairs; the corpus streams
+        // through one keyed join and the raw vectors never fan out
+        val wR = Window.partitionBy(col("query_id"))
+          .orderBy(col("dot").desc, col("vec_id"))
+        corpus.join(broadcast(cand), "vec_id")
+          .join(broadcast(queries), "query_id")
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.VectorFunctions.longDot(col("v"), col("qv")).as("dot"))
+          .withColumn("rank", row_number().over(wR).cast("long"))
+          .filter(col("rank") <= 5)
       })
   )
 }

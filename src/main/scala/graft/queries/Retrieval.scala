@@ -373,6 +373,110 @@ object Retrieval {
           k = 10, mu = 2000L)
           .select(col("query_id"), col("doc_id"), col("score_fp"),
             col("rk").cast("long").as("rk"))
+      }),
+
+    // ---- q185: RECIPROCAL RANK FUSION of BM25 + query-likelihood —
+    // the hybrid-search staple (Cormack et al.: rrf = Σ 1/(60+rank),
+    // here 65536//(60+rk), integer floor — deterministic on both
+    // engines). The load-bearing shape: ONE postings build feeds BOTH
+    // rankers (`bm25FromPostings` / `qlFromPostings` over the same
+    // persisted index — one index, many rankers, the way a serving
+    // stack actually runs), then the two top-10 lists full-outer-join
+    // on (query, doc) — rank-table-sized, not corpus-sized — and the
+    // fused top-5 keeps each system's rank as evidence (null = that
+    // system didn't retrieve the doc). ----
+    QuerySpec(
+      "q185_rrf_fusion",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+        tf AS (
+          SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        stats AS (
+          SELECT (SELECT COUNT(*) FROM documents) AS n,
+                 (SELECT CAST(SUM(tf) AS BIGINT) FROM tf) AS l),
+        qt AS (
+          SELECT * FROM (VALUES $queryValuesSql) AS v(query_id, term)),
+        dfq AS (
+          SELECT token, COUNT(*) AS df FROM tf
+          WHERE token IN (SELECT term FROM qt) GROUP BY token),
+        bcontrib AS (
+          SELECT qt.query_id, tf.doc_id,
+                 (${log2FpSql("2*n + 2")} - ${log2FpSql("2*df + 1")})
+                   * (tf * 22 * l) // (10 * l * tf + 3 * l + 9 * dl * n) AS c
+          FROM tf
+          JOIN qt ON qt.term = tf.token
+          JOIN dfq ON dfq.token = tf.token
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats),
+        bm AS (
+          SELECT query_id, doc_id, rk FROM (
+            SELECT query_id, doc_id,
+                   rank() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rk
+            FROM (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score
+                  FROM bcontrib GROUP BY 1, 2) s) r
+          WHERE rk <= 10),
+        cfq AS (
+          SELECT token, CAST(SUM(tf) AS BIGINT) AS cf FROM tf
+          WHERE token IN (SELECT term FROM qt) GROUP BY token),
+        qlen AS (
+          SELECT query_id, COUNT(*) AS qlen FROM qt
+          WHERE term IN (SELECT token FROM cfq) GROUP BY query_id),
+        msum AS (
+          SELECT qt.query_id, tf.doc_id,
+                 CAST(SUM(${log2FpSql("2000 * cf + tf * l")}
+                        - ${log2FpSql("2000 * cf")}) AS BIGINT) AS match_fp
+          FROM tf
+          JOIN qt ON qt.term = tf.token
+          JOIN cfq ON cfq.token = tf.token
+          CROSS JOIN stats
+          GROUP BY 1, 2),
+        ql AS (
+          SELECT query_id, doc_id, rk FROM (
+            SELECT m.query_id, m.doc_id,
+                   rank() OVER (PARTITION BY m.query_id
+                                ORDER BY m.match_fp + q.qlen *
+                                  (${log2FpSql("2000")} - ${log2FpSql("dl + 2000")})
+                                  DESC, m.doc_id) AS rk
+            FROM msum m JOIN dl USING (doc_id) JOIN qlen q USING (query_id)) r
+          WHERE rk <= 10),
+        fused AS (
+          SELECT query_id, doc_id,
+                 bm.rk AS rk_bm, ql.rk AS rk_ql,
+                 COALESCE(65536 // (60 + bm.rk), 0)
+               + COALESCE(65536 // (60 + ql.rk), 0) AS rrf_fp
+          FROM bm FULL OUTER JOIN ql USING (query_id, doc_id))
+        SELECT query_id, doc_id, rk_bm, rk_ql,
+               CAST(rrf_fp AS BIGINT) AS rrf_fp, rk FROM (
+          SELECT *, rank() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_fp DESC, doc_id) AS rk
+          FROM fused) r
+        WHERE rk <= 5"""),
+      (s, dir) => {
+        import s.implicits._
+        val S = graft.operators.Search
+        val queries = queryTerms.toDF("query_id", "term")
+        val docs = Tables.load(s, dir, "documents")
+        val tf = S.postings(docs, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bm = S.bm25FromPostings(tf, docs.agg(count(lit(1)).as("n")),
+            queries, k = 10)
+          .select(col("query_id"), col("doc_id"), col("rk").cast("long").as("rk_bm"))
+        val ql = S.qlFromPostings(tf, queries, k = 10, mu = 2000L)
+          .select(col("query_id"), col("doc_id"), col("rk").cast("long").as("rk_ql"))
+        val fused = bm.join(ql, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("rrf_fp", expr(
+            """coalesce(65536 div (60 + rk_bm), CAST(0 AS BIGINT))
+             + coalesce(65536 div (60 + rk_ql), CAST(0 AS BIGINT))"""))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("rrf_fp").desc, col("doc_id"))
+        fused.withColumn("rk", rank().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("doc_id"), col("rk_bm"), col("rk_ql"),
+            col("rrf_fp"), col("rk"))
       })
   )
 }

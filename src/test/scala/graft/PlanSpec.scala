@@ -141,7 +141,9 @@ class PlanSpec extends SparkSpec {
       "q180_pmi_collocations",         // 1-row bigram-total broadcast cross join (q20 pattern)
       "q181_dsir_incremental",         // 1-row feature-total broadcast cross join (q177 pattern)
       "q182_containment_pairs",        // 1-row corpus-count broadcast cross join (q171 pattern)
-      "q183_ql_dirichlet_topk")        // 1-row corpus-token-total broadcast cross join (q164 pattern)
+      "q183_ql_dirichlet_topk",        // 1-row corpus-token-total broadcast cross join (q164 pattern)
+      "q185_rrf_fusion",               // same 1-row stats cross joins via both rankers (q164 pattern)
+      "q186_ann_sq8_refine")           // SQ8 candidate scan + 1-row codebook broadcast (q179 pattern)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(deliberate)
       .flatMap { name =>
