@@ -308,4 +308,60 @@ object Search {
     val w = Window.partitionBy("query_id").orderBy(col("score_fp").desc, col("doc_id"))
     scored.withColumn("rk", rank().over(w)).filter(col("rk") <= k)
   }
+
+  /** Offline ranking-quality evaluation — MRR and nDCG@k in the
+    * catalog's 16-bit fixed point, the metrics an IR/retrieval team
+    * gates index changes on. Inputs:
+    *   - `ranked`: (query_id, doc_id, rk) with rk a STRICT 1..k
+    *     position (the q164 ordering — score desc, doc_id — is total,
+    *     so rank() == row_number() there);
+    *   - `qrels`: (query_id, doc_id, rel) graded relevance, rel ≥ 1.
+    * DCG uses the standard (2^rel − 1) / log2(pos+1) gain with log2 in
+    * the 16.16 fixed point, so every metric is integer end to end and
+    * hash-replayable. MRR's "relevant" is rel ≥ `mrrMinRel`.
+    *
+    * Scale shape: DCG is a (query,doc)-keyed LEFT join of two
+    * rank-table-sized frames; IDCG never sorts the qrels — it
+    * aggregates per (query, rel) counts (the rel DOMAIN is tiny: ≤ the
+    * max grade, e.g. |query| for AND-match grading) and expands only
+    * the ≤k ideal positions via sequence(), so no per-query reducer
+    * ever sees more than the grade-domain rows. */
+  def rankingMetrics(ranked: DataFrame, qrels: DataFrame, k: Int,
+      mrrMinRel: Int): DataFrame = {
+    val dcgDen = log2FpExpr("rk + 1")
+    val dcg = ranked.select(col("query_id"), col("doc_id"),
+        col("rk").cast("long").as("rk"))
+      .join(qrels.select(col("query_id"), col("doc_id"), col("rel")),
+        Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(expr(s"((shiftleft(CAST(1 AS BIGINT), CAST(coalesce(rel, 0) AS INT)) - 1)" +
+          s" * 4294967296) div ($dcgDen)")).as("dcg_fp"),
+        coalesce(expr(
+          s"CAST(65536 AS BIGINT) div min(CASE WHEN rel >= $mrrMinRel THEN rk END)"),
+          lit(0L)).as("mrr_fp"))
+    // ideal DCG from (query, rel)-level COUNTS: cumulative spans over
+    // the rel domain (bounded), ideal positions 1..min(total, k) via a
+    // tiny sequence() expansion — the qrel set itself is never sorted
+    val levels = qrels.groupBy("query_id", "rel").agg(count(lit(1)).as("cnt"))
+    val wRel = Window.partitionBy("query_id").orderBy(col("rel").desc)
+    val spans = levels
+      .withColumn("cum", sum("cnt").over(
+        wRel.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("startp", col("cum") - col("cnt") + 1)
+      .withColumn("endp", least(col("cum"), lit(k.toLong)))
+      .filter(col("startp") <= k)
+    val idcgDen = log2FpExpr("pos + 1")
+    val idcg = spans
+      .select(col("query_id"), col("rel"),
+        explode(expr("sequence(startp, endp)")).as("pos"))
+      .groupBy("query_id")
+      .agg(sum(expr(s"((shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT)) - 1)" +
+        s" * 4294967296) div ($idcgDen)")).as("idcg_fp"))
+    dcg.join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("mrr_fp"), col("dcg_fp"),
+        coalesce(col("idcg_fp"), lit(0L)).as("idcg_fp"))
+      .withColumn("ndcg_fp", expr(
+        "CASE WHEN idcg_fp > 0 THEN (dcg_fp * 65536) div idcg_fp ELSE 0 END"))
+  }
 }

@@ -42,6 +42,19 @@ object Retrieval {
   private val queryValuesSql: String =
     queryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
+  /** The q187 evaluation workload: every query carries the corpus's
+    * one genuinely rare term ("dup", df ≈ 5% of docs) so the AND-match
+    * grades actually vary — with common-only terms every document
+    * grades maximal and nDCG degenerates to 1.0 for any ranking,
+    * gating nothing. */
+  private val evalTerms: Seq[(Int, String)] = Seq(
+    0 -> "spark", 0 -> "window", 0 -> "dup",
+    1 -> "hash", 1 -> "dup", 1 -> "customer",
+    2 -> "vector", 2 -> "dup", 2 -> "the")
+
+  private val evalValuesSql: String =
+    evalTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
   /** The fixed phrase workload (phrase_id, 0-based slot idx, term) —
     * phrase 2 repeats a term to exercise the multi-slot vote path. */
   private val phraseTerms: Seq[(Int, Int, String)] = Seq(
@@ -477,6 +490,106 @@ object Retrieval {
           .filter(col("rk") <= 5)
           .select(col("query_id"), col("doc_id"), col("rk_bm"), col("rk_ql"),
             col("rrf_fp"), col("rk"))
+      }),
+
+    // ---- q187: OFFLINE RANKING EVALUATION — MRR and nDCG@10 of the
+    // q164 BM25 run against deterministic graded qrels derived from
+    // the corpus itself: rel(q,d) = number of q's terms d contains
+    // (AND-match grading; "fully relevant" for MRR = all 3). The
+    // metrics are integer end to end (gain (2^rel−1), log2 in the
+    // 16.16 fixed point, floor divisions), so the whole eval hash-
+    // replays in DuckDB — an IR team's index-change gate as dataflow.
+    // Scale shape: DCG is a rank-table-sized left join; IDCG never
+    // sorts qrels — per-(query,rel) COUNTS (rel domain ≤ 3) expand to
+    // the ≤10 ideal positions via sequence(). ----
+    QuerySpec(
+      "q187_ir_metrics",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+        tf AS (
+          SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        stats AS (
+          SELECT (SELECT COUNT(*) FROM documents) AS n,
+                 (SELECT CAST(SUM(tf) AS BIGINT) FROM tf) AS l),
+        qt AS (
+          SELECT * FROM (VALUES $evalValuesSql) AS v(query_id, term)),
+        dfq AS (
+          SELECT token, COUNT(*) AS df FROM tf
+          WHERE token IN (SELECT term FROM qt) GROUP BY token),
+        contrib AS (
+          SELECT qt.query_id, tf.doc_id,
+                 (${log2FpSql("2*n + 2")} - ${log2FpSql("2*df + 1")})
+                   * (tf * 22 * l) // (10 * l * tf + 3 * l + 9 * dl * n) AS c
+          FROM tf
+          JOIN qt ON qt.term = tf.token
+          JOIN dfq ON dfq.token = tf.token
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats),
+        ranked AS (
+          SELECT query_id, doc_id, rk FROM (
+            SELECT query_id, doc_id,
+                   rank() OVER (PARTITION BY query_id
+                                ORDER BY score_fp DESC, doc_id) AS rk
+            FROM (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_fp
+                  FROM contrib GROUP BY 1, 2) s) r
+          WHERE rk <= 10),
+        qrel AS (
+          SELECT qt.query_id, tf.doc_id, COUNT(*) AS rel
+          FROM tf JOIN qt ON qt.term = tf.token
+          GROUP BY 1, 2),
+        dcg AS (
+          SELECT r.query_id,
+                 CAST(SUM(((CAST(1 AS BIGINT) << CAST(COALESCE(q.rel, 0) AS INT)) - 1)
+                      * 4294967296 // (${log2FpSql("r.rk + 1")})) AS BIGINT) AS dcg_fp,
+                 CAST(COALESCE(65536 // MIN(CASE WHEN q.rel >= 3 THEN r.rk END), 0)
+                      AS BIGINT) AS mrr_fp
+          FROM ranked r
+          LEFT JOIN qrel q ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+          GROUP BY 1),
+        levels AS (
+          SELECT query_id, rel, COUNT(*) AS cnt FROM qrel GROUP BY 1, 2),
+        spans AS (
+          SELECT query_id, rel,
+                 CAST(SUM(cnt) OVER (PARTITION BY query_id ORDER BY rel DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cnt + 1 AS BIGINT) AS startp,
+                 CAST(LEAST(SUM(cnt) OVER (PARTITION BY query_id ORDER BY rel DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 10) AS BIGINT) AS endp
+          FROM levels),
+        ipos AS (
+          SELECT query_id, rel, unnest(generate_series(startp, endp)) AS pos
+          FROM spans WHERE startp <= 10),
+        idcg AS (
+          SELECT query_id,
+                 CAST(SUM(((CAST(1 AS BIGINT) << CAST(rel AS INT)) - 1)
+                      * 4294967296 // (${log2FpSql("pos + 1")})) AS BIGINT) AS idcg_fp
+          FROM ipos GROUP BY 1)
+        SELECT d.query_id, d.mrr_fp, d.dcg_fp,
+               CAST(COALESCE(i.idcg_fp, 0) AS BIGINT) AS idcg_fp,
+               CAST(CASE WHEN COALESCE(i.idcg_fp, 0) > 0
+                    THEN d.dcg_fp * 65536 // i.idcg_fp ELSE 0 END AS BIGINT) AS ndcg_fp
+        FROM dcg d LEFT JOIN idcg i ON i.query_id = d.query_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val S = graft.operators.Search
+        val docs = Tables.load(s, dir, "documents")
+        val queries = evalTerms.toDF("query_id", "term")
+        val tf = S.postings(docs, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ranked = S.bm25FromPostings(tf, docs.agg(count(lit(1)).as("n")),
+            queries, k = 10)
+          .select(col("query_id"), col("doc_id"), col("rk"))
+        // graded qrels from the same postings: (token, doc) is unique in
+        // tf and each query's terms are distinct, so COUNT(*) = number
+        // of distinct query terms the doc contains
+        val qrels = tf
+          .join(broadcast(queries.select(col("query_id"), col("term").as("token"))),
+            "token")
+          .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
+        S.rankingMetrics(ranked, qrels, k = 10, mrrMinRel = 3)
       })
   )
 }

@@ -198,4 +198,31 @@ class SearchSpec extends SparkSpec {
     // query 1: only doc 2 and doc 0 contain "lazy"; doc 2 wins on tf
     assert(got((1, 2L))._2 == 1 && got((1, 0L))._2 == 2)
   }
+
+  test("rankingMetrics: closed-form MRR/nDCG on a hand-built ranking") {
+    // query 0: ranked docs 10,11,12 with rel 1,3,(none) — the ideal
+    // order is rel 3 first, so DCG < IDCG and the first rel≥2 hit is
+    // at position 2; query 1: perfect ranking → nDCG = 65536 exactly
+    val ranked = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (1L, 20L, 1L), (1L, 21L, 2L)).toDF("query_id", "doc_id", "rk")
+    val qrels = Seq((0L, 10L, 1L), (0L, 11L, 3L), (0L, 13L, 2L),
+      (1L, 20L, 2L), (1L, 21L, 1L)).toDF("query_id", "doc_id", "rel")
+    val got = Search.rankingMetrics(ranked, qrels, k = 3, mrrMinRel = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (q, mrr, dcg, idcg, ndcg) => q -> ((mrr, dcg, idcg, ndcg)) }
+      .toMap
+    def log2Fp(x: Long): Long = {
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      msb * 65536L + ((x - (1L << msb)) * 65536L) / (1L << msb)
+    }
+    def g(rel: Long, pos: Long): Long = ((1L << rel) - 1) * 4294967296L / log2Fp(pos + 1)
+    // query 0 DCG: rel 1 at pos 1, rel 3 at pos 2, unjudged at pos 3;
+    // ideal: rel 3,2,1 at pos 1,2,3 (doc 13 is relevant but unranked)
+    val dcg0 = g(1, 1) + g(3, 2)
+    val idcg0 = g(3, 1) + g(2, 2) + g(1, 3)
+    assert(got(0L) == ((65536L / 2, dcg0, idcg0, dcg0 * 65536 / idcg0)))
+    // query 1: ranking == ideal → nDCG exactly 1.0 in fixed point
+    val dcg1 = g(2, 1) + g(1, 2)
+    assert(got(1L) == ((65536L, dcg1, dcg1, 65536L)))
+  }
 }
