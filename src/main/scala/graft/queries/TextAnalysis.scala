@@ -416,6 +416,115 @@ object TextAnalysis {
           .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
           .limit(20)),
 
+    // ---- q188: LSH CANDIDATE-RECALL EVALUATION — the measured S-curve
+    // of the q91 banding config (k=32, 8 bands of 4 rows): exact
+    // Jaccard ground truth over a bounded evaluation slice, bucketed by
+    // integer similarity decile ((10·|∩|) div |∪| — no float crosses an
+    // engine boundary), LEFT-joined against the PRE-verification
+    // candidate pairs the banded bucket join emits. Per bucket:
+    // n_truth, n_hit, recall_fp. This is the number a dedup team tunes
+    // bands/rows against — theory says P(cand) = 1−(1−j^4)^8; this
+    // measures it on the actual corpus. The brute truth is the q39
+    // protocol (offline eval on a deterministic sample — at 100 TB you
+    // sample ~10k docs, never all-pairs the corpus); the candidate side
+    // runs the REAL production operator (minhashCandidatePairs,
+    // threshold 0 = keep every bucket pair) with the md5 family, so
+    // DuckDB replays signature→band→bucket→pair exactly (q91
+    // playbook). ----
+    QuerySpec(
+      "q188_lsh_recall_eval",
+      Some {
+        val k = 32; val bands = 8; val rows = k / bands
+        val (as, bs) = graft.functions.MinHashSignature.coefficients(k)
+        def unsigned(v: Long): java.math.BigInteger =
+          if (v >= 0) java.math.BigInteger.valueOf(v)
+          else java.math.BigInteger.valueOf(v).add(java.math.BigInteger.ONE.shiftLeft(64))
+        val coeffRows = (0 until k).map(j =>
+          s"($j, CAST('${unsigned(as(j))}' AS HUGEINT), CAST('${unsigned(bs(j))}' AS HUGEINT))")
+          .mkString(",\n          ")
+        s"""
+        WITH coeffs(j, a, b) AS (VALUES
+          $coeffRows),
+        toks AS (
+          SELECT doc_id, CASE WHEN nrm = '' THEN [] ELSE string_split(nrm, ' ') END AS t
+          FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
+                FROM documents WHERE doc_id < 300)
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' ')) END,
+                   s -> list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                          list_transform(range(1, 17),
+                            i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS HUGEINT))),
+                          (acc, d) -> acc * 16 + d))) AS hs
+          FROM toks
+        ), expl AS (SELECT doc_id, unnest(hs) AS x FROM sh),
+        scoredh AS (
+          SELECT e.doc_id, c.j,
+                 ((c.a * (e.x // 4294967296)) % 4294967296 * 4294967296
+                   + c.a * (e.x % 4294967296) + c.b) % 18446744073709551616 AS hv
+          FROM expl e CROSS JOIN coeffs c
+        ), minh AS (
+          SELECT doc_id, j,
+                 MIN(CAST(CASE WHEN hv >= 9223372036854775808
+                               THEN hv - 18446744073709551616 ELSE hv END AS BIGINT)) AS m
+          FROM scoredh GROUP BY 1, 2
+        ), sigs AS (
+          SELECT doc_id, list(m ORDER BY j) AS sig FROM minh GROUP BY 1
+        ), banded AS (
+          SELECT doc_id, b, sig[b*$rows+1 : b*$rows+$rows] AS key
+          FROM sigs, (SELECT unnest(range(0, $bands)) AS b)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+          FROM banded a JOIN banded bb
+            ON a.b = bb.b AND a.key = bb.key AND a.doc_id < bb.doc_id
+        ), truth AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.hs, b.hs)) AS inter,
+                 len(list_distinct(a.hs || b.hs)) AS uni
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.hs, b.hs)) > 0
+        )
+        SELECT CAST((inter * 10) // uni AS BIGINT) AS bucket,
+               COUNT(*) AS n_truth,
+               CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) * 65536
+                 // COUNT(*) AS BIGINT) AS recall_fp
+        FROM truth t
+        LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+        GROUP BY 1"""
+      },
+      (s, dir) => {
+        val slice = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
+        // shingle sets feed both brute-truth sides — materialized once
+        val sh = slice.select(col("doc_id").cast("long").as("doc_id"),
+            T.md5ShingleHashes(col("text"), 3).as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val truth = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+          .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+            size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("uni"))
+          .filter(col("inter") > 0)
+          .withColumn("bucket", expr("(inter * 10) div uni"))
+        // threshold 0 keeps every banded bucket pair = the candidate set
+        val cand = Dedup.minhashCandidatePairs(slice, "doc_id", "text",
+            shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.0,
+            shingleHasher = T.md5ShingleHashes)
+          .select(col("id_a").cast("long").as("id_a"),
+            col("id_b").cast("long").as("id_b"))
+          .withColumn("hit", lit(1L))
+        truth.join(cand, Seq("id_a", "id_b"), "left")
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("recall_fp", expr("(n_hit * 65536) div n_truth"))
+      }),
+
     // ---- q40: embedding near-dup keeper election ----
     QuerySpec(
       "q40_dedup_embedding",
