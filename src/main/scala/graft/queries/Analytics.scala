@@ -217,6 +217,71 @@ object Analytics {
           .select(col("node").as("n_nationkey"), col("r").as("rank_fp"))
       }),
 
+    // ---- q189: HITS hubs & authorities (fixed point) over the same
+    // trade graph — the other classic link-analysis prior: exporters
+    // (hubs) vs importers (authorities), two scores PageRank's single
+    // number conflates. All int64: edge weights quantized to GLOBAL
+    // millionth shares (the any-scale overflow guard), per-round L1
+    // renormalization as `v·scale div Σv`. The oracle UNROLLS the K=8
+    // rounds as chained CTEs — mid-round renormalization needs an
+    // aggregate-of-aggregate a recursive CTE can't express, and
+    // unrolling keeps every floor placement replayable, so this
+    // iterative algorithm too gates on a hash match. Each half-round
+    // is one edge-keyed join + grouped sum; scores are node-sized
+    // broadcasts (q141 discipline). ----
+    QuerySpec(
+      "q189_hits_trade_graph",
+      Some {
+        val k = 8
+        val rounds = (1 to k).map { i =>
+          val prev = if (i == 1) "h0" else s"h${i - 1}"
+          s"""
+        a${i}raw AS MATERIALIZED (
+          SELECT e.dst AS node, CAST(SUM(e.s * p.v // 1000000) AS BIGINT) AS v
+          FROM es e JOIN $prev p ON p.node = e.src GROUP BY 1),
+        a$i AS MATERIALIZED (
+          SELECT node, CAST(v * $prScale // GREATEST(t, 1) AS BIGINT) AS v
+          FROM a${i}raw CROSS JOIN (SELECT CAST(SUM(v) AS BIGINT) AS t FROM a${i}raw)),
+        h${i}raw AS MATERIALIZED (
+          SELECT e.src AS node, CAST(SUM(e.s * p.v // 1000000) AS BIGINT) AS v
+          FROM es e JOIN a$i p ON p.node = e.dst GROUP BY 1),
+        h$i AS MATERIALIZED (
+          SELECT node, CAST(v * $prScale // GREATEST(t, 1) AS BIGINT) AS v
+          FROM h${i}raw CROSS JOIN (SELECT CAST(SUM(v) AS BIGINT) AS t FROM h${i}raw))"""
+        }.mkString(",")
+        s"""
+        WITH edges AS MATERIALIZED (
+          SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          GROUP BY src, dst),
+        tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM edges),
+        es AS MATERIALIZED (
+          SELECT src, dst, CAST(w * 1000000 // wt AS BIGINT) AS s
+          FROM edges CROSS JOIN tot
+          UNION ALL
+          SELECT n_nationkey, n_nationkey, 0 FROM nation),
+        h0 AS MATERIALIZED (SELECT n_nationkey AS node, $prScale AS v FROM nation),$rounds
+        SELECT h.node AS n_nationkey, h.v AS hub_fp, a.v AS auth_fp
+        FROM h$k h JOIN a$k a ON a.node = h.node"""
+      },
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("s_nationkey").cast("long").as("src"),
+            col("c_nationkey").cast("long").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val nodes = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("node"))
+        graft.operators.Graph.hitsFixedPoint(edges, nodes,
+            iterations = 8, scale = prScale)
+          .select(col("node").as("n_nationkey"), col("hub_fp"), col("auth_fp"))
+      }),
+
     // ---- q142: bigram frequency ranking per language — the n-gram LM
     // statistic behind corpus similarity scoring and quality priors.
     // Raw (non-distinct) bigram counts, top 10 per language with ties

@@ -145,7 +145,8 @@ class PlanSpec extends SparkSpec {
       "q185_rrf_fusion",               // same 1-row stats cross joins via both rankers (q164 pattern)
       "q187_ir_metrics",               // 1-row stats cross join via bm25FromPostings (q164 pattern)
       "q186_ann_sq8_refine",           // SQ8 candidate scan + 1-row codebook broadcast (q179 pattern)
-      "q188_lsh_recall_eval")          // brute Jaccard truth over the bounded eval slice (q39 pattern)
+      "q188_lsh_recall_eval",          // brute Jaccard truth over the bounded eval slice (q39 pattern)
+      "q189_hits_trade_graph")         // 1-row edge-total + per-round L1-total broadcast cross joins
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(deliberate)
       .flatMap { name =>

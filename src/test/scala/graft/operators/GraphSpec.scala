@@ -94,6 +94,53 @@ class GraphSpec extends SparkSpec {
     assert(a == b, "lineage truncation must not change values")
   }
 
+  test("hitsFixedPoint matches hand-rolled fixed-point iteration on a star") {
+    // hub 1 points at authorities 2 and 3 (weights 3 and 1); node 4
+    // isolated. ΣW=4 -> shares s(1→2)=750000, s(1→3)=250000.
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val scale = 1000000000L
+    val got = Graph.hitsFixedPoint(edges, nodes, iterations = 3, scale = scale)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, hub, auth) => n -> ((hub, auth)) }.toMap
+    // hand iteration (per-edge floor div, L1 renormalization)
+    val share = Map((1L, 2L) -> 750000L, (1L, 3L) -> 250000L)
+    var h = Map(1L -> scale, 2L -> scale, 3L -> scale, 4L -> scale)
+    var a = h
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val t = math.max(m.values.sum, 1L)
+      m.map { case (k, v) => k -> v * scale / t }
+    }
+    for (_ <- 1 to 3) {
+      a = norm(Seq(2L, 3L, 1L, 4L).map(v =>
+        v -> share.collect { case ((s, d), sh) if d == v => sh * h(s) / 1000000L }.sum).toMap)
+      h = norm(Seq(2L, 3L, 1L, 4L).map(v =>
+        v -> share.collect { case ((s, d), sh) if s == v => sh * a(d) / 1000000L }.sum).toMap)
+    }
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "one row per node incl. isolated")
+    for (n <- Seq(1L, 2L, 3L, 4L))
+      assert(got(n) == ((h(n), a(n))), s"node $n")
+    // the structural read: node 1 is the only hub; 2 and 3 are pure
+    // authorities with 2 ahead on weight; 4 is neither
+    assert(got(1L)._1 > 0 && got(1L)._2 == 0)
+    assert(got(2L)._2 > got(3L)._2 && got(2L)._1 == 0)
+    assert(got(4L) == ((0L, 0L)))
+  }
+
+  test("hitsFixedPoint is invariant to input partitioning and row order") {
+    val r = new scala.util.Random(7)
+    val edges = Seq.tabulate(40)(i =>
+      (r.nextInt(8).toLong, r.nextInt(8).toLong, 1L + r.nextInt(5)))
+      .filter(e => e._1 != e._2).toDF("src", "dst", "w")
+    val nodes = (0L until 8L).toDF("node")
+    val base = Graph.hitsFixedPoint(edges, nodes, iterations = 4)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(2))).toSet
+    val rep = Graph.hitsFixedPoint(
+        edges.repartition(7, col("dst")).sortWithinPartitions("w"), nodes, iterations = 4)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(2))).toSet
+    assert(base == rep)
+  }
+
   test("boilerplateShingles is invariant to input partitioning") {
     val r = new scala.util.Random(11)
     val docs = Seq.tabulate(60)(i =>
