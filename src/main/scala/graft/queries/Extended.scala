@@ -2783,6 +2783,111 @@ object Extended {
             graft.functions.VectorFunctions.longDot(col("v"), col("qv")).as("dot"))
           .withColumn("rank", row_number().over(wR).cast("long"))
           .filter(col("rank") <= 5)
+      }),
+
+    // ---- q190: INCREMENTAL IVF INDEX MAINTENANCE — the q169 nightly
+    // discipline applied to the vector index. The 90% at-rest corpus
+    // and the 10% delta are assigned to the FROZEN q90 centroids
+    // separately; per-list sufficient statistics — (list, dim)
+    // component sums and list counts — are MERGEABLE (plain addition
+    // over disjoint vector sets), so the nightly job touches only the
+    // delta and a centroid-count-sized stats table, never re-reading
+    // history. From the merged stats: the would-be re-trained centroid
+    // (one k-means step, integer floor mean) and its L1 drift from the
+    // frozen centroid — THE retrain trigger a 100 TB vector deployment
+    // monitors. The oracle recomputes everything from the full corpus
+    // in one pass, so the hash gate proves incremental == recompute.
+    // All integer (q86 quantization, integer dots, floor means). ----
+    QuerySpec(
+      "q190_ivf_incremental",
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), cents AS (
+          SELECT vec_id AS list_id, v AS centv FROM qz ORDER BY vec_id LIMIT 16
+        ), adot AS (
+          SELECT c.vec_id, c.v, ct.list_id,
+                 CAST(list_sum(list_transform(generate_series(1, len(c.v)),
+                   i -> c.v[i] * ct.centv[i])) AS BIGINT) AS d
+          FROM qz c, cents ct
+        ), assigned AS (
+          SELECT vec_id, v, list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY d DESC, list_id) AS r FROM adot)
+          WHERE r = 1
+        ), cnt AS (
+          SELECT list_id,
+                 CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_base,
+                 CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_delta,
+                 COUNT(*) AS n_total
+          FROM assigned GROUP BY 1
+        ), comp AS (
+          SELECT a.list_id, u.d AS pos, CAST(SUM(a.v[u.d]) AS BIGINT) AS s
+          FROM assigned a, unnest(generate_series(1, len(a.v))) AS u(d)
+          GROUP BY 1, 2
+        ), drift AS (
+          SELECT c.list_id,
+                 CAST(SUM(ABS(c.s // n.n_total - ct.centv[c.pos])) AS BIGINT)
+                   AS drift_l1
+          FROM comp c
+          JOIN cnt n ON n.list_id = c.list_id
+          JOIN cents ct ON ct.list_id = c.list_id
+          GROUP BY 1)
+        SELECT cnt.list_id, cnt.n_base, cnt.n_delta, cnt.n_total, drift.drift_l1
+        FROM cnt JOIN drift USING (list_id)"""),
+      (s, dir) => {
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        val corpus = emb.select(col("vec_id").cast("long").as("vec_id"), quant.as("v"))
+        val cents = corpus.orderBy("vec_id").limit(16)
+          .select(col("vec_id").as("list_id"), col("v").as("centv"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d").desc, col("list_id"))
+        // frozen-centroid assignment (the q90 broadcast-scan shape);
+        // each side is consumed twice (component sums + list counts)
+        def assign(side: org.apache.spark.sql.DataFrame) = side
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"), col("list_id"),
+            graft.functions.VectorFunctions.longDot(col("v"), col("centv")).as("d"))
+          .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+          .select(col("vec_id"), col("v"), col("list_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val aBase = assign(corpus.filter(col("vec_id") % 10 =!= 0))
+        val aDelta = assign(corpus.filter(col("vec_id") % 10 === 0))
+        // mergeable sufficient statistics: (list, dim) component sums
+        // and list counts, each side computed independently then added
+        def comp(a: org.apache.spark.sql.DataFrame) = a
+          .select(col("list_id"), posexplode(col("v")).as(Seq("pos0", "x")))
+          .groupBy(col("list_id"), (col("pos0") + 1).as("pos"))
+          .agg(sum("x").as("s"))
+        val sums = comp(aBase).unionByName(comp(aDelta))
+          .groupBy("list_id", "pos").agg(sum("s").as("s"))
+        def cnt(a: org.apache.spark.sql.DataFrame, as: String) =
+          a.groupBy("list_id").agg(count(lit(1)).as(as))
+        val counts = cnt(aBase, "n_base")
+          .join(cnt(aDelta, "n_delta"), Seq("list_id"), "full_outer")
+          .select(col("list_id"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+          .withColumn("n_total", col("n_base") + col("n_delta"))
+        // one k-means step from the merged stats; L1 drift vs frozen
+        val centComp = cents
+          .select(col("list_id"), posexplode(col("centv")).as(Seq("pos0", "cx")))
+          .select(col("list_id"), (col("pos0") + 1).as("pos"), col("cx"))
+        val drift = sums
+          .join(broadcast(counts), "list_id")
+          .join(broadcast(centComp), Seq("list_id", "pos"))
+          .groupBy("list_id")
+          .agg(sum(abs(expr("s div n_total") - col("cx"))).as("drift_l1"))
+        counts.join(drift, "list_id")
+          .select(col("list_id"), col("n_base"), col("n_delta"),
+            col("n_total"), col("drift_l1"))
       })
   )
 }
