@@ -604,19 +604,37 @@ object Dedup {
     * Output: one row per ordered candidate pair, inner = the doc with
     * the smaller distinctive-shingle set (ties by id),
     * `cont_fp` = inter·65536 / sz_inner ≥ `minContainmentFp`.
-    * Integer end to end → DuckDB-oracle-checkable (q182). */
+    * Integer end to end → DuckDB-oracle-checkable (q182).
+    *
+    * `maxDfAbs` additionally pins the per-shingle pair fan-out to a
+    * constant at large corpora (the share cap alone leaves Σ df²
+    * quadratic in corpus size); it cannot trigger at oracle gate
+    * scale, so the replay stays exact — see the inline note. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, maxDfShare: Int = 15,
-      minContainmentFp: Long = 6554L): DataFrame = {
+      minContainmentFp: Long = 6554L, maxDfAbs: Int = 1024): DataFrame = {
     // distinct shingles per doc: FOUR consumers (sizes, df, join a/b) —
     // materialized once, the q164/q171 persist rationale
     val sh = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(array_distinct(T.shingles(col(textCol), ngram))).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = docs.agg(count(lit(1)).as("n"))
+    // TWO df bounds compose: the SHARE cap defines the semantics
+    // ("containment among distinctive shingles" — scale-relative, so
+    // the same query stays non-degenerate at every corpus size), and
+    // the ABSOLUTE cap `maxDfAbs` pins the self-join's cost: a df-doc
+    // shingle contributes df² pair terms, so under the share cap alone
+    // Σ df² grows quadratically with corpus size (measured: q182 2.7 s
+    // at sf0.1 → 75 s at sf1, 28× for 10× data — near-cap shingles at
+    // df ≈ N/15 dominate). df ≤ maxDfAbs makes the per-shingle fan-out
+    // a constant, i.e. the join linear in the corpus. At oracle gate
+    // scale the share cap (N/15 = 33 at sf0.01) is far below the
+    // absolute cap, so the DuckDB replay stays exact — the q91
+    // hot-bucket-cap discipline. Dropping high-df shingles can only
+    // LOWER measured containment (the share-cap argument, verbatim).
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
-      .filter(col("df") * maxDfShare <= col("n"))
+      .filter(col("df") * maxDfShare <= col("n") && col("df") <= maxDfAbs)
       .select("s")
     // shingle-grain keyed equi-join (rare is shingle-grain — never a
     // broadcast); the pair aggregate shuffles candidate pairs only.

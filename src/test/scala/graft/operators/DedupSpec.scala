@@ -430,5 +430,16 @@ class DedupSpec extends SparkSpec {
     // "w1 w2 w3" has df=5 > 5/2 — pruned; remaining shingles unique →
     // no candidate pairs at all
     assert(gotB.isEmpty, s"df cap failed: ${gotB.toSeq}")
+    // the ABSOLUTE df cap prunes independently of the share cap: with
+    // the share cap loose (maxDfShare=1 → df ≤ 4 all pass) the doc-2
+    // shared shingles (df=2,3) survive maxDfAbs=3 but are cut at 1
+    val gotAbs = Dedup.containmentPairs(docs, "doc_id", "text",
+        ngram = 3, maxDfShare = 1, minContainmentFp = 1L, maxDfAbs = 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(gotAbs.isEmpty, s"absolute df cap failed: ${gotAbs.toSeq}")
+    val gotAbs3 = Dedup.containmentPairs(docs, "doc_id", "text",
+        ngram = 3, maxDfShare = 1, minContainmentFp = 30000L, maxDfAbs = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(gotAbs3.nonEmpty, s"cap 3 must keep df<=3 shingles")
   }
 }
