@@ -525,6 +525,113 @@ object TextAnalysis {
           .withColumn("recall_fp", expr("(n_hit * 65536) div n_truth"))
       }),
 
+    // ---- q191: containment mining AFTER near-dedup — the PRODUCTION
+    // SEQUENCE the q182 sf1 audit prescribes: MinHash near-dedup (the
+    // q91 pipeline, md5 family) elects keepers first, containment
+    // mining (q182's topology) runs on the deduped corpus only. On a
+    // corpus with replica-clique duplicate mass this is the difference
+    // between quadratic and linear containment cost (measured in
+    // SCALING.md), and it is also the semantically right order: a
+    // containment hit between two near-identical docs is dedup's job,
+    // not the quote/wrapper detector's. The oracle staples the two
+    // replay chains — q91's full signature→band→verify→keeper election
+    // and q182's capped postings self-join — under one hash. ----
+    QuerySpec(
+      "q191_containment_after_neardedup",
+      Some {
+        val k = 32; val bands = 8; val rows = k / bands
+        val (as, bs) = graft.functions.MinHashSignature.coefficients(k)
+        def unsigned(v: Long): java.math.BigInteger =
+          if (v >= 0) java.math.BigInteger.valueOf(v)
+          else java.math.BigInteger.valueOf(v).add(java.math.BigInteger.ONE.shiftLeft(64))
+        val coeffRows = (0 until k).map(j =>
+          s"($j, CAST('${unsigned(as(j))}' AS HUGEINT), CAST('${unsigned(bs(j))}' AS HUGEINT))")
+          .mkString(",\n          ")
+        val shingleCase = """
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(range(1, len(t) - 1),
+                      i -> array_to_string(t[i:i+2], ' ')) END"""
+        s"""
+        WITH coeffs(j, a, b) AS (VALUES
+          $coeffRows),
+        toks AS MATERIALIZED (
+          SELECT doc_id, CASE WHEN nrm = '' THEN [] ELSE string_split(nrm, ' ') END AS t
+          FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
+                FROM documents)
+        ), hsh AS MATERIALIZED (
+          SELECT doc_id,
+                 list_distinct(list_transform($shingleCase,
+                   s -> list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                          list_transform(range(1, 17),
+                            i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS HUGEINT))),
+                          (acc, d) -> acc * 16 + d))) AS hs
+          FROM toks
+        ), expl AS (SELECT doc_id, unnest(hs) AS x FROM hsh),
+        scoredh AS (
+          SELECT e.doc_id, c.j,
+                 ((c.a * (e.x // 4294967296)) % 4294967296 * 4294967296
+                   + c.a * (e.x % 4294967296) + c.b) % 18446744073709551616 AS hv
+          FROM expl e CROSS JOIN coeffs c
+        ), minh AS (
+          SELECT doc_id, j,
+                 MIN(CAST(CASE WHEN hv >= 9223372036854775808
+                               THEN hv - 18446744073709551616 ELSE hv END AS BIGINT)) AS m
+          FROM scoredh GROUP BY 1, 2
+        ), sigs AS (
+          SELECT doc_id, list(m ORDER BY j) AS sig FROM minh GROUP BY 1
+        ), banded AS (
+          SELECT doc_id, b, sig[b*$rows+1 : b*$rows+$rows] AS key
+          FROM sigs, (SELECT unnest(range(0, $bands)) AS b)
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+          FROM banded a JOIN banded bb
+            ON a.b = bb.b AND a.key = bb.key AND a.doc_id < bb.doc_id
+        ), verified AS (
+          SELECT p.id_a, p.id_b
+          FROM pairs p
+          JOIN hsh s1 ON s1.doc_id = p.id_a
+          JOIN hsh s2 ON s2.doc_id = p.id_b
+          WHERE CASE WHEN len(list_distinct(s1.hs || s2.hs)) = 0 THEN 1.0
+                     ELSE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+                        / CAST(len(list_distinct(s1.hs || s2.hs)) AS DOUBLE) END >= 0.5
+        ), best AS (
+          SELECT id_b AS doc_id, MIN(id_a) AS partner_min FROM verified GROUP BY 1
+        ), kept AS MATERIALIZED (
+          SELECT d.doc_id FROM documents d LEFT JOIN best USING (doc_id)
+          WHERE LEAST(COALESCE(partner_min, d.doc_id), d.doc_id) = d.doc_id
+        ), csh AS MATERIALIZED (
+          SELECT DISTINCT t.doc_id, unnest($shingleCase) AS s
+          FROM (SELECT toks.doc_id, toks.t FROM toks JOIN kept USING (doc_id)) t
+        ), nn AS (SELECT COUNT(*) AS n FROM kept),
+        rare AS (
+          SELECT s FROM (SELECT s, COUNT(*) AS df FROM csh GROUP BY s) d
+          CROSS JOIN nn WHERE df * 15 <= n),
+        rsh AS MATERIALIZED (SELECT csh.doc_id, csh.s FROM csh JOIN rare USING (s)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rsh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+          FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT ia AS inner_id, ib AS outer_id, inter,
+               sa.sz AS sz_inner, sb.sz AS sz_outer,
+               inter * 65536 // sa.sz AS cont_fp
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = ia
+        JOIN sizes sb ON sb.doc_id = ib
+        WHERE (sa.sz < sb.sz OR (sa.sz = sb.sz AND ia < ib))
+          AND inter * 65536 // sa.sz >= 13108"""
+      },
+      (s, dir) => {
+        val docs = graft.operators.Fanout.forKernel(
+          Tables.load(s, dir, "documents"))
+        val kept = Dedup.minhashLsh(docs, "doc_id", "text",
+            shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5,
+            shingleHasher = T.md5ShingleHashes)
+          .filter(!col("is_duplicate")).select(col("doc_id"))
+        Dedup.containmentPairs(docs.join(kept, "doc_id"), "doc_id", "text",
+          ngram = 3, maxDfShare = 15, minContainmentFp = 13108L)
+      }),
+
     // ---- q40: embedding near-dup keeper election ----
     QuerySpec(
       "q40_dedup_embedding",

@@ -147,7 +147,8 @@ class PlanSpec extends SparkSpec {
       "q186_ann_sq8_refine",           // SQ8 candidate scan + 1-row codebook broadcast (q179 pattern)
       "q188_lsh_recall_eval",          // brute Jaccard truth over the bounded eval slice (q39 pattern)
       "q189_hits_trade_graph",         // 1-row edge-total broadcast cross join (round totals are driver fetches)
-      "q190_ivf_incremental")          // frozen-centroid assignment: corpus x 16 broadcast (q90 pattern)
+      "q190_ivf_incremental",          // frozen-centroid assignment: corpus x 16 broadcast (q90 pattern)
+      "q191_containment_after_neardedup") // 1-row kept-count broadcast cross join (q182 pattern)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(deliberate)
       .flatMap { name =>
