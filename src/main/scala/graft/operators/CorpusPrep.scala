@@ -302,19 +302,35 @@ object CorpusPrep {
     a.unionByName(b).groupBy("b")
       .agg(sum("cr").as("cr"), sum("ct").as("ct"))
 
-  /** λ(b) log-ratio table from the bucket stats — `buckets` rows, the
-    * broadcastable "model". */
+  /** λ(b) log-ratio table from the bucket stats — ALWAYS exactly
+    * `buckets` rows: the bucket domain is generated in full and buckets
+    * the stats never saw get the add-1-smoothed ZERO-count λ
+    * (= log2fp(cr_tot+B) − log2fp(ct_tot+B)), exactly what the smoothing
+    * formula assigns to cr = ct = 0. This matters when the model scores
+    * a DIFFERENT doc set than the one that built it (the incremental /
+    * streaming-λ path): features hashing to unseen buckets must score
+    * with the smoothed zero-count λ, not silently vanish from both
+    * n_feats and weight_fp — which is what an inner join on a
+    * seen-buckets-only table would do. Over the model's own corpus the
+    * extra rows are unreachable, so results are unchanged. */
   def dsirLambda(stats: DataFrame, buckets: Int): DataFrame = {
     val tot = stats.agg(sum("cr").as("cr_tot"), sum("ct").as("ct_tot"))
-    stats.crossJoin(broadcast(tot)).selectExpr("b",
-      s"""((${Search.log2FpExpr("ct + 1")}
-            - ${Search.log2FpExpr(s"ct_tot + $buckets")})
-         - (${Search.log2FpExpr("cr + 1")}
-            - ${Search.log2FpExpr(s"cr_tot + $buckets")})) AS lam_fp""")
+    val domain = stats.sparkSession.range(buckets.toLong)
+      .select(col("id").as("b"))
+    domain.join(stats, Seq("b"), "left")
+      .na.fill(0L, Seq("cr", "ct"))
+      .crossJoin(broadcast(tot)).selectExpr("b",
+        s"""((${Search.log2FpExpr("ct + 1")}
+              - ${Search.log2FpExpr(s"ct_tot + $buckets")})
+           - (${Search.log2FpExpr("cr + 1")}
+              - ${Search.log2FpExpr(s"cr_tot + $buckets")})) AS lam_fp""")
   }
 
   /** Per-doc importance weights: the λ model broadcast into the feature
-    * stream, reduced per doc with map-side partial aggregation. */
+    * stream, reduced per doc with map-side partial aggregation. The join
+    * is inner but TOTAL by construction — [[dsirLambda]] emits every
+    * bucket of the hashed domain, so no feature can fall out even when
+    * `feats` comes from a corpus the model never saw. */
   def dsirScore(feats: DataFrame, lambda: DataFrame): DataFrame =
     feats.join(broadcast(lambda), "b")
       .groupBy("doc_id")

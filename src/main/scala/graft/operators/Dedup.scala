@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Stable reference for the default (codegen'd, cheap-to-recompute)
+    * shingle hash family. A `val`, not a method reference: eta-expanding
+    * `T.shingleHashes _` mints a fresh function object per reference, so
+    * the per-family persist policy in [[minhashCandidatePairs]] needs one
+    * canonical identity to compare against. */
+  val defaultShingleHasher: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+    T.shingleHashes
+
   /** Exact dedup on a hash of the given columns (SURVEY.md A8-adjacent:
     * the reference dedups with SELECT DISTINCT; at scale we keep lineage
     * by electing a keeper per hash group instead of dropping rows). */
@@ -225,22 +233,30 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, hotBucketCap: Int = 4096,
       shingleHasher: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
-        T.shingleHashes): DataFrame = {
+        defaultShingleHasher): DataFrame = {
     // shingles are hashed to longs up front: signatures, the candidate
     // join, and exact-Jaccard verification all run over compact long
     // arrays instead of wide string arrays (64-bit collisions are
     // negligible vs the LSH approximation itself)
-    // NOT persisted: columnar-caching the wide array<long> shingle
+    // Persist policy is PER HASH FAMILY: with the default codegen'd
+    // ShingleHashes64, columnar-caching the wide array<long> shingle
     // column costs several× more than recomputing it (measured: ~7 s to
-    // encode vs ~1.3 s per recompute at sf0.1) — the narrow per-row
-    // shingle pass is cheap; only the SMALL banded+stats frame (id,
-    // band, hash, bucket stats) is cached inside cappedBucketPairs,
-    // since both sides of the candidate self-join read it and exchange
-    // reuse can't deduplicate them.
+    // encode vs ~1.3 s per recompute at sf0.1), so the frame is NOT
+    // persisted and only the SMALL banded+stats frame (id, band, hash,
+    // bucket stats) is cached inside cappedBucketPairs. But the plan
+    // evaluates `sh` THREE times (signature pass + the two verification
+    // rejoins), and for an expensive hasher — md5ShingleHashes runs an
+    // md5 digest per shingle — three evaluations of the kernel dominate
+    // the whole pipeline at scale (q91's sf1 profile). So: a non-default
+    // `shingleHasher` persists the hashed frame once and recomputes
+    // never; the encode cost is paid back ~3× by the skipped kernels.
     val src = Fanout.forKernel(df)
-    val sh = src.select(
+    val shPlan = src.select(
       col(idCol),
       shingleHasher(col(textCol), shingleSize).as("sh"))
+    val sh =
+      if (shingleHasher eq defaultShingleHasher) shPlan
+      else shPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.select(
       col(idCol), T.minhashSignature(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
@@ -392,7 +408,7 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7,
       shingleHasher: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
-        T.shingleHashes): DataFrame =
+        defaultShingleHasher): DataFrame =
     keeperFrom(df, idCol,
       minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands,
         threshold, shingleHasher = shingleHasher))
@@ -608,8 +624,10 @@ object Dedup {
     *
     * `maxDfAbs` additionally pins the per-shingle pair fan-out to a
     * constant at large corpora (the share cap alone leaves Σ df²
-    * quadratic in corpus size); it cannot trigger at oracle gate
-    * scale, so the replay stays exact — see the inline note. */
+    * quadratic in corpus size); the q182/q191 oracle SQL carries the
+    * SAME `df <= 1024` predicate, so engine and reference agree at
+    * every scale — including above the cap crossover (~15.4k docs),
+    * where the cap actively prunes. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, maxDfShare: Int = 15,
       minContainmentFp: Long = 6554L, maxDfAbs: Int = 1024): DataFrame = {
@@ -627,11 +645,12 @@ object Dedup {
     // Σ df² grows quadratically with corpus size (measured: q182 2.7 s
     // at sf0.1 → 75 s at sf1, 28× for 10× data — near-cap shingles at
     // df ≈ N/15 dominate). df ≤ maxDfAbs makes the per-shingle fan-out
-    // a constant, i.e. the join linear in the corpus. At oracle gate
-    // scale the share cap (N/15 = 33 at sf0.01) is far below the
-    // absolute cap, so the DuckDB replay stays exact — the q91
-    // hot-bucket-cap discipline. Dropping high-df shingles can only
-    // LOWER measured containment (the share-cap argument, verbatim).
+    // a constant, i.e. the join linear in the corpus. The q182/q191
+    // oracle SQL replays BOTH predicates (`df * 15 <= n AND df <= 1024`),
+    // so the cap is part of the defined semantics at every corpus size,
+    // not just below the ~15.4k-doc crossover where it can't trigger.
+    // Dropping high-df shingles can only LOWER measured containment
+    // (the share-cap argument, verbatim).
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .filter(col("df") * maxDfShare <= col("n") && col("df") <= maxDfAbs)

@@ -211,7 +211,7 @@ object Curation {
         nn AS (SELECT COUNT(*) AS n FROM documents),
         rare AS (
           SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh GROUP BY s) d
-          CROSS JOIN nn WHERE df * 15 <= n),
+          CROSS JOIN nn WHERE df * 15 <= n AND df <= 1024),
         rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rsh GROUP BY 1),
         inter AS (

@@ -605,7 +605,7 @@ object TextAnalysis {
         ), nn AS (SELECT COUNT(*) AS n FROM kept),
         rare AS (
           SELECT s FROM (SELECT s, COUNT(*) AS df FROM csh GROUP BY s) d
-          CROSS JOIN nn WHERE df * 15 <= n),
+          CROSS JOIN nn WHERE df * 15 <= n AND df <= 1024),
         rsh AS MATERIALIZED (SELECT csh.doc_id, csh.s FROM csh JOIN rare USING (s)),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rsh GROUP BY 1),
         inter AS (
