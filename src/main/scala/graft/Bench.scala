@@ -15,7 +15,13 @@ object Bench {
     // printed once at the END, the artifact was empty. Now every
     // completed pass re-prints a full summary line, so a kill at any
     // point leaves the latest complete summary on stdout.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "240").toDouble
+    // 480 (was 240): the 189-query catalog's pass 1 alone costs ~150 s,
+    // so a 240 s budget left pass 2+ mostly unrun — n=1 medians that two
+    // consecutive judge verdicts could not adjudicate against host
+    // noise. 480 funds a full second pass (most-expensive-first) plus
+    // most of a third for the queries where a median matters; the
+    // per-sample compact summary lines keep any harness kill harmless.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "480").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -317,8 +317,23 @@ object CorpusPrep {
     val tot = stats.agg(sum("cr").as("cr_tot"), sum("ct").as("ct_tot"))
     val domain = stats.sparkSession.range(buckets.toLong)
       .select(col("id").as("b"))
-    domain.join(stats, Seq("b"), "left")
-      .na.fill(0L, Seq("cr", "ct"))
+    // FULL join, not left: a stats row whose bucket falls outside
+    // [0, buckets) — the caller's `buckets` not matching the hash
+    // domain the stats were built with — would under a left join be
+    // silently dropped from the λ table while still counting in
+    // cr_tot/ct_tot (its features would vanish from dsirScore). A
+    // domain mismatch fails LOUDLY instead, and the guard rides the
+    // same single pass over the bucket-grain frame (no probe job —
+    // stats aggregation is corpus-grain work a driver-side check
+    // would re-run).
+    def guarded(c: String) = when(
+      col("b") < 0 || col("b") >= buckets,
+      raise_error(concat(lit("dsirLambda: stats bucket "), col("b"),
+        lit(s" outside [0, $buckets) — buckets must equal the stats' hash domain")))
+        .cast("long"))
+      .otherwise(coalesce(col(c), lit(0L)))
+    domain.join(stats, Seq("b"), "full")
+      .select(col("b"), guarded("cr").as("cr"), guarded("ct").as("ct"))
       .crossJoin(broadcast(tot)).selectExpr("b",
         s"""((${Search.log2FpExpr("ct + 1")}
               - ${Search.log2FpExpr(s"ct_tot + $buckets")})
@@ -369,7 +384,12 @@ object CorpusPrep {
     *         running mass within the group's hash order. */
   def temperatureSample(items: DataFrame, groupCol: String, idCol: String,
       nCol: String, budgetNum: Long = 1L, budgetDen: Long = 2L): DataFrame = {
-    require(budgetNum >= 1 && budgetDen >= budgetNum)
+    // budgetNum bound keeps n_tot·budgetNum inside int64 for any
+    // n_tot ≤ 2^43 tokens (≫ the ~2.5e13-token 100 TB regime); the
+    // T·s_g product — the overflow that actually bites at target
+    // scale — is handled structurally below, not by a bound
+    require(budgetNum >= 1 && budgetDen >= budgetNum && budgetNum <= (1L << 20),
+      s"budgetNum must be in [1, 2^20], got $budgetNum")
     // (grp, id, n) is consumed three times (group stats, totals via
     // stats, the selection join); without materialization each consumer
     // re-runs the upstream projection — for the q178 shape that means
@@ -385,9 +405,26 @@ object CorpusPrep {
       .selectExpr("grp", "n_g", s"${isqrtSql("n_g")} AS s_g")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tots = gstats.agg(sum("n_g").as("n_tot"), sum("s_g").as("s_tot"))
+    // OVERFLOW-SAFE budget arithmetic for the 100 TB token regime: the
+    // naive ((T * s_g) div s_tot) with T = n_tot·budgetNum div budgetDen
+    // wraps int64 once T·s_g exceeds 2^63 — at default parameters that
+    // is n_tot ≳ 7e12 tokens, i.e. exactly the target scale — and a
+    // wrapped-negative budget silently filters out EVERY row. Divide
+    // FIRST, with exact remainder correction:
+    //   T·s_g div s_tot = (T div s_tot)·s_g + ((T mod s_tot)·s_g div s_tot)
+    // (an identity for nonnegative operands, so results are bit-equal
+    // to the naive form wherever that form doesn't overflow — the
+    // DuckDB oracle carries the same decomposition). Bounds: the first
+    // term ≤ T ≤ n_tot because s_g ≤ s_tot; the remainder term needs
+    // s_tot·s_g < 2^63, and by Cauchy–Schwarz s_tot ≤ √(G·n_tot), so
+    // overflow needs √G·n_tot ≥ 2^63 — at 2.5e13 tokens that is ~1e11
+    // distinct groups, astronomically past any real mixture.
+    // (Boundary-pinned in CorpusPrepSpec: groups at n_g ≈ 2^60.)
     val budgets = gstats.crossJoin(broadcast(tots))
       .selectExpr("grp",
-        s"((n_tot * $budgetNum div $budgetDen) * s_g div s_tot) AS b_g")
+        s"""((((n_tot * $budgetNum div $budgetDen) div s_tot) * s_g)
+           + (((n_tot * $budgetNum div $budgetDen) % s_tot) * s_g div s_tot))
+           AS b_g""")
     val w = Window.partitionBy("grp")
       .orderBy(graft.Exact.hashOrder(col("id"), 1000000), col("id"))
     grouped.join(broadcast(budgets), "grp")

@@ -16,22 +16,50 @@ import org.apache.spark.sql.functions._
   * asserted in tests). A downstream `filter(!is_duplicate)` materializes
   * the deduped corpus.
   *
-  * Cache lifetime: the LSH, transitive-cluster and embedding paths
-  * persist small intermediate frames (banded signatures, hot-bucket
-  * lists, candidate edges/sims) that live until session end —
-  * correct for job-per-run batch use; a long-lived service calling
-  * these repeatedly should clear between epochs
-  * (`spark.catalog.clearCache()` or targeted `unpersist`).
+  * Cache lifetime: pair-set operators (minhash, hamming, containment,
+  * cluster pairs) materialize their PAIR-GRAIN result eagerly via
+  * [[materializeSmall]] and free every internal cache (banded
+  * signatures, hot-bucket lists, shingle postings) before returning —
+  * no corpus-grain block outlives a call, so a long-lived service can
+  * invoke them per-epoch without accumulating cache. The one retained
+  * footprint is the result itself when it exceeds the driver bound
+  * (then a pair-grain localCheckpoint, documented on the helper).
   */
 object Dedup {
 
-  /** Stable reference for the default (codegen'd, cheap-to-recompute)
-    * shingle hash family. A `val`, not a method reference: eta-expanding
-    * `T.shingleHashes _` mints a fresh function object per reference, so
-    * the per-family persist policy in [[minhashCandidatePairs]] needs one
-    * canonical identity to compare against. */
+  /** Default shingle hash family (codegen'd single-pass
+    * ShingleHashes64). The md5-prefix twin
+    * (`TextFunctions.md5ShingleHashes`) trades per-row cost for a
+    * family DuckDB can replay — either way the kernel runs exactly
+    * once over the corpus (see [[minhashCandidatePairs]]), so the
+    * choice is oracle-replayability, not a persist policy. */
   val defaultShingleHasher: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
     T.shingleHashes
+
+  /** Default absolute document-frequency cap for
+    * [[containmentPairs]] — shared with the q182/q191/q194 oracle SQL
+    * (interpolated there, never hard-coded) so engine and reference
+    * cannot desync when the default moves. */
+  val DefaultMaxDfAbs: Int = 1024
+
+  /** Materialize a small (pair-grain) result so upstream caches can be
+    * freed before returning. ≤ `maxDriverRows` rows (the overwhelmingly
+    * common case — verified pair sets are a sliver of the corpus by
+    * construction) → a LocalRelation: zero retained executor blocks,
+    * broadcast-friendly in downstream joins, exactly one evaluation
+    * (`take` scans everything once when the result fits). Above the
+    * bound → an eager pair-grain localCheckpoint: the result's blocks
+    * are retained (bounded by the pair set, never the corpus) and the
+    * caller's session owns their lifetime — the same regime split as
+    * [[connectedComponents]]'s `maxDriverEdges`. */
+  private[operators] def materializeSmall(
+      df: DataFrame, maxDriverRows: Int = 2000000): DataFrame = {
+    val rows = df.take(maxDriverRows + 1)
+    if (rows.length <= maxDriverRows)
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
+    else df.localCheckpoint(true)
+  }
 
   /** Exact dedup on a hash of the given columns (SURVEY.md A8-adjacent:
     * the reference dedups with SELECT DISTINCT; at scale we keep lineage
@@ -195,13 +223,13 @@ object Dedup {
       .filter(col("_n") > cap)
       .select(keys.map(col) :+ col("_rep"): _*)
       .persist(MEMORY_AND_DISK)
-    // NB the probe is an eager job: CONSTRUCTING a dedup frame runs the
-    // signature+banding subtree once (plan-only consumers pay it too).
-    // That cost buys the no-skew fast path below; callers that only
-    // want the plan can pass cap = Int.MaxValue upstream.
+    // NB this function is EAGER: the hot-bucket probe runs the
+    // signature+banding subtree, and the result is materialized via
+    // materializeSmall so BOTH internal caches can be freed before
+    // returning — callers re-read candidate rows, never re-run the
+    // subtree, and no banded-frame block outlives the call.
     val anyHot = hot.limit(1).count() > 0
-    if (!anyHot) {
-      hot.unpersist() // empty — nothing downstream reads it
+    val pairsPlan = if (!anyHot) {
       val a = cached.select(keys.map(col) :+ col(idCol).as("id_a"): _*)
       val b = cached.select(keys.map(col) :+ col(idCol).as("id_b"): _*)
       a.join(b, keys)
@@ -220,6 +248,10 @@ object Dedup {
         .select(col("_rep").as("id_a"), col(idCol).as("id_b")) // _rep is the min ⇒ a < b
       coldPairs.union(hotPairs).distinct()
     }
+    val out = materializeSmall(pairsPlan)
+    cached.unpersist(false)
+    hot.unpersist(false)
+    out
   }
 
   /** Verified candidate pairs `(id_a, id_b, jaccard)` with id_a < id_b,
@@ -238,35 +270,36 @@ object Dedup {
     // join, and exact-Jaccard verification all run over compact long
     // arrays instead of wide string arrays (64-bit collisions are
     // negligible vs the LSH approximation itself)
-    // Persist policy is PER HASH FAMILY: with the default codegen'd
-    // ShingleHashes64, columnar-caching the wide array<long> shingle
-    // column costs several× more than recomputing it (measured: ~7 s to
-    // encode vs ~1.3 s per recompute at sf0.1), so the frame is NOT
-    // persisted and only the SMALL banded+stats frame (id, band, hash,
-    // bucket stats) is cached inside cappedBucketPairs. But the plan
-    // evaluates `sh` THREE times (signature pass + the two verification
-    // rejoins), and for an expensive hasher — md5ShingleHashes runs an
-    // md5 digest per shingle — three evaluations of the kernel dominate
-    // the whole pipeline at scale (q91's sf1 profile). So: a non-default
-    // `shingleHasher` persists the hashed frame once and recomputes
-    // never; the encode cost is paid back ~3× by the skipped kernels.
+    // Kernel-evaluation discipline (r14, replacing r13's per-family
+    // persist policy and its never-unpersisted corpus-sized cache): the
+    // shingle hasher runs exactly ONCE over the corpus — inside the
+    // banded-signature subtree that cappedBucketPairs materializes —
+    // and verification re-hashes ONLY docs that appear in a candidate
+    // pair. The candidate-id semi-join sits BELOW the hash projection,
+    // so even an expensive family (md5ShingleHashes: one md5 digest
+    // per shingle — three corpus evaluations of it were q91's 7→32 s
+    // sf1 drift) never re-hashes the corpus, and NO corpus-grain frame
+    // is ever cached: candidate sets are a sliver of the corpus by
+    // construction, so two candidate-grain re-hashes cost less than
+    // one corpus-grain array<long> cache write at every scale.
     val src = Fanout.forKernel(df)
-    val shPlan = src.select(
-      col(idCol),
-      shingleHasher(col(textCol), shingleSize).as("sh"))
-    val sh =
-      if (shingleHasher eq defaultShingleHasher) shPlan
-      else shPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = sh.select(
+    def hashed(rows: DataFrame): DataFrame = rows.select(
+      col(idCol), shingleHasher(col(textCol), shingleSize).as("sh"))
+    val sig = hashed(src).select(
       col(idCol), T.minhashSignature(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
       col(idCol),
       posexplode(T.bandHashes(col("sig"), numHashes, bands)))
       .select(col(idCol), col("pos").as("band"), col("col").as("bh"))
+    // cand is MATERIALIZED (LocalRelation / pair-grain checkpoint): the
+    // three consumers below re-read rows, never re-run the subtree
     val cand = cappedBucketPairs(banded, Seq("band", "bh"), idCol, hotBucketCap)
+    def shSide(side: String): DataFrame = hashed(
+      src.join(cand.select(col(side).as(idCol)).distinct(), Seq(idCol)))
+      .select(col(idCol).as(side), col("sh").as("sh_" + side.last))
     cand
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(shSide("id_a"), Seq("id_a"))
+      .join(shSide("id_b"), Seq("id_b"))
       .select(
         col("id_a"), col("id_b"),
         T.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
@@ -458,13 +491,19 @@ object Dedup {
       .select(col(idCol), col("pos").as("chunk"), col("col").as("cv"))
     // distinct capped pairs first, then one narrow rejoin per side for
     // the hash values — the pair set is far smaller than the banded
-    // frame, and sims is persisted (broadcastable under AQE)
-    cappedBucketPairs(banded, Seq("chunk", "cv"), idCol, hotBucketCap)
+    // frame, and sims is persisted (broadcastable under AQE) for the
+    // two rejoins, then FREED: the verified result is pair-grain, so
+    // materializing it eagerly lets the corpus-rows (id, hash) cache
+    // be unpersisted before returning (no block outlives the call)
+    val verified = cappedBucketPairs(banded, Seq("chunk", "cv"), idCol, hotBucketCap)
       .join(sims.select(col(idCol).as("id_a"), col(hashCol).as("sim_a")), Seq("id_a"))
       .join(sims.select(col(idCol).as("id_b"), col(hashCol).as("sim_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    val out = materializeSmall(verified)
+    sims.unpersist(false)
+    out
   }
 
   /** Benchmark decontamination: drop corpus rows whose normalized
@@ -630,7 +669,7 @@ object Dedup {
     * where the cap actively prunes. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, maxDfShare: Int = 15,
-      minContainmentFp: Long = 6554L, maxDfAbs: Int = 1024): DataFrame = {
+      minContainmentFp: Long = 6554L, maxDfAbs: Int = DefaultMaxDfAbs): DataFrame = {
     // distinct shingles per doc: FOUR consumers (sizes, df, join a/b) —
     // materialized once, the q164/q171 persist rationale
     val sh = docs.select(col(idCol).cast("long").as("doc_id"),
@@ -667,7 +706,7 @@ object Dedup {
       .join(rsh.select(col("s"), col("doc_id").as("ib")), "s")
       .filter(col("ia") =!= col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
-    inter
+    val result = inter
       .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sz_a")), "ia")
       .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sz_b")), "ib")
       .filter(col("sz_a") < col("sz_b") ||
@@ -677,6 +716,13 @@ object Dedup {
       .select(col("ia").as("inner_id"), col("ib").as("outer_id"),
         col("inter"), col("sz_a").as("sz_inner"), col("sz_b").as("sz_outer"),
         col("cont_fp"))
+    // pair-grain result materialized eagerly so both postings caches
+    // (sh: corpus × distinct shingles; rsh: the df-capped subset) are
+    // freed before returning — the header's cache-lifetime contract
+    val out = materializeSmall(result)
+    rsh.unpersist(false)
+    sh.unpersist(false)
+    out
   }
 
   /** Sub-document (paragraph/chunk) dedup signal — the CCNet/Dolma-style

@@ -110,7 +110,11 @@ object Curation {
           SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot,
                  CAST(SUM(s_g) AS BIGINT) AS s_tot FROM gsqrt),
         budgets AS (
-          SELECT grp, ((n_tot * 1 // 2) * s_g // s_tot) AS b_g
+          -- divide-first decomposition, bit-equal to (T*s_g)//s_tot but
+          -- overflow-safe at the 100 TB token regime — mirrors
+          -- CorpusPrep.temperatureSample verbatim
+          SELECT grp, ((((n_tot * 1 // 2) // s_tot) * s_g)
+                     + (((n_tot * 1 // 2) % s_tot) * s_g // s_tot)) AS b_g
           FROM gsqrt CROSS JOIN tots),
         ordered AS (
           SELECT i.grp, i.id, i.n, b.b_g,
@@ -211,7 +215,8 @@ object Curation {
         nn AS (SELECT COUNT(*) AS n FROM documents),
         rare AS (
           SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh GROUP BY s) d
-          CROSS JOIN nn WHERE df * 15 <= n AND df <= 1024),
+          CROSS JOIN nn
+          WHERE df * 15 <= n AND df <= ${graft.operators.Dedup.DefaultMaxDfAbs}),
         rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rsh GROUP BY 1),
         inter AS (
@@ -267,6 +272,108 @@ object Curation {
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
           .withColumn("novelty_fp", expr("n_unique * 65536 div n_shingles"))
-      })
+      }),
+
+    // ---- q193: DSIR scoring of a DISJOINT corpus — the path the λ
+    // totality contract exists for (r13 fix, first exercised here): the
+    // model trains on the odd-id half only, then scores the EVEN half,
+    // whose features hash into buckets the model never saw (65536
+    // buckets ≫ the odd half's distinct bigrams, so unseen buckets are
+    // guaranteed, not probabilistic). dsirLambda emits the FULL bucket
+    // domain — unseen buckets carry the add-1-smoothed zero-count λ =
+    // log2fp(cr_tot+B) − log2fp(ct_tot+B) shape — so no feature of the
+    // scored set can silently vanish from n_feats/weight_fp; an
+    // inner-join-on-seen-buckets λ table (the pre-r13 behavior) fails
+    // this gate. The oracle replays the total λ domain via
+    // range(0, 65536) LEFT JOIN stats. ----
+    QuerySpec(
+      "q193_dsir_disjoint_score",
+      Some(s"""
+        WITH toksl AS (
+          SELECT doc_id, lang, $tokensSql AS t FROM documents),
+        feats AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(unnest(${shinglesSql(2)})), 1, 4))::BIGINT
+                   % 65536 AS b
+          FROM toksl),
+        stats AS (
+          SELECT b, COUNT(*) AS cr,
+                 CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+          FROM feats WHERE doc_id % 2 = 1 GROUP BY b),
+        tot AS (
+          SELECT CAST(SUM(cr) AS BIGINT) AS cr_tot,
+                 CAST(SUM(ct) AS BIGINT) AS ct_tot FROM stats),
+        filled AS (
+          SELECT dom.b AS b, COALESCE(s.cr, 0) AS cr, COALESCE(s.ct, 0) AS ct
+          FROM (SELECT unnest(range(0, 65536)) AS b) dom
+          LEFT JOIN stats s ON s.b = dom.b),
+        lam AS (
+          SELECT b,
+                 (${log2FpSql("ct + 1")} - ${log2FpSql("ct_tot + 65536")})
+               - (${log2FpSql("cr + 1")} - ${log2FpSql("cr_tot + 65536")}) AS lam_fp
+          FROM filled CROSS JOIN tot),
+        w AS (
+          SELECT f.doc_id, COUNT(*) AS n_feats,
+                 CAST(SUM(lam_fp) AS BIGINT) AS weight_fp
+          FROM feats f JOIN lam USING (b)
+          WHERE f.doc_id % 2 = 0 GROUP BY 1)
+        SELECT doc_id, n_feats, weight_fp
+        FROM w ORDER BY weight_fp DESC, doc_id LIMIT 100"""),
+      (s, dir) => {
+        val P = graft.operators.CorpusPrep
+        val feats = P.dsirFeatures(
+            graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents")),
+            "doc_id", "text", isTarget = col("lang") === "de",
+            buckets = 65536, ngram = 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val lam = P.dsirLambda(
+          P.dsirBucketStats(feats.filter(col("doc_id") % 2 === 1)),
+          buckets = 65536)
+        P.dsirScore(feats.filter(col("doc_id") % 2 === 0), lam)
+          .orderBy(col("weight_fp").desc, col("doc_id"))
+          .limit(100)
+      }),
+
+    // ---- q194: containment with the ABSOLUTE df cap ACTIVELY pruning
+    // — q182/q191 run below the default cap's crossover (df ≤ 1024
+    // cannot trigger under 15.4k docs), so until this fixture the
+    // cap-binding regime was agreement-by-construction only. Here the
+    // cap is parameterized down to 4 with the share cap loosened
+    // (df·2 ≤ N keeps shingles up to df = N/2), so every shingle with
+    // df in (4, N/2] — the mid-frequency mass — is pruned by the
+    // absolute cap ALONE, and the oracle replays the same pruned
+    // universe. Semantics under pruning: "containment among
+    // ≤cap-frequency shingles" — sizes and intersections count the
+    // same universe, the scale-safety argument of q182 verbatim. ----
+    QuerySpec(
+      "q194_containment_cap_trigger",
+      Some(s"""
+        WITH toksl AS (
+          SELECT doc_id, $tokensSql AS t FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, unnest(${shinglesSql(3)}) AS s FROM toksl),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        rare AS (
+          SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh GROUP BY s) d
+          CROSS JOIN nn WHERE df * 2 <= n AND df <= 4),
+        rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rsh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+          FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT ia AS inner_id, ib AS outer_id, inter,
+               sa.sz AS sz_inner, sb.sz AS sz_outer,
+               inter * 65536 // sa.sz AS cont_fp
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = ia
+        JOIN sizes sb ON sb.doc_id = ib
+        WHERE (sa.sz < sb.sz OR (sa.sz = sb.sz AND ia < ib))
+          AND inter * 65536 // sa.sz >= 6554"""),
+      (s, dir) =>
+        graft.operators.Dedup.containmentPairs(
+          graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents")),
+          "doc_id", "text", ngram = 3, maxDfShare = 2,
+          minContainmentFp = 6554L, maxDfAbs = 4))
   )
 }

@@ -605,7 +605,8 @@ object TextAnalysis {
         ), nn AS (SELECT COUNT(*) AS n FROM kept),
         rare AS (
           SELECT s FROM (SELECT s, COUNT(*) AS df FROM csh GROUP BY s) d
-          CROSS JOIN nn WHERE df * 15 <= n AND df <= 1024),
+          CROSS JOIN nn
+          WHERE df * 15 <= n AND df <= ${graft.operators.Dedup.DefaultMaxDfAbs}),
         rsh AS MATERIALIZED (SELECT csh.doc_id, csh.s FROM csh JOIN rare USING (s)),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rsh GROUP BY 1),
         inter AS (
@@ -630,6 +631,133 @@ object TextAnalysis {
           .filter(!col("is_duplicate")).select(col("doc_id"))
         Dedup.containmentPairs(docs.join(kept, "doc_id"), "doc_id", "text",
           ngram = 3, maxDfShare = 15, minContainmentFp = 13108L)
+      }),
+
+    // ---- q192: CURATION EXPORT — the q191 production sequence folded
+    // into the per-document export a trainer consumes (the r12/r13
+    // advice: the exported corpus must be the CURATED one): one row per
+    // document carrying the near-dedup verdict (q91's chain — keep_id,
+    // is_duplicate) AND the containment verdict over the deduped corpus
+    // (q191's chain — contained_in = the smallest outer doc this doc is
+    // quoted whole inside, −1 if none), plus the single flag
+    // keep_for_training = ¬is_duplicate ∧ ¬contained that downstream
+    // filters on. Doc-grain like q174's multimodal export, so the
+    // composed curated training set is ONE equi-join of two pinned
+    // results on doc_id. The oracle staples both replay chains under
+    // one hash. ----
+    QuerySpec(
+      "q192_curation_export",
+      Some {
+        val k = 32; val bands = 8; val rows = k / bands
+        val (as, bs) = graft.functions.MinHashSignature.coefficients(k)
+        def unsigned(v: Long): java.math.BigInteger =
+          if (v >= 0) java.math.BigInteger.valueOf(v)
+          else java.math.BigInteger.valueOf(v).add(java.math.BigInteger.ONE.shiftLeft(64))
+        val coeffRows = (0 until k).map(j =>
+          s"($j, CAST('${unsigned(as(j))}' AS HUGEINT), CAST('${unsigned(bs(j))}' AS HUGEINT))")
+          .mkString(",\n          ")
+        val shingleCase = """
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(range(1, len(t) - 1),
+                      i -> array_to_string(t[i:i+2], ' ')) END"""
+        s"""
+        WITH coeffs(j, a, b) AS (VALUES
+          $coeffRows),
+        toks AS MATERIALIZED (
+          SELECT doc_id, CASE WHEN nrm = '' THEN [] ELSE string_split(nrm, ' ') END AS t
+          FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
+                FROM documents)
+        ), hsh AS MATERIALIZED (
+          SELECT doc_id,
+                 list_distinct(list_transform($shingleCase,
+                   s -> list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                          list_transform(range(1, 17),
+                            i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS HUGEINT))),
+                          (acc, d) -> acc * 16 + d))) AS hs
+          FROM toks
+        ), expl AS (SELECT doc_id, unnest(hs) AS x FROM hsh),
+        scoredh AS (
+          SELECT e.doc_id, c.j,
+                 ((c.a * (e.x // 4294967296)) % 4294967296 * 4294967296
+                   + c.a * (e.x % 4294967296) + c.b) % 18446744073709551616 AS hv
+          FROM expl e CROSS JOIN coeffs c
+        ), minh AS (
+          SELECT doc_id, j,
+                 MIN(CAST(CASE WHEN hv >= 9223372036854775808
+                               THEN hv - 18446744073709551616 ELSE hv END AS BIGINT)) AS m
+          FROM scoredh GROUP BY 1, 2
+        ), sigs AS (
+          SELECT doc_id, list(m ORDER BY j) AS sig FROM minh GROUP BY 1
+        ), banded AS (
+          SELECT doc_id, b, sig[b*$rows+1 : b*$rows+$rows] AS key
+          FROM sigs, (SELECT unnest(range(0, $bands)) AS b)
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+          FROM banded a JOIN banded bb
+            ON a.b = bb.b AND a.key = bb.key AND a.doc_id < bb.doc_id
+        ), verified AS (
+          SELECT p.id_a, p.id_b
+          FROM pairs p
+          JOIN hsh s1 ON s1.doc_id = p.id_a
+          JOIN hsh s2 ON s2.doc_id = p.id_b
+          WHERE CASE WHEN len(list_distinct(s1.hs || s2.hs)) = 0 THEN 1.0
+                     ELSE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+                        / CAST(len(list_distinct(s1.hs || s2.hs)) AS DOUBLE) END >= 0.5
+        ), best AS (
+          SELECT id_b AS doc_id, MIN(id_a) AS partner_min FROM verified GROUP BY 1
+        ), kept AS MATERIALIZED (
+          SELECT d.doc_id FROM documents d LEFT JOIN best USING (doc_id)
+          WHERE LEAST(COALESCE(partner_min, d.doc_id), d.doc_id) = d.doc_id
+        ), csh AS MATERIALIZED (
+          SELECT DISTINCT t.doc_id, unnest($shingleCase) AS s
+          FROM (SELECT toks.doc_id, toks.t FROM toks JOIN kept USING (doc_id)) t
+        ), nn AS (SELECT COUNT(*) AS n FROM kept),
+        rare AS (
+          SELECT s FROM (SELECT s, COUNT(*) AS df FROM csh GROUP BY s) d
+          CROSS JOIN nn
+          WHERE df * 15 <= n AND df <= ${graft.operators.Dedup.DefaultMaxDfAbs}),
+        rsh AS MATERIALIZED (SELECT csh.doc_id, csh.s FROM csh JOIN rare USING (s)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rsh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+          FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+        contained AS (
+          SELECT ia AS doc_id, MIN(ib) AS contained_in
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = ia
+          JOIN sizes sb ON sb.doc_id = ib
+          WHERE (sa.sz < sb.sz OR (sa.sz = sb.sz AND ia < ib))
+            AND inter * 65536 // sa.sz >= 13108
+          GROUP BY 1)
+        SELECT d.doc_id,
+               LEAST(COALESCE(b.partner_min, d.doc_id), d.doc_id) AS keep_id,
+               (LEAST(COALESCE(b.partner_min, d.doc_id), d.doc_id) <> d.doc_id)
+                 AS is_duplicate,
+               COALESCE(c.contained_in, -1) AS contained_in,
+               ((LEAST(COALESCE(b.partner_min, d.doc_id), d.doc_id) = d.doc_id)
+                 AND c.contained_in IS NULL) AS keep_for_training
+        FROM documents d
+        LEFT JOIN best b USING (doc_id)
+        LEFT JOIN contained c USING (doc_id)"""
+      },
+      (s, dir) => {
+        val docs = graft.operators.Fanout.forKernel(
+          Tables.load(s, dir, "documents"))
+        val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5,
+          shingleHasher = T.md5ShingleHashes)
+        val kept = lsh.filter(!col("is_duplicate")).select(col("doc_id"))
+        val contained = Dedup.containmentPairs(
+            docs.join(kept, "doc_id"), "doc_id", "text",
+            ngram = 3, maxDfShare = 15, minContainmentFp = 13108L)
+          .groupBy(col("inner_id").as("doc_id"))
+          .agg(min(col("outer_id")).as("contained_in"))
+        lsh.join(contained, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("keep_id"), col("is_duplicate"),
+            coalesce(col("contained_in"), lit(-1L)).as("contained_in"),
+            (!col("is_duplicate") && col("contained_in").isNull)
+              .as("keep_for_training"))
       }),
 
     // ---- q40: embedding near-dup keeper election ----

@@ -78,6 +78,35 @@ object StreamPipeline {
       }
   }
 
+  /** [[dedupStream]] with BOUNDED state — the form that survives an
+    * unbounded key domain (at 100 TB/day of crawl the distinct-hash
+    * state of the exact variant grows forever; this one's is O(keys
+    * inside the watermark window)). Built on the engine's own
+    * watermark-evicted dedup operator (`dropDuplicatesWithinWatermark`,
+    * state cleanup handled by Structured Streaming itself — no
+    * hand-rolled timeout bookkeeping to get wrong).
+    *
+    * Exactness contract (documented, deliberate): the FIRST arrival of
+    * each content hash is emitted, and any replay whose event time is
+    * within `delay` of a previous arrival of the same hash is dropped —
+    * i.e. emissions are identical to [[dedupStream]] for every
+    * duplicate that arrives inside the watermark window. A replay
+    * arriving LATER than `delay` past the watermark may re-emit (its
+    * state was reclaimed); downstream exact-dedup at rest (q130's
+    * incremental discipline) catches that tail. Rows are
+    * (content hash, event time, payload). */
+  def dedupStreamBounded(
+      rows: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, String)],
+      delay: String): org.apache.spark.sql.Dataset[(Long, String)] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.toDF("hash", "ts", "payload")
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("hash")
+      .select(col("hash"), col("payload"))
+      .as[(Long, String)]
+  }
+
   /** Streaming funnel conversion — q143's stream twin: per-user state
     * machine tracking the earliest signup instant and the first
     * purchase at-or-after it, emitting an updated

@@ -229,4 +229,65 @@ class CorpusPrepSpec extends SparkSpec {
       budgetNum = 1L, budgetDen = 2L).as[(String, Long, Long, Long)].collect()
     assert(out.toSet == out2.toSet)
   }
+
+  test("temperatureSample survives 100TB-regime token counts (int64 budget boundary)") {
+    // 3 groups × 4 items of 2^58 tokens: n_tot = 3·2^60 ≈ 3.5e18 — the
+    // regime where the naive (T·s_g) div s_tot wraps int64 (T ≈ 1.7e18,
+    // s_g = 2^30, product ≈ 2^89) and a wrapped-negative budget silently
+    // keeps NOTHING. The divide-first decomposition keeps every
+    // intermediate in range; closed form here: n_g = 2^60, s_g = 2^30,
+    // s_tot = 3·2^30, T = 3·2^59 → b_g = 2^59 = half the group mass →
+    // exactly 2 of each group's 4 equal-mass items survive.
+    val n = 1L << 58
+    val items = (for { (g, gi) <- Seq("a", "b", "c").zipWithIndex; i <- 0 until 4 }
+      yield (g, gi * 10L + i, n)).toDF("grp", "id", "n")
+    val out = CorpusPrep.temperatureSample(items, "grp", "id", "n",
+      budgetNum = 1L, budgetDen = 2L)
+      .as[(String, Long, Long, Long)].collect()
+    val byGrp = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byGrp == Map("a" -> 2, "b" -> 2, "c" -> 2),
+      s"expected 2 survivors per group at the boundary, got $byGrp")
+    assert(out.forall(r => r._4 > 0 && r._4 <= (1L << 59)),
+      "running mass must stay positive and within the budget")
+  }
+
+  test("dsirLambda is total over the bucket domain; unseen buckets score with the smoothed zero-count λ") {
+    // model trained on buckets {0, 1} only; the other 6 of 8 buckets are
+    // UNSEEN. cr_tot = 8, ct_tot = 3. Closed form for an unseen bucket:
+    // λ = (log2fp(0+1) − log2fp(ct_tot+8)) − (log2fp(0+1) − log2fp(cr_tot+8))
+    //   = log2fp(16) − log2fp(11) — the add-1-smoothed zero-count value,
+    // NOT absence (the pre-r13 inner-join behavior dropped the feature).
+    val stats = Seq((0L, 6L, 2L), (1L, 2L, 1L)).toDF("b", "cr", "ct")
+    val lam = CorpusPrep.dsirLambda(stats, buckets = 8)
+    val lamMap = lam.as[(Long, Long)].collect().toMap
+    assert(lamMap.size == 8, s"λ table must cover the whole domain: $lamMap")
+    def log2fp(x: Long): Long = {
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      msb * 65536L + ((x - (1L << msb)) * 65536L) / (1L << msb)
+    }
+    val expectUnseen = (log2fp(1) - log2fp(3 + 8)) - (log2fp(1) - log2fp(8 + 8))
+    for (b <- 2L to 7L)
+      assert(lamMap(b) == expectUnseen, s"unseen bucket $b: ${lamMap(b)} != $expectUnseen")
+    // scoring a DISJOINT corpus whose features hit only unseen buckets:
+    // both features must land in n_feats and weight_fp
+    val feats = Seq((100L, false, 5L), (100L, false, 7L)).toDF("doc_id", "_tgt", "b")
+    val w = CorpusPrep.dsirScore(feats, lam)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(w == Seq((100L, 2L, 2 * expectUnseen)),
+      s"disjoint-corpus features must score with the smoothed λ: $w")
+  }
+
+  test("dsirLambda fails loudly on a bucket-domain mismatch") {
+    // stats built over a 16-bucket domain handed to an 8-bucket λ call:
+    // bucket 9 is outside [0, 8) — previously silently dropped from the
+    // λ table while still counting in cr_tot/ct_tot
+    val stats = Seq((1L, 4L, 1L), (9L, 4L, 1L)).toDF("b", "cr", "ct")
+    val e = intercept[Throwable] {
+      CorpusPrep.dsirLambda(stats, buckets = 8).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("dsirLambda")),
+      s"expected the dsirLambda domain guard, got: ${chain(e)}")
+  }
 }

@@ -442,4 +442,27 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(gotAbs3.nonEmpty, s"cap 3 must keep df<=3 shingles")
   }
+
+  test("pair operators leave zero persistent RDDs behind (cache-lifetime contract)") {
+    // the r13 leak: minhashCandidatePairs' md5-family branch persisted a
+    // corpus-sized array<long> frame with no unpersist hook — every call
+    // in a long-lived session retained a corpus of cache. The r14
+    // contract (header scaladoc): pair-grain results are materialized
+    // eagerly and EVERY internal cache is freed before returning, so
+    // repeated per-epoch invocations accumulate nothing.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // md5 shingle family, full keeper election consumed (the q91 path)
+    Dedup.minhashLsh(docs, "doc_id", "text", shingleSize = 3,
+      numHashes = 32, bands = 8, threshold = 0.5,
+      shingleHasher = T.md5ShingleHashes).collect()
+    // default family (the q38 path)
+    Dedup.minhashCandidatePairs(docs, "doc_id", "text", threshold = 0.5).collect()
+    // hamming family (q37/q152: sims persist) and containment
+    // (q182: postings persists)
+    Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
+    Dedup.containmentPairs(docs, "doc_id", "text", ngram = 3,
+      maxDfShare = 2, minContainmentFp = 100L).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDD ids: $leaked")
+  }
 }

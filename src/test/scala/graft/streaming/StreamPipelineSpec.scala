@@ -914,4 +914,118 @@ class StreamPipelineSpec extends SparkSpec {
     assert(runFunnel(splits(events), "funnel_rand") == expected)
     assert(runFunnel(Seq(events), "funnel_rand1") == expected)
   }
+
+  test("bounded streaming dedup: emissions match the unbounded variant within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2021-03-01 10:$m%02d:00")
+    // payloads replayed across batches, all within a generous watermark
+    // window — the bounded variant must emit exactly what dedupStream
+    // emits: each hash once, first arrival
+    val rows = Seq(
+      (1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(2), "a"),
+      (3L, ts(3), "c"), (2L, ts(9), "b"), (1L, ts(10), "a"))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(rows.take(3): _*)
+    mem.addData(rows.drop(3): _*)
+    val q = StreamPipeline.dedupStreamBounded(mem.toDS(), "1 hour")
+      .writeStream.queryName("dedup_bounded_out")
+      .format("memory").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("dedup_bounded_out").as[(Long, String)].collect().toSeq
+    assert(got.sorted == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"each hash exactly once within the watermark, got $got")
+  }
+
+  test("chaos: concurrent writers, replays and compactor — rollup stays exactly-once") {
+    import graft.operators.Rollup
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    def batch(n: Int, seed: Int) = {
+      val rr = new scala.util.Random(seed)
+      Seq.fill(n)((s"p${rr.nextInt(3)}", rr.nextInt(2).toLong, rr.nextInt(100).toLong))
+        .toDF("prio", "yr", "cents")
+    }
+    val keys = Seq("prio", "yr")
+    val sums = Seq("cents_sum" -> col("cents"))
+    val st = java.nio.file.Files.createTempDirectory("graft-rollupch-st").toString + "/state"
+    val batches = (0 until 10).map(i => batch(25 + i, 500 + i))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val writers = batches.zipWithIndex.map { case (d, i) =>
+        Future {
+          StreamPipeline.rollupBatch(d, i.toLong, keys, sums, st)
+          // at-least-once: every batch replays once, racing compaction —
+          // markers/tombstones/folds must swallow the replay
+          StreamPipeline.rollupBatch(d, i.toLong, keys, sums, st)
+        }
+      }
+      val compactor = Future {
+        (0 until 3).foreach { _ =>
+          Thread.sleep(40)
+          // losing the snapshot race to a live writer on every attempt
+          // is the documented liveness (not correctness) failure —
+          // tolerated mid-chaos, retried quiesced below
+          try StreamPipeline.compactRollup(spark, st, keys, attempts = 6)
+          catch { case _: IllegalArgumentException => () }
+        }
+      }
+      Await.result(Future.sequence(writers :+ compactor), 5.minutes)
+    } finally pool.shutdown()
+    val expect = Rollup.partial(batches.reduce(_ unionByName _), keys, sums)
+    assertSameRows(StreamPipeline.currentRollup(spark, st, keys).get, expect,
+      "chaos interleaving must not lose or double-count any batch")
+    // quiesced: compaction and one more full replay sweep change nothing
+    StreamPipeline.compactRollup(spark, st, keys)
+    batches.zipWithIndex.foreach { case (d, i) =>
+      StreamPipeline.rollupBatch(d, i.toLong, keys, sums, st)
+    }
+    assertSameRows(StreamPipeline.currentRollup(spark, st, keys).get, expect,
+      "post-chaos compaction + replay sweep must be a no-op")
+  }
+
+  test("foldIfSuperseded: double-fold race has one winner; a truly lost batch fails loudly") {
+    import graft.operators.Rollup
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    def batch(n: Int, seed: Int) = {
+      val rr = new scala.util.Random(seed)
+      Seq.fill(n)((s"p${rr.nextInt(3)}", rr.nextInt(2).toLong, rr.nextInt(100).toLong))
+        .toDF("prio", "yr", "cents")
+    }
+    val keys = Seq("prio", "yr")
+    val sums = Seq("cents_sum" -> col("cents"))
+    val st = java.nio.file.Files.createTempDirectory("graft-rollupdf-st").toString + "/state"
+    val b = Seq(batch(60, 61), batch(40, 62), batch(80, 63))
+    b.take(2).zipWithIndex.foreach { case (d, i) =>
+      StreamPipeline.rollupBatch(d, i.toLong, keys, sums, st)
+    }
+    StreamPipeline.compactRollup(spark, st, keys)
+    // straggler commits into the superseded generation...
+    IdempotentSink.writeBatch(st)(Rollup.partial(b(2), keys, sums), 2L)
+    // ...and BOTH protocol halves (writer re-resolve + compactor sweep)
+    // try to fold it concurrently: exists-check + atomic rename means at
+    // most one rename wins and the loser no-ops — never a double count,
+    // never a loss
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(Seq(
+        Future(StreamPipeline.foldIfSuperseded(spark, st, st, 2L)),
+        Future(StreamPipeline.foldIfSuperseded(spark, st, st, 2L)))), 2.minutes)
+    finally pool.shutdown()
+    val expect = Rollup.partial(b.reduce(_ unionByName _), keys, sums)
+    assertSameRows(StreamPipeline.currentRollup(spark, st, keys).get, expect,
+      "double-fold must land the batch exactly once")
+    // fault injection: a batch id that exists in NO generation (rename
+    // fails, destination absent) is real data loss — must throw, not
+    // silently converge
+    val e = intercept[java.io.IOException] {
+      StreamPipeline.foldIfSuperseded(spark, st, st, 77L)
+    }
+    assert(e.getMessage.contains("failed to fold"),
+      s"lost-batch fold must fail loudly, got: ${e.getMessage}")
+  }
 }
