@@ -42,23 +42,35 @@ object Dedup {
     * cannot desync when the default moves. */
   val DefaultMaxDfAbs: Int = 1024
 
-  /** Materialize a small (pair-grain) result so upstream caches can be
-    * freed before returning. ≤ `maxDriverRows` rows (the overwhelmingly
-    * common case — verified pair sets are a sliver of the corpus by
-    * construction) → a LocalRelation: zero retained executor blocks,
-    * broadcast-friendly in downstream joins, exactly one evaluation
-    * (`take` scans everything once when the result fits). Above the
-    * bound → an eager pair-grain localCheckpoint: the result's blocks
-    * are retained (bounded by the pair set, never the corpus) and the
-    * caller's session owns their lifetime — the same regime split as
+  /** Materialize a (pair-grain) result with exactly ONE evaluation so
+    * upstream caches can be freed before returning: an eager
+    * localCheckpoint lands the rows as distributed blocks, then a tiny
+    * result (≤ `maxDriverRows`) is collapsed to a LocalRelation and its
+    * checkpoint blocks released — zero retained executor blocks, and
+    * the local rows broadcast into downstream joins for free. A LARGE
+    * result stays as the checkpoint: re-scannable at partition
+    * parallelism with no driver round-trip (an r14.0 lesson — a
+    * LocalRelation of 10⁵⁺ pair rows re-serializes from the driver
+    * into every consuming stage, which at sf1 cost more than the joins
+    * it fed). Its pair-grain blocks are the one retained footprint,
+    * owned by the caller's session — the same regime split as
     * [[connectedComponents]]'s `maxDriverEdges`. */
   private[operators] def materializeSmall(
-      df: DataFrame, maxDriverRows: Int = 2000000): DataFrame = {
-    val rows = df.take(maxDriverRows + 1)
-    if (rows.length <= maxDriverRows)
-      df.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), df.schema)
-    else df.localCheckpoint(true)
+      df: DataFrame, maxDriverRows: Int = 32768): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val ckpt = df.localCheckpoint(true)
+    if (ckpt.count() > maxDriverRows) ckpt
+    else {
+      val out = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(ckpt.collect(): _*), df.schema)
+      // release the checkpoint blocks the LocalRelation replaced —
+      // construction is single-threaded, so the id diff is exactly the
+      // checkpoint RDD just created
+      (sc.getPersistentRDDs.keySet -- before)
+        .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      out
+    }
   }
 
   /** Exact dedup on a hash of the given columns (SURVEY.md A8-adjacent:
@@ -208,6 +220,24 @@ object Dedup {
 
   private[operators] def cappedBucketPairs(
       banded: DataFrame, keys: Seq[String], idCol: String, cap: Int): DataFrame = {
+    val (plan, cleanup) = cappedBucketPairsLazy(banded, keys, idCol, cap)
+    val out = materializeSmall(plan)
+    cleanup()
+    out
+  }
+
+  /** Lazy core of [[cappedBucketPairs]]: the capped candidate-pair PLAN
+    * over an internally persisted banded frame, plus a cleanup that
+    * frees both internal caches. Callers that verify candidates
+    * (minhash Jaccard, hamming popcount) weave the plan into their
+    * verification join so candidates flow straight into it — the
+    * UNVERIFIED pair set is never materialized (at sf1's replica-clique
+    * corpus it is 10⁵–10⁶ rows; shipping it through the driver was the
+    * r14.0 regression) — then call `cleanup` once the verified result
+    * is materialized. */
+  private[operators] def cappedBucketPairsLazy(
+      banded: DataFrame, keys: Seq[String], idCol: String, cap: Int)
+      : (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cached = banded.persist(MEMORY_AND_DISK)
     // hot-bucket detection is a map-side-combining aggregate over the
@@ -223,11 +253,9 @@ object Dedup {
       .filter(col("_n") > cap)
       .select(keys.map(col) :+ col("_rep"): _*)
       .persist(MEMORY_AND_DISK)
-    // NB this function is EAGER: the hot-bucket probe runs the
-    // signature+banding subtree, and the result is materialized via
-    // materializeSmall so BOTH internal caches can be freed before
-    // returning — callers re-read candidate rows, never re-run the
-    // subtree, and no banded-frame block outlives the call.
+    // NB the probe is an eager job: CONSTRUCTING the plan runs the
+    // signature+banding subtree once (into the banded cache) — the
+    // cost buys the adaptive no-skew fast path below.
     val anyHot = hot.limit(1).count() > 0
     val pairsPlan = if (!anyHot) {
       val a = cached.select(keys.map(col) :+ col(idCol).as("id_a"): _*)
@@ -248,10 +276,7 @@ object Dedup {
         .select(col("_rep").as("id_a"), col(idCol).as("id_b")) // _rep is the min ⇒ a < b
       coldPairs.union(hotPairs).distinct()
     }
-    val out = materializeSmall(pairsPlan)
-    cached.unpersist(false)
-    hot.unpersist(false)
-    out
+    (pairsPlan, () => { cached.unpersist(false); hot.unpersist(false) })
   }
 
   /** Verified candidate pairs `(id_a, id_b, jaccard)` with id_a < id_b,
@@ -291,19 +316,33 @@ object Dedup {
       col(idCol),
       posexplode(T.bandHashes(col("sig"), numHashes, bands)))
       .select(col(idCol), col("pos").as("band"), col("col").as("bh"))
-    // cand is MATERIALIZED (LocalRelation / pair-grain checkpoint): the
-    // three consumers below re-read rows, never re-run the subtree
-    val cand = cappedBucketPairs(banded, Seq("band", "bh"), idCol, hotBucketCap)
-    def shSide(side: String): DataFrame = hashed(
-      src.join(cand.select(col(side).as(idCol)).distinct(), Seq(idCol)))
-      .select(col(idCol).as(side), col("sh").as("sh_" + side.last))
-    cand
-      .join(shSide("id_a"), Seq("id_a"))
-      .join(shSide("id_b"), Seq("id_b"))
+    // Candidates flow LAZILY into the Jaccard verify — the unverified
+    // pair set (10⁵–10⁶ rows on a replica-clique corpus) is never
+    // materialized, persisted, or shipped through the driver; it is
+    // referenced ONCE, so the whole verify is a single pipelined
+    // action over the warm banded cache. The kernel is evaluated at
+    // most 3× (banding + the two verification rejoins) with ZERO cache
+    // footprint; restricting the rejoins to candidate ids was measured
+    // at both sf0.1 and sf1 (r14 iteration) and its bookkeeping — a
+    // candidate-grain cache plus an extra capped-join pass — costs
+    // more than the two kernel evaluations it avoids (q91@sf1:
+    // 12.2 s restricted vs ~6 s pipelined), so the simple shape wins
+    // until a hasher's per-row cost dominates the join work.
+    val (cand, bucketCleanup) =
+      cappedBucketPairsLazy(banded, Seq("band", "bh"), idCol, hotBucketCap)
+    val sh = hashed(src)
+    val verified = cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(
         col("id_a"), col("id_b"),
         T.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // verified pairs ARE small — materialize them, then free the
+    // banded caches: no block outlives the call (header contract)
+    val out = materializeSmall(verified)
+    bucketCleanup()
+    out
   }
 
   /** Connected components over a verified duplicate-pair set: every row
@@ -479,8 +518,13 @@ object Dedup {
       maxHamming: Int, hotBucketCap: Int = 4096): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
+    // persisted AND populated up front: the signature kernel (decode /
+    // simhash votes — the expensive part) runs exactly once; the banded
+    // build and both verification rejoins hit the warm cache instead of
+    // racing its population inside one action
     val sims = sigs.select(col(idCol), col(hashCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sims.count()
     val chunkCols = (0 until chunks).map { i =>
       shiftrightunsigned(col(hashCol), i * bitsPer)
         .bitwiseAND(lit((1L << bitsPer) - 1))
@@ -489,19 +533,21 @@ object Dedup {
       col(idCol),
       posexplode(array(chunkCols: _*)))
       .select(col(idCol), col("pos").as("chunk"), col("col").as("cv"))
-    // distinct capped pairs first, then one narrow rejoin per side for
-    // the hash values — the pair set is far smaller than the banded
-    // frame, and sims is persisted (broadcastable under AQE) for the
-    // two rejoins, then FREED: the verified result is pair-grain, so
-    // materializing it eagerly lets the corpus-rows (id, hash) cache
-    // be unpersisted before returning (no block outlives the call)
-    val verified = cappedBucketPairs(banded, Seq("chunk", "cv"), idCol, hotBucketCap)
+    // candidates flow LAZILY into the popcount verify (never
+    // materialized — the unverified set is the big one), one narrow
+    // rejoin per side for the hash values; the verified result is
+    // pair-grain, materialized so every cache can be freed before
+    // returning (no block outlives the call)
+    val (cand, bucketCleanup) =
+      cappedBucketPairsLazy(banded, Seq("chunk", "cv"), idCol, hotBucketCap)
+    val verified = cand
       .join(sims.select(col(idCol).as("id_a"), col(hashCol).as("sim_a")), Seq("id_a"))
       .join(sims.select(col(idCol).as("id_b"), col(hashCol).as("sim_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
     val out = materializeSmall(verified)
+    bucketCleanup()
     sims.unpersist(false)
     out
   }
@@ -670,12 +716,26 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, maxDfShare: Int = 15,
       minContainmentFp: Long = 6554L, maxDfAbs: Int = DefaultMaxDfAbs): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // The input projection is persisted and POPULATED first — one
+    // evaluation of whatever subtree the caller hands in (q191/q192
+    // pass a live dedup-join; evaluating that per consumer, with
+    // join-estimated stats, was the r14.0 q191 regression) — and its
+    // count IS the corpus size the df-share cap needs, so the cap
+    // becomes a literal and the former 1-row count cross join
+    // disappears. The cache also gives every downstream join exact
+    // InMemoryRelation stats instead of join-subtree estimates.
+    val src = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("_t"))
+      .persist(MEMORY_AND_DISK)
+    val nDocs = src.count()
     // distinct shingles per doc: FOUR consumers (sizes, df, join a/b) —
-    // materialized once, the q164/q171 persist rationale
-    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(array_distinct(T.shingles(col(textCol), ngram))).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = docs.agg(count(lit(1)).as("n"))
+    // persisted AND populated before the fan-out so no consumer races
+    // the cache build
+    val sh = src.select(col("doc_id"),
+        explode(array_distinct(T.shingles(col("_t"), ngram))).as("s"))
+      .persist(MEMORY_AND_DISK)
+    sh.count()
     // TWO df bounds compose: the SHARE cap defines the semantics
     // ("containment among distinctive shingles" — scale-relative, so
     // the same query stays non-degenerate at every corpus size), and
@@ -691,16 +751,16 @@ object Dedup {
     // Dropping high-df shingles can only LOWER measured containment
     // (the share-cap argument, verbatim).
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(n))
-      .filter(col("df") * maxDfShare <= col("n") && col("df") <= maxDfAbs)
+      .filter(col("df") * maxDfShare <= lit(nDocs) && col("df") <= maxDfAbs)
       .select("s")
     // shingle-grain keyed equi-join (rare is shingle-grain — never a
     // broadcast); the pair aggregate shuffles candidate pairs only.
     // Sizes count the SAME distinctive universe as the intersection —
     // numerator and denominator stay coherent, so containment 1.0 is
-    // reachable — three consumers, materialized
+    // reachable — three consumers, persisted and populated
     val rsh = sh.join(rare, "s")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(MEMORY_AND_DISK)
+    rsh.count()
     val sizes = rsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = rsh.select(col("s"), col("doc_id").as("ia"))
       .join(rsh.select(col("s"), col("doc_id").as("ib")), "s")
@@ -716,12 +776,14 @@ object Dedup {
       .select(col("ia").as("inner_id"), col("ib").as("outer_id"),
         col("inter"), col("sz_a").as("sz_inner"), col("sz_b").as("sz_outer"),
         col("cont_fp"))
-    // pair-grain result materialized eagerly so both postings caches
-    // (sh: corpus × distinct shingles; rsh: the df-capped subset) are
-    // freed before returning — the header's cache-lifetime contract
+    // pair-grain result materialized eagerly so the input cache and
+    // both postings caches (sh: corpus × distinct shingles; rsh: the
+    // df-capped subset) are freed before returning — the header's
+    // cache-lifetime contract
     val out = materializeSmall(result)
     rsh.unpersist(false)
     sh.unpersist(false)
+    src.unpersist(false)
     out
   }
 
