@@ -212,6 +212,77 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Densified ONE-PERMUTATION MinHash signature (Li, Owen & Zhang 2012;
+  * Shrivastava & Li 2014's rotation densification): the shingle hash
+  * itself is the permuted value — its unsigned residue mod k selects a
+  * bin, each bin keeps its (signed) minimum, and an empty bin borrows
+  * from the nearest ORIGINALLY non-empty bin to its right (circular),
+  * offset by hops·C (C an odd splitmix constant, wraparound arithmetic)
+  * so borrowed values collide across docs exactly when the borrowed
+  * minimum and hop distance both agree — the rotation scheme's
+  * collision property. Cost: O(|shingles| + k) per doc vs classic
+  * MinHash's O(k·|shingles|) — at 100 TB the signature stage shrinks
+  * k-fold while the banding/verification machinery is unchanged (and
+  * exact-Jaccard verification keeps the FINAL pair set exact either
+  * way; only candidate recall differs — measured against exact truth
+  * in q196). Empty shingle sets signature to all-MaxValue, matching
+  * only other empty docs (the [[MinHashSignature]] convention).
+  * Bit-replayable: bins, minima and rotation reproduce in DuckDB from
+  * the same md5 shingle hashes (q195/q196 oracles). */
+case class OphSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && k <= 1024)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_oph_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    val empty = Array.fill(k)(true)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      val bin = java.lang.Long.remainderUnsigned(x, k.toLong).toInt
+      if (empty(bin) || x < mins(bin)) { mins(bin) = x; empty(bin) = false }
+      i += 1
+    }
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      if (!empty(j)) out(j) = mins(j)
+      else if (n == 0) out(j) = Long.MaxValue
+      else {
+        // borrow from the nearest originally non-empty bin rightward
+        // (reads `mins`, never densified output — well-defined in any
+        // scan order); n > 0 guarantees at least one non-empty bin
+        var hops = 1
+        var src = (j + 1) % k
+        while (empty(src)) { src = (src + 1) % k; hops += 1 }
+        out(j) = mins(src) + OphSignature.C * hops // wraparound intended
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): OphSignature =
+    copy(child = c)
+}
+
+object OphSignature {
+  /** Rotation offset constant — public so the q195/q196 DuckDB oracles
+    * inline the SAME value (one source of truth, the
+    * [[MinHashSignature.coefficients]] discipline). */
+  val C: Long = 0x9e3779b97f4a7c15L
+}
+
 object MinHashSignature {
   /** Position-seeded (splitmix64) affine coefficients — public so the
     * q91 DuckDB oracle can inline the SAME constants rather than

@@ -124,6 +124,16 @@ object TextFunctions {
     shim.column(MinHashSignature(shim.expression(shingleHashCol), k))
   }
 
+  /** Densified one-permutation MinHash signature over HASHED shingles
+    * (`array<long>`): one bin-min pass + rotation densification
+    * (custom expression [[OphSignature]]) — O(|shingles| + k) per doc
+    * vs classic MinHash's O(k·|shingles|). Output array<long> of
+    * length k, drop-in for [[bandHashes]] banding. */
+  def ophSignature(shingleHashCol: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.column(OphSignature(shim.expression(shingleHashCol), k))
+  }
+
   /** HOF reference twin of [[minhashSignature]] (string or long
     * shingles; xxhash64-seeded family) — kept for property
     * cross-checks; ~100× slower per row than the expression form. */

@@ -290,7 +290,8 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, hotBucketCap: Int = 4096,
       shingleHasher: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
-        defaultShingleHasher): DataFrame = {
+        defaultShingleHasher,
+      ophDensified: Boolean = false): DataFrame = {
     // shingles are hashed to longs up front: signatures, the candidate
     // join, and exact-Jaccard verification all run over compact long
     // arrays instead of wide string arrays (64-bit collisions are
@@ -310,8 +311,16 @@ object Dedup {
     val src = Fanout.forKernel(df)
     def hashed(rows: DataFrame): DataFrame = rows.select(
       col(idCol), shingleHasher(col(textCol), shingleSize).as("sh"))
-    val sig = hashed(src).select(
-      col(idCol), T.minhashSignature(col("sh"), numHashes).as("sig"))
+    // `ophDensified` swaps the signature family only: densified
+    // one-permutation hashing ([[graft.functions.OphSignature]]) costs
+    // O(|shingles| + k) per doc instead of O(k·|shingles|) — the
+    // 100 TB signature-stage knob; banding, capping and exact-Jaccard
+    // verification are identical, so the final pair set differs only
+    // through candidate recall (measured vs exact truth in q196).
+    val sigExpr =
+      if (ophDensified) T.ophSignature(col("sh"), numHashes)
+      else T.minhashSignature(col("sh"), numHashes)
+    val sig = hashed(src).select(col(idCol), sigExpr.as("sig"))
     val banded = sig.select(
       col(idCol),
       posexplode(T.bandHashes(col("sig"), numHashes, bands)))
@@ -480,10 +489,11 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7,
       shingleHasher: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
-        defaultShingleHasher): DataFrame =
+        defaultShingleHasher,
+      ophDensified: Boolean = false): DataFrame =
     keeperFrom(df, idCol,
       minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands,
-        threshold, shingleHasher = shingleHasher))
+        threshold, shingleHasher = shingleHasher, ophDensified = ophDensified))
 
   /** Per-row 64-bit SimHash over token hashes (custom single-pass
     * Catalyst expression — see [[graft.functions.SimHash64]]). */
@@ -729,13 +739,17 @@ object Dedup {
         col(textCol).as("_t"))
       .persist(MEMORY_AND_DISK)
     val nDocs = src.count()
-    // distinct shingles per doc: FOUR consumers (sizes, df, join a/b) —
-    // persisted AND populated before the fan-out so no consumer races
-    // the cache build
+    // distinct shingles per doc — persisted AND populated before the
+    // fan-out so no consumer races the cache build; the input cache is
+    // DEAD once sh is populated (its only readers were the count above
+    // and this projection), so it is freed immediately — peak storage
+    // during the heavy self-join must not carry the corpus text
+    // (r14: a pass-3 executor OOM at sf1 traced to exactly that)
     val sh = src.select(col("doc_id"),
         explode(array_distinct(T.shingles(col("_t"), ngram))).as("s"))
       .persist(MEMORY_AND_DISK)
     sh.count()
+    src.unpersist(false)
     // TWO df bounds compose: the SHARE cap defines the semantics
     // ("containment among distinctive shingles" — scale-relative, so
     // the same query stays non-degenerate at every corpus size), and
@@ -761,6 +775,10 @@ object Dedup {
     val rsh = sh.join(rare, "s")
       .persist(MEMORY_AND_DISK)
     rsh.count()
+    // sh is dead once rsh is populated (rare rode along inside rsh's
+    // build): free it before the Σ df² self-join, the peak of the
+    // operator's memory profile
+    sh.unpersist(false)
     val sizes = rsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = rsh.select(col("s"), col("doc_id").as("ia"))
       .join(rsh.select(col("s"), col("doc_id").as("ib")), "s")
@@ -776,14 +794,11 @@ object Dedup {
       .select(col("ia").as("inner_id"), col("ib").as("outer_id"),
         col("inter"), col("sz_a").as("sz_inner"), col("sz_b").as("sz_outer"),
         col("cont_fp"))
-    // pair-grain result materialized eagerly so the input cache and
-    // both postings caches (sh: corpus × distinct shingles; rsh: the
-    // df-capped subset) are freed before returning — the header's
-    // cache-lifetime contract
+    // pair-grain result materialized eagerly so the last cache (rsh —
+    // src and sh were already freed at their last use above) can be
+    // released before returning — the header's cache-lifetime contract
     val out = materializeSmall(result)
     rsh.unpersist(false)
-    sh.unpersist(false)
-    src.unpersist(false)
     out
   }
 

@@ -760,6 +760,227 @@ object TextAnalysis {
               .as("keep_for_training"))
       }),
 
+    // ---- q195: near-dedup with DENSIFIED ONE-PERMUTATION MinHash —
+    // the 100 TB signature-stage knob: the shingle hash itself is the
+    // permuted value (one evaluation per shingle instead of k), bins
+    // keep their minimum, empty bins borrow rightward with a hops·C
+    // offset (Shrivastava & Li 2014 rotation). Banding, hot-bucket
+    // capping, exact-Jaccard verification and keeper election are the
+    // q91 machinery unchanged — the FINAL pair set stays exact-verified
+    // either way; only candidate recall differs (measured in q196).
+    // The oracle replays bins → minima → rotation → bands from the
+    // same md5 shingle hashes, C inlined from OphSignature.C. ----
+    QuerySpec(
+      "q195_dedup_minhash_oph",
+      Some {
+        val k = 32; val bands = 8; val rows = k / bands
+        val cU = { // OphSignature.C as the unsigned decimal the oracle needs
+          val v = graft.functions.OphSignature.C
+          if (v >= 0) java.math.BigInteger.valueOf(v)
+          else java.math.BigInteger.valueOf(v).add(java.math.BigInteger.ONE.shiftLeft(64))
+        }
+        s"""
+        WITH toks AS (
+          SELECT doc_id, CASE WHEN nrm = '' THEN [] ELSE string_split(nrm, ' ') END AS t
+          FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
+                FROM documents)
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' ')) END,
+                   s -> list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                          list_transform(range(1, 17),
+                            i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS HUGEINT))),
+                          (acc, d) -> acc * 16 + d))) AS hs
+          FROM toks
+        ), expl AS (SELECT doc_id, unnest(hs) AS x FROM sh),
+        mins AS (
+          SELECT doc_id, CAST(x % $k AS BIGINT) AS b,
+                 MIN(CAST(CASE WHEN x >= 9223372036854775808
+                               THEN x - 18446744073709551616 ELSE x END AS BIGINT)) AS m
+          FROM expl GROUP BY 1, 2
+        ), dom AS (
+          SELECT doc_id, unnest(range(0, $k)) AS b FROM sh
+        ), filled AS (
+          SELECT dom.doc_id, dom.b, mins.m
+          FROM dom LEFT JOIN mins ON mins.doc_id = dom.doc_id AND mins.b = dom.b
+        ), borrow AS (
+          SELECT f.doc_id, f.b, MIN(h.hop) AS hops
+          FROM (SELECT doc_id, b FROM filled WHERE m IS NULL) f
+          CROSS JOIN (SELECT unnest(range(1, $k)) AS hop) h
+          JOIN mins m ON m.doc_id = f.doc_id AND m.b = (f.b + h.hop) % $k
+          GROUP BY 1, 2
+        ), borrowv AS (
+          SELECT br.doc_id, br.b,
+                 ((CASE WHEN ms.m < 0
+                        THEN CAST(ms.m AS HUGEINT) + 18446744073709551616
+                        ELSE CAST(ms.m AS HUGEINT) END)
+                  + CAST($cU AS HUGEINT) * br.hops)
+                 % 18446744073709551616 AS du
+          FROM borrow br
+          JOIN mins ms ON ms.doc_id = br.doc_id AND ms.b = (br.b + br.hops) % $k
+        ), dens AS (
+          SELECT f.doc_id, f.b,
+                 CASE WHEN f.m IS NOT NULL THEN f.m
+                      WHEN bv.du IS NULL THEN 9223372036854775807
+                      ELSE CAST(CASE WHEN bv.du >= 9223372036854775808
+                                     THEN bv.du - 18446744073709551616
+                                     ELSE bv.du END AS BIGINT)
+                 END AS m
+          FROM filled f
+          LEFT JOIN borrowv bv ON bv.doc_id = f.doc_id AND bv.b = f.b
+        ), sigs AS (
+          SELECT doc_id, list(m ORDER BY b) AS sig FROM dens GROUP BY 1
+        ), banded AS (
+          SELECT doc_id, b, sig[b*$rows+1 : b*$rows+$rows] AS key
+          FROM sigs, (SELECT unnest(range(0, $bands)) AS b)
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+          FROM banded a JOIN banded bb
+            ON a.b = bb.b AND a.key = bb.key AND a.doc_id < bb.doc_id
+        ), verified AS (
+          SELECT p.id_a, p.id_b
+          FROM pairs p
+          JOIN sh s1 ON s1.doc_id = p.id_a
+          JOIN sh s2 ON s2.doc_id = p.id_b
+          WHERE CASE WHEN len(list_distinct(s1.hs || s2.hs)) = 0 THEN 1.0
+                     ELSE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+                        / CAST(len(list_distinct(s1.hs || s2.hs)) AS DOUBLE) END >= 0.5
+        ), best AS (
+          SELECT id_b AS doc_id, MIN(id_a) AS partner_min FROM verified GROUP BY 1
+        )
+        SELECT d.doc_id,
+               LEAST(COALESCE(partner_min, d.doc_id), d.doc_id) AS keep_id,
+               LEAST(COALESCE(partner_min, d.doc_id), d.doc_id) <> d.doc_id AS is_duplicate
+        FROM documents d LEFT JOIN best USING (doc_id)"""
+      },
+      (s, dir) => Dedup.minhashLsh(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5,
+        shingleHasher = T.md5ShingleHashes, ophDensified = true)),
+
+    // ---- q196: OPH CANDIDATE-RECALL EVALUATION — the q188 harness
+    // pointed at the densified one-permutation signature: exact Jaccard
+    // truth over the same bounded eval slice, LEFT-joined against the
+    // OPH banding's pre-verification candidates (threshold 0). This is
+    // the measurement that licenses q195's k-fold cheaper signature:
+    // the recall S-curve it trades away is quantified per similarity
+    // decile, on the actual corpus, under the hash oracle. ----
+    QuerySpec(
+      "q196_oph_recall_eval",
+      Some {
+        val k = 32; val bands = 8; val rows = k / bands
+        val cU = {
+          val v = graft.functions.OphSignature.C
+          if (v >= 0) java.math.BigInteger.valueOf(v)
+          else java.math.BigInteger.valueOf(v).add(java.math.BigInteger.ONE.shiftLeft(64))
+        }
+        s"""
+        WITH toks AS (
+          SELECT doc_id, CASE WHEN nrm = '' THEN [] ELSE string_split(nrm, ' ') END AS t
+          FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
+                FROM documents WHERE doc_id < 300)
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' ')) END,
+                   s -> list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                          list_transform(range(1, 17),
+                            i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS HUGEINT))),
+                          (acc, d) -> acc * 16 + d))) AS hs
+          FROM toks
+        ), expl AS (SELECT doc_id, unnest(hs) AS x FROM sh),
+        mins AS (
+          SELECT doc_id, CAST(x % $k AS BIGINT) AS b,
+                 MIN(CAST(CASE WHEN x >= 9223372036854775808
+                               THEN x - 18446744073709551616 ELSE x END AS BIGINT)) AS m
+          FROM expl GROUP BY 1, 2
+        ), dom AS (
+          SELECT doc_id, unnest(range(0, $k)) AS b FROM sh
+        ), filled AS (
+          SELECT dom.doc_id, dom.b, mins.m
+          FROM dom LEFT JOIN mins ON mins.doc_id = dom.doc_id AND mins.b = dom.b
+        ), borrow AS (
+          SELECT f.doc_id, f.b, MIN(h.hop) AS hops
+          FROM (SELECT doc_id, b FROM filled WHERE m IS NULL) f
+          CROSS JOIN (SELECT unnest(range(1, $k)) AS hop) h
+          JOIN mins m ON m.doc_id = f.doc_id AND m.b = (f.b + h.hop) % $k
+          GROUP BY 1, 2
+        ), borrowv AS (
+          SELECT br.doc_id, br.b,
+                 ((CASE WHEN ms.m < 0
+                        THEN CAST(ms.m AS HUGEINT) + 18446744073709551616
+                        ELSE CAST(ms.m AS HUGEINT) END)
+                  + CAST($cU AS HUGEINT) * br.hops)
+                 % 18446744073709551616 AS du
+          FROM borrow br
+          JOIN mins ms ON ms.doc_id = br.doc_id AND ms.b = (br.b + br.hops) % $k
+        ), dens AS (
+          SELECT f.doc_id, f.b,
+                 CASE WHEN f.m IS NOT NULL THEN f.m
+                      WHEN bv.du IS NULL THEN 9223372036854775807
+                      ELSE CAST(CASE WHEN bv.du >= 9223372036854775808
+                                     THEN bv.du - 18446744073709551616
+                                     ELSE bv.du END AS BIGINT)
+                 END AS m
+          FROM filled f
+          LEFT JOIN borrowv bv ON bv.doc_id = f.doc_id AND bv.b = f.b
+        ), sigs AS (
+          SELECT doc_id, list(m ORDER BY b) AS sig FROM dens GROUP BY 1
+        ), banded AS (
+          SELECT doc_id, b, sig[b*$rows+1 : b*$rows+$rows] AS key
+          FROM sigs, (SELECT unnest(range(0, $bands)) AS b)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+          FROM banded a JOIN banded bb
+            ON a.b = bb.b AND a.key = bb.key AND a.doc_id < bb.doc_id
+        ), truth AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.hs, b.hs)) AS inter,
+                 len(list_distinct(a.hs || b.hs)) AS uni
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.hs, b.hs)) > 0
+        )
+        SELECT CAST((inter * 10) // uni AS BIGINT) AS bucket,
+               COUNT(*) AS n_truth,
+               CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) * 65536
+                 // COUNT(*) AS BIGINT) AS recall_fp
+        FROM truth t
+        LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+        GROUP BY 1"""
+      },
+      (s, dir) => {
+        val slice = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
+        val sh = slice.select(col("doc_id").cast("long").as("doc_id"),
+            T.md5ShingleHashes(col("text"), 3).as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val truth = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+          .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+            size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("uni"))
+          .filter(col("inter") > 0)
+          .withColumn("bucket", expr("(inter * 10) div uni"))
+        val cand = Dedup.minhashCandidatePairs(slice, "doc_id", "text",
+            shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.0,
+            shingleHasher = T.md5ShingleHashes, ophDensified = true)
+          .select(col("id_a").cast("long").as("id_a"),
+            col("id_b").cast("long").as("id_b"))
+          .withColumn("hit", lit(1L))
+        truth.join(cand, Seq("id_a", "id_b"), "left")
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("recall_fp", expr("(n_hit * 65536) div n_truth"))
+      }),
+
     // ---- q40: embedding near-dup keeper election ----
     QuerySpec(
       "q40_dedup_embedding",

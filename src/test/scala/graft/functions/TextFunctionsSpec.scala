@@ -103,6 +103,51 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sigs(1L).length == 64)
   }
 
+  test("OPH signature: bins, minima and rotation densification match a scalar replay") {
+    val k = 8
+    // hand-checkable shingle-hash sets, incl. negatives (unsigned bin),
+    // a set leaving several bins empty (rotation paths, wraparound
+    // borrow past bin k-1), and the empty set (all-MaxValue contract)
+    val sets = Seq(
+      1L -> Seq(5L, 13L, -3L, 7L, 21L),
+      2L -> Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      3L -> Seq(16L), // one bin filled: every other bin borrows from it
+      4L -> Seq.empty[Long])
+    val got = sets.toDF("id", "hs")
+      .select(col("id"), T.ophSignature(col("hs"), k).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def replay(hs: Seq[Long]): Seq[Long] = {
+      val mins = collection.mutable.Map.empty[Int, Long]
+      for (x <- hs) {
+        val b = java.lang.Long.remainderUnsigned(x, k.toLong).toInt
+        mins(b) = math.min(mins.getOrElse(b, Long.MaxValue), x)
+      }
+      (0 until k).map { j =>
+        if (mins.contains(j)) mins(j)
+        else if (mins.isEmpty) Long.MaxValue
+        else {
+          var hops = 1
+          while (!mins.contains((j + hops) % k)) hops += 1
+          mins((j + hops) % k) + graft.functions.OphSignature.C * hops
+        }
+      }
+    }
+    for ((id, hs) <- sets)
+      assert(got(id) == replay(hs), s"doc $id: ${got(id)} vs ${replay(hs)}")
+    // similarity tracking survives densification (the LSH property)
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("id", "t")
+      .select(col("id"),
+        T.ophSignature(T.shingleHashes(col("t"), 2), 64).as("sig"))
+    val sigs = df.as[(Long, Seq[Long])].collect().toMap
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sigs(1L), sigs(2L)) > agree(sigs(1L), sigs(3L)),
+      "similar texts must agree on more OPH coordinates")
+  }
+
   test("md5Hash64 fast kernel == decimal-kernel witness, incl. sign-wrap cases") {
     // real corpus text plus adversarial strings; the set must exercise
     // both hi >= 2^31 (negative result) and hi < 2^31 (positive)
