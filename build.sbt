@@ -37,5 +37,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g (was 8g): local[32] means THIRTY-TWO executor tasks share this
+  // one heap with the driver — at sf1 the 8g default left ~250 MB of
+  // execution memory per sort task and intermittently OOMed
+  // (UnsafeExternalSorter pointer-array growth; one fatal driver OOM
+  // killed a whole bench run). The box has 128 GiB; in a real
+  // deployment this is the executor-memory deploy knob, not code.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
