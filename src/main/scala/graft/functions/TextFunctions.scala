@@ -94,6 +94,22 @@ object TextFunctions {
     shim.column(ShingleHashes64(shim.expression(c), n))
   }
 
+  /** All canonical (a < b) id pairs of a bounded posting list
+    * (`array<long>` → `array<struct<a,b>>`) — [[SortedPairs]]; the
+    * pair-expansion kernel of the postings-grain containment join. */
+  def sortedPairs(c: Column): Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.column(SortedPairs(shim.expression(c)))
+  }
+
+  /** Packed fast path of [[sortedPairs]] (`array<long>`, each pair as
+    * `(a << 32) | b`) — requires ids in [0, 2³¹); see
+    * [[SortedPairsPacked]]. */
+  def sortedPairsPacked(c: Column): Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.column(SortedPairsPacked(shim.expression(c)))
+  }
+
   /** HOF reference twin of [[shingleHashes]] (xxhash64 over the string
     * shingles of [[shingles]]) — different hash family, same set
     * cardinalities; kept for property cross-checks. */

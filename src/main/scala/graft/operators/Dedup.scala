@@ -722,7 +722,20 @@ object Dedup {
     * quadratic in corpus size); the q182/q191 oracle SQL carries the
     * SAME `df <= 1024` predicate, so engine and reference agree at
     * every scale — including above the cap crossover (~15.4k docs),
-    * where the cap actively prunes. */
+    * where the cap actively prunes.
+    *
+    * The pair aggregate — ~10⁸ mostly-distinct (ia, ib) groups at sf1,
+    * the operator's dominant stage — keys on ONE packed long
+    * `(ia << 32) | ib` ([[graft.functions.SortedPairsPacked]]) when
+    * every id fits in [0, 2³¹) (one scalar min/max rides the corpus
+    * count): no per-pair row allocation, 8-byte aggregate keys.
+    * Wide-id corpora take canonical struct pairs
+    * ([[graft.functions.SortedPairs]]) — measured ~10% slower on the
+    * aggregate stage at sf1's 1.1×10⁸ groups and linear either way
+    * (an order-preserving dense-id dictionary tier was measured and
+    * rejected: its single-partition ranking window plus encode/decode
+    * joins cost what the packed keys saved). Both tiers compute
+    * identical output. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, maxDfShare: Int = 15,
       minContainmentFp: Long = 6554L, maxDfAbs: Int = DefaultMaxDfAbs): DataFrame = {
@@ -734,71 +747,101 @@ object Dedup {
     // count IS the corpus size the df-share cap needs, so the cap
     // becomes a literal and the former 1-row count cross join
     // disappears. The cache also gives every downstream join exact
-    // InMemoryRelation stats instead of join-subtree estimates.
+    // InMemoryRelation stats instead of join-subtree estimates. The
+    // same pass returns the id range — the packed-pair tier guard.
     val src = docs.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("_t"))
       .persist(MEMORY_AND_DISK)
-    val nDocs = src.count()
-    // distinct shingles per doc — persisted AND populated before the
-    // fan-out so no consumer races the cache build; the input cache is
-    // DEAD once sh is populated (its only readers were the count above
-    // and this projection), so it is freed immediately — peak storage
-    // during the heavy self-join must not carry the corpus text
-    // (r14: a pass-3 executor OOM at sf1 traced to exactly that)
-    val sh = src.select(col("doc_id"),
-        explode(array_distinct(T.shingles(col("_t"), ngram))).as("s"))
-      .persist(MEMORY_AND_DISK)
-    sh.count()
-    src.unpersist(false)
+    val bounds = src.agg(count(lit(1)), min("doc_id"), max("doc_id")).head()
+    val nDocs = bounds.getLong(0)
+    val packDirect = nDocs > 0 && bounds.getLong(1) >= 0 &&
+      bounds.getLong(2) < (1L << 31)
+    // ONE shuffle builds the capped posting lists: distinct HASHED
+    // shingles per doc ([[T.shingleHashes]] — the one-pass kernel q39
+    // gates against the raw-string sets; every count downstream is
+    // identical unless the 64-bit hash collides inside the corpus, a
+    // statistical non-event for a 0.1-threshold curation signal)
+    // explode into (doc_id, s) rows, and a memory-bounded posting
+    // aggregate ([[CappedCollect]]) groups them by shingle into
+    // struct<df, ds>: the TRUE df plus the id list, capped at
+    // maxDfAbs+1 ids so a boilerplate-grade hot shingle costs O(cap)
+    // reducer state instead of O(corpus) — every group the caps keep
+    // has a COMPLETE list. This replaces the r13 three-pass topology
+    // (df groupBy → rare semi-join → two-sided Σ df² self-join), which
+    // shuffled the corpus-grain (doc_id, s) frame three more times and
+    // emitted BOTH orders of every pair; measured at sf1: 45.3 s → the
+    // postings form below.
+    //
     // TWO df bounds compose: the SHARE cap defines the semantics
     // ("containment among distinctive shingles" — scale-relative, so
     // the same query stays non-degenerate at every corpus size), and
-    // the ABSOLUTE cap `maxDfAbs` pins the self-join's cost: a df-doc
-    // shingle contributes df² pair terms, so under the share cap alone
-    // Σ df² grows quadratically with corpus size (measured: q182 2.7 s
-    // at sf0.1 → 75 s at sf1, 28× for 10× data — near-cap shingles at
-    // df ≈ N/15 dominate). df ≤ maxDfAbs makes the per-shingle fan-out
-    // a constant, i.e. the join linear in the corpus. The q182/q191
-    // oracle SQL replays BOTH predicates (`df * 15 <= n AND df <= 1024`),
-    // so the cap is part of the defined semantics at every corpus size,
-    // not just below the ~15.4k-doc crossover where it can't trigger.
-    // Dropping high-df shingles can only LOWER measured containment
-    // (the share-cap argument, verbatim).
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") * maxDfShare <= lit(nDocs) && col("df") <= maxDfAbs)
-      .select("s")
-    // shingle-grain keyed equi-join (rare is shingle-grain — never a
-    // broadcast); the pair aggregate shuffles candidate pairs only.
+    // the ABSOLUTE cap `maxDfAbs` pins the per-shingle pair fan-out to
+    // a constant (under the share cap alone Σ df² grows quadratically
+    // with corpus size — near-cap shingles at df ≈ N/15 dominate). The
+    // q182/q191/q194 oracle SQL replays BOTH predicates
+    // (`df * 15 <= n AND df <= 1024`), so the caps are part of the
+    // defined semantics at every corpus size. Dropping high-df shingles
+    // can only LOWER measured containment (the share-cap argument).
+    val grouped = src.select(col("doc_id"),
+        explode(T.shingleHashes(col("_t"), ngram)).as("s"))
+      .groupBy("s")
+      .agg(CappedCollect.collectCapped(maxDfAbs + 1)(col("doc_id")).as("g"))
+      .filter(col("g.df") * maxDfShare <= lit(nDocs) &&
+        col("g.df") <= maxDfAbs)
+      .select(col("g.ds").as("ds"))
+      .persist(MEMORY_AND_DISK)
+    // populated before the fan-out (sizes + pairs) so no consumer races
+    // the cache build; the input cache is DEAD once grouped is populated
+    // (its only readers were the bounds pass and the shingle explode),
+    // so it is freed immediately — peak storage during the pair
+    // aggregate must not carry the corpus text (r14: a pass-3 executor
+    // OOM at sf1 traced to exactly that)
+    grouped.count()
+    src.unpersist(false)
     // Sizes count the SAME distinctive universe as the intersection —
     // numerator and denominator stay coherent, so containment 1.0 is
-    // reachable — three consumers, persisted and populated
-    val rsh = sh.join(rare, "s")
-      .persist(MEMORY_AND_DISK)
-    rsh.count()
-    // sh is dead once rsh is populated (rare rode along inside rsh's
-    // build): free it before the Σ df² self-join, the peak of the
-    // operator's memory profile
-    sh.unpersist(false)
-    val sizes = rsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = rsh.select(col("s"), col("doc_id").as("ia"))
-      .join(rsh.select(col("s"), col("doc_id").as("ib")), "s")
-      .filter(col("ia") =!= col("ib"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
-    val result = inter
+    // reachable.
+    val sizes = grouped.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // Pair expansion is map-side over the surviving posting lists: each
+    // list emits its C(df,2) CANONICAL (ia < ib) pairs — half the
+    // df²−df rows the two-sided self-join form shuffled — straight into
+    // the partially-aggregated pair count, the only pair-grain exchange
+    // in the operator. Packed tier when ids fit; struct tier otherwise.
+    val inter =
+      if (packDirect)
+        grouped.select(explode(T.sortedPairsPacked(col("ds"))).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("inter"))
+          .select(shiftrightunsigned(col("pk"), 32).as("ia"),
+            col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("ib"), col("inter"))
+      else
+        grouped.select(explode(T.sortedPairs(col("ds"))).as("p"))
+          .select(col("p.a").as("ia"), col("p.b").as("ib"))
+          .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+    // inner = the doc with the smaller distinctive-shingle set (ties by
+    // id — ia < ib is canonical, so the tie keeps ia, matching the
+    // two-sided form's `sz_a < sz_b OR (= AND ia < ib)` row filter)
+    val scored = inter
       .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sz_a")), "ia")
       .join(sizes.select(col("doc_id").as("ib"), col("sz").as("sz_b")), "ib")
-      .filter(col("sz_a") < col("sz_b") ||
-        (col("sz_a") === col("sz_b") && col("ia") < col("ib")))
-      .withColumn("cont_fp", expr("inter * 65536 div sz_a"))
+      .select(
+        when(col("sz_a") <= col("sz_b"), col("ia")).otherwise(col("ib"))
+          .as("inner_id"),
+        when(col("sz_a") <= col("sz_b"), col("ib")).otherwise(col("ia"))
+          .as("outer_id"),
+        col("inter"),
+        least(col("sz_a"), col("sz_b")).as("sz_inner"),
+        greatest(col("sz_a"), col("sz_b")).as("sz_outer"))
+      .withColumn("cont_fp", expr("inter * 65536 div sz_inner"))
       .filter(col("cont_fp") >= minContainmentFp)
-      .select(col("ia").as("inner_id"), col("ib").as("outer_id"),
-        col("inter"), col("sz_a").as("sz_inner"), col("sz_b").as("sz_outer"),
-        col("cont_fp"))
-    // pair-grain result materialized eagerly so the last cache (rsh —
-    // src and sh were already freed at their last use above) can be
-    // released before returning — the header's cache-lifetime contract
+    val result = scored
+      .select("inner_id", "outer_id", "inter", "sz_inner", "sz_outer",
+        "cont_fp")
+    // pair-grain result materialized eagerly so the last cache (grouped
+    // — src was already freed at its last use above) can be released
+    // before returning — the header's cache-lifetime contract
     val out = materializeSmall(result)
-    rsh.unpersist(false)
+    grouped.unpersist(false)
     out
   }
 

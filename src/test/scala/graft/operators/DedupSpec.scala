@@ -443,6 +443,31 @@ class DedupSpec extends SparkSpec {
     assert(gotAbs3.nonEmpty, s"cap 3 must keep df<=3 shingles")
   }
 
+  test("containmentPairs: packed and struct pair tiers agree") {
+    import spark.implicits._
+    // rich-ish overlap structure so every code path sees real pairs
+    val base = Seq(
+      (1L, "a b c d"), (2L, "a b c d e f"), (3L, "x y z w"),
+      (4L, "c d e f g"), (5L, "a b c d e f g h"), (6L, "d e f g h i"),
+      (7L, "p q r s t"), (8L, "q r s t u v")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.containmentPairs(df, "doc_id", "text", ngram = 3,
+          maxDfShare = 2, minContainmentFp = 1000L)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // ids in [0, 2^31) → the packed-long pair tier
+    val packed = run(base)
+    // ids beyond 2^31 (the sf1 layout: doc_id up to ~2^37) → the
+    // canonical struct tier; output must be identical modulo the shift
+    val shift = 1L << 33
+    val wide = base.select((col("doc_id") + shift).as("doc_id"), col("text"))
+    val struct = run(wide)
+    def unshift(s: Set[(Long, Long, Long, Long, Long, Long)]) =
+      s.map { case (i, o, n, si, so, c) => (i - shift, o - shift, n, si, so, c) }
+    assert(packed.nonEmpty, "fixture must produce pairs")
+    assert(unshift(struct) == packed,
+      s"struct tier diverged: ${unshift(struct)} vs $packed")
+  }
+
   test("pair operators leave zero persistent RDDs behind (cache-lifetime contract)") {
     // the r13 leak: minhashCandidatePairs' md5-family branch persisted a
     // corpus-sized array<long> frame with no unpersist hook — every call
