@@ -213,7 +213,8 @@ object Analytics {
         val nodes = Tables.load(s, dir, "nation")
           .select(col("n_nationkey").cast("long").as("node"))
         graft.operators.Graph.pageRankFixedPoint(edges, nodes,
-            iterations = 60, scale = prScale, toleranceL1 = 0L)
+            iterations = 60, scale = prScale, toleranceL1 = 0L,
+            deltaEvery = 8)
           .select(col("node").as("n_nationkey"), col("r").as("rank_fp"))
       }),
 

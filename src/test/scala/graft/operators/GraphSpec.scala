@@ -76,6 +76,16 @@ class GraphSpec extends SparkSpec {
     val early = Graph.pageRankFixedPoint(edges, nodes, iterations = 60,
       toleranceL1 = 0L).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(early == fullK, "early stop at delta=0 must equal the full-K run")
+    // the batched convergence-check cadence must be output-invariant at
+    // toleranceL1 = 0: a zero-delta batch means its first round was the
+    // fixpoint, and iteration past the fixpoint is idempotent — so any
+    // cadence (including one not dividing the fixpoint round) agrees
+    for (cadence <- Seq(3, 7, 64)) {
+      val batched = Graph.pageRankFixedPoint(edges, nodes, iterations = 60,
+        toleranceL1 = 0L, deltaEvery = cadence)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batched == fullK, s"deltaEvery=$cadence diverged")
+    }
     // sanity: the fixture really does reach the fixpoint well before K
     // (uniform mass on a symmetric cycle), so the early path was exercised
     val k12 = Graph.pageRankFixedPoint(edges, nodes, iterations = 12)
@@ -87,11 +97,34 @@ class GraphSpec extends SparkSpec {
     val edges = Seq((1L, 2L, 2L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
       .toDF("src", "dst", "w")
     val nodes = Seq(1L, 2L, 3L).toDF("node")
-    val a = Graph.pageRankFixedPoint(edges, nodes, iterations = 15, checkpointEvery = 4)
+    val a = Graph.pageRankFixedPoint(edges, nodes, iterations = 15, checkpointEvery = 4,
+        maxDriverEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val b = Graph.pageRankFixedPoint(edges, nodes, iterations = 15, checkpointEvery = 100)
+    val b = Graph.pageRankFixedPoint(edges, nodes, iterations = 15, checkpointEvery = 100,
+        maxDriverEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b, "lineage truncation must not change values")
+  }
+
+  test("pageRankFixedPoint driver regime is bit-identical to the distributed regime") {
+    // the maxDriverEdges gate (connectedComponents discipline) must be
+    // an accelerator, never a semantics fork: same floors, same sums —
+    // with and without early stop, at cadences that do and don't divide
+    // the fixpoint round
+    val r = new scala.util.Random(11)
+    val edges = Seq.tabulate(300)(i =>
+      (r.nextInt(40).toLong, r.nextInt(40).toLong, 1L + r.nextInt(9)))
+      .toDF("src", "dst", "w")
+    val nodes = (0L until 45L).toDF("node") // incl. isolated nodes
+    for ((tol, cad) <- Seq((-1L, 1), (0L, 1), (0L, 7))) {
+      val driver = Graph.pageRankFixedPoint(edges, nodes, iterations = 25,
+        toleranceL1 = tol, deltaEvery = cad)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val dist = Graph.pageRankFixedPoint(edges, nodes, iterations = 25,
+        toleranceL1 = tol, deltaEvery = cad, maxDriverEdges = 0L)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(driver == dist, s"regimes diverged at tol=$tol cadence=$cad")
+    }
   }
 
   test("hitsFixedPoint matches hand-rolled fixed-point iteration on a star") {
@@ -139,6 +172,20 @@ class GraphSpec extends SparkSpec {
         edges.repartition(7, col("dst")).sortWithinPartitions("w"), nodes, iterations = 4)
       .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(2))).toSet
     assert(base == rep)
+  }
+
+  test("hitsFixedPoint driver regime is bit-identical to the distributed regime") {
+    val r = new scala.util.Random(13)
+    val edges = Seq.tabulate(120)(i =>
+      (r.nextInt(20).toLong, r.nextInt(20).toLong, 1L + r.nextInt(7)))
+      .toDF("src", "dst", "w")
+    val nodes = (0L until 24L).toDF("node") // incl. isolated nodes
+    val driver = Graph.hitsFixedPoint(edges, nodes, iterations = 6)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val dist = Graph.hitsFixedPoint(edges, nodes, iterations = 6,
+        maxDriverEdges = 0L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(driver == dist, "HITS regimes diverged")
   }
 
   test("boilerplateShingles is invariant to input partitioning") {
