@@ -165,6 +165,81 @@ case class ShingleHashes64(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Distinct md5-prefix hashes of the word n-gram shingles in ONE pass
+  * (`string` → `array<long>`): the same normalize→tokenize→window walk
+  * as [[ShingleHashes64]], but each shingle hashes to the SIGNED 64-bit
+  * value of its md5 digest's first 8 bytes (big-endian) — bit-identical
+  * to the HOF form `md5 hex → conv(hi)·2³² + conv(lo)` the DuckDB
+  * oracles replay (q91/q191/q192/q195/q196), which is the whole point
+  * of this family: md5 is replayable by the oracle where FNV is not.
+  * The HOF composition (per-shingle slice + concat_ws + md5 hex +
+  * two conv substring parses, all interpreted) measured 5.0 s per
+  * corpus pass at sf1 vs 0.5 s for the FNV kernel; the digest itself
+  * is a fraction of that, so one tight pass recovers most of the gap —
+  * and the near-dedup pipeline evaluates this kernel up to 3× per
+  * query. Degenerate (< n tokens) case: one shingle of the whole
+  * (possibly empty) text, as everywhere in this family. */
+case class Md5ShingleHashes64(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0 && n <= 32)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_md5_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  @inline private def md5Long(s: String): Long = {
+    val d = Md5ShingleHashes64.digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT).trim
+    val tokens =
+      if (text.isEmpty) Array.empty[String] else text.split("\\s+")
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (tokens.length < n) {
+      out.add(md5Long(tokens.mkString(" ")))
+    } else {
+      val sb = new java.lang.StringBuilder
+      var s = 0
+      while (s + n <= tokens.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(s + j))
+          j += 1
+        }
+        out.add(md5Long(sb.toString))
+        s += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5ShingleHashes64 =
+    copy(child = c)
+}
+
+object Md5ShingleHashes64 {
+  /** MessageDigest is stateful and not thread-safe; one per task thread. */
+  private val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
 /** MinHash signature of a hashed-shingle set (`array<long>` →
   * `array<long>` of length k): min over elements of h_i(x) = a_i·x+b_i
   * for k independent affine hash functions with position-seeded

@@ -88,6 +88,23 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("one-pass md5 shingle hashes are VALUE-identical to the HOF witness") {
+    // unlike the FNV family (different hash, same set semantics), the
+    // md5 family must reproduce the HOF values EXACTLY — the DuckDB
+    // oracles replay each md5 prefix bit for bit
+    val texts = Seq(
+      "a b c d e f g", "  A  b   C d e f g  ", "x", "", "one two",
+      "a b a b a b", "Füße müde Faß", "tab\tand  spaces", "0 1 2 3 4")
+    val rows = texts.toDF("t").select(
+      array_sort(T.md5ShingleHashes(col("t"), 3)).as("fast"),
+      array_sort(T.md5ShingleHashesHof(col("t"), 3)).as("hof"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"md5 kernel values differ for '$t': ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+    }
+  }
+
   test("minhash signature: containment tracks similarity") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
