@@ -568,6 +568,11 @@ object Analytics {
           .withColumn("wa", split(col("bigram"), " ").getItem(0))
           .withColumn("wb", split(col("bigram"), " ").getItem(1))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // populated before the marginal fan-out: three subtrees (two
+        // broadcast marginals + the join) reference the cache in one
+        // action, and an unpopulated persist lets them race and re-run
+        // the corpus tokenize+shuffle per reference
+        cnt.count()
         val ca = cnt.groupBy("wa").agg(sum("c_ab").as("c_a"))
         val cb = cnt.groupBy("wb").agg(sum("c_ab").as("c_b"))
         val tot = cnt.agg(sum("c_ab").as("t_tot"))

@@ -84,6 +84,9 @@ object Lm {
           .select(col("doc_id"),
             explode(graft.functions.TextFunctions.shingles(col("text"), 2)).as("bigram"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // populated before the counts/scoring fan-out (cold-cache race:
+        // two references in one action re-tokenize the corpus)
+        bg.count()
         val cnt = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
         val pfx = cnt
           .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))

@@ -473,6 +473,10 @@ object Retrieval {
         val S = graft.operators.Search
         val queries = queryTerms.toDF("query_id", "term")
         val docs = Tables.load(s, dir, "documents")
+        // NOT pre-populated: the two ranker subtrees share the postings
+        // exchange via ReuseExchange, and an explicit count() measured
+        // 1.4 s SLOWER at sf1 (an extra cache-write pass for a race
+        // that reuse already prevents)
         val tf = S.postings(docs, "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bm = S.bm25FromPostings(tf, docs.agg(count(lit(1)).as("n")),
@@ -577,6 +581,7 @@ object Retrieval {
         val S = graft.operators.Search
         val docs = Tables.load(s, dir, "documents")
         val queries = evalTerms.toDF("query_id", "term")
+        // NOT pre-populated — the q185 ReuseExchange measurement
         val tf = S.postings(docs, "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ranked = S.bm25FromPostings(tf, docs.agg(count(lit(1)).as("n")),
