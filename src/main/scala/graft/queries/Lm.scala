@@ -85,7 +85,11 @@ object Lm {
             explode(graft.functions.TextFunctions.shingles(col("text"), 2)).as("bigram"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // populated before the counts/scoring fan-out (cold-cache race:
-        // two references in one action re-tokenize the corpus)
+        // two references in one action re-tokenize the corpus). The
+        // cache-write pass costs more than the duplicated tokenize at
+        // small scale (sf0.1 min 1.44 -> 1.78 s) but wins once the
+        // corpus dominates (sf1 3.99 -> 2.73 s, min of 5) — the
+        // recompute grows with data while the extra pass amortizes.
         bg.count()
         val cnt = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
         val pfx = cnt
