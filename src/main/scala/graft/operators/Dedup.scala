@@ -806,17 +806,37 @@ object Dedup {
     // Pair expansion is map-side over the surviving posting lists: each
     // list emits its C(df,2) CANONICAL (ia < ib) pairs — half the
     // df²−df rows the two-sided self-join form shuffled — straight into
-    // the partially-aggregated pair count, the only pair-grain exchange
-    // in the operator. Packed tier when ids fit; struct tier otherwise.
+    // the pair-grain exchange, the only one in the operator. Packed
+    // tier when ids fit; struct tier otherwise.
+    //
+    // The explicit repartition BYPASSES partial aggregation on the
+    // explode side — deliberately. The pair groups are mostly distinct
+    // (sf1: 1.38×10⁸ expanded / 1.13×10⁸ distinct — map-side combine
+    // recovers only 1.2×), so the partial map is pure overhead, and a
+    // structurally harmful one: each explode-side task grows a
+    // ~4M-entry aggregation map under 32-way concurrency, tripping the
+    // memory manager into sort-based fallback on a cold JVM (measured:
+    // 54.6 → 28.3 → 10.6 s across reps for the plain groupBy — q182's
+    // cold-cliff mechanism — vs 6.3-7.6 s FLAT with the repartition;
+    // min-of-3 at sf1). Shuffle cost trades rows for bytes: raw pairs
+    // are 1.2× the combined row count but half the record width
+    // (8-byte key vs key+count), and both aggregates then run
+    // back-to-back on clustered partitions with no second exchange.
+    // On corpora where pairs DO repeat heavily (replica cliques) the
+    // raw shuffle would grow with the repetition ratio — but the
+    // production sequence (q191/q192) runs containment AFTER near-dedup
+    // precisely so replica cliques never reach this operator.
     val inter =
       if (packDirect)
         grouped.select(explode(T.sortedPairsPacked(col("ds"))).as("pk"))
+          .repartition(col("pk"))
           .groupBy("pk").agg(count(lit(1)).as("inter"))
           .select(shiftrightunsigned(col("pk"), 32).as("ia"),
             col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("ib"), col("inter"))
       else
         grouped.select(explode(T.sortedPairs(col("ds"))).as("p"))
           .select(col("p.a").as("ia"), col("p.b").as("ib"))
+          .repartition(col("ia"), col("ib"))
           .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
     // inner = the doc with the smaller distinctive-shingle set (ties by
     // id — ia < ib is canonical, so the tie keeps ia, matching the
