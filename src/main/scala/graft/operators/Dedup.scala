@@ -884,16 +884,7 @@ object Dedup {
   def chunkDupStats(
       df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 10): DataFrame = {
-    // token array bound once (see gramHashes: interpreted HOF bodies
-    // re-evaluate captured subtrees per element)
-    val chunks = element_at(
-      transform(array(split(col(textCol), " ")), toks => {
-        val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
-        transform(
-          sequence(lit(0), nChunks - 1),
-          i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
-      }),
-      1)
+    val chunks = chunkGrid(textCol, chunkTokens)
     val encoded = col(idCol) * 1000000L + col("chunk_idx")
     Fanout.forKernel(df)
       .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
@@ -904,6 +895,102 @@ object Dedup {
         count(lit(1)).as("n_chunks"),
         sum(when(encoded === col("_keeper"), 0L).otherwise(1L)).as("n_dup"))
   }
+
+  /** The fixed-grid chunk array shared by the chunk-grain operators:
+    * `chunkTokens`-token chunks over the whitespace token stream, last
+    * chunk short. Bound once per caller (interpreted HOF bodies
+    * re-evaluate captured subtrees per element — the gramHashes
+    * discipline). */
+  private def chunkGrid(textCol: String, chunkTokens: Int) =
+    element_at(
+      transform(array(split(col(textCol), " ")), toks => {
+        val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+        transform(
+          sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
+      }),
+      1)
+
+  /** Cross-document duplicated-chunk SCRUB — the RefinedWeb/Dolma
+    * "remove duplicated spans from the text" pass that [[chunkDupStats]]
+    * only measures. Documents are cut into the same fixed
+    * `chunkTokens`-token grid; a chunk whose content occurs in at least
+    * `minDocs` DISTINCT documents is boilerplate and is removed from
+    * EVERY document (the symmetric mass-removal form, so the result is
+    * independent of document order); the output is one row per document
+    * with the surviving text re-joined in chunk order:
+    * (id, text_scrubbed, n_chunks, n_removed).
+    *
+    * Scale shape: the chunk kernel (split + slice — cheap, codegen'd)
+    * runs twice, once under the document-frequency aggregate and once
+    * under the rejoin; persisting a corpus-sized chunk frame to save a
+    * cheap kernel is the measured losing trade (SCALING.md, pre-count
+    * crossover). The df aggregate is COUNT(DISTINCT doc) keyed on the
+    * chunk hash — Spark's two-phase distinct rewrite keys the heavy
+    * exchange on (hash, doc), near-unique pairs, so a chunk present in
+    * EVERY document still spreads across all reducers ([[chunkDupStats]]'
+    * window-over-hash form would park that chunk's whole corpus-wide
+    * row set in one window partition — fine for its doc-grain stats at
+    * tested scales, fatal for a scrub that must carry chunk text). The
+    * banned set rejoins on the hash with NO broadcast hint: its size is
+    * data-dependent (boilerplate-grain — small on real corpora, where
+    * AQE broadcasts it; potentially huge on a pathological one, where
+    * the equi-join shuffles and still scales). One final exchange
+    * groups kept chunks back to document grain — the same exchange any
+    * exact-dedup pass pays. */
+  def chunkScrub(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10, minDocs: Int = 2): DataFrame = {
+    val rows = Fanout.forKernel(df)
+      .select(col(idCol), posexplode(chunkGrid(textCol, chunkTokens))
+        .as(Seq("chunk_idx", "chunk")))
+      .withColumn("_ch", md5(col("chunk")))
+    val banned = rows.groupBy(col("_ch"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_ch"), lit(1L).as("_banned"))
+    rows.join(banned, Seq("_ch"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_banned").isNull,
+                struct(col("chunk_idx"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("text_scrubbed"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_banned").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+  }
+
+  /** WITHIN-document repeated-chunk dedup (Dolma's paragraph-dedupe
+    * pass): on the same fixed `chunkTokens`-token grid, keep each
+    * chunk's FIRST occurrence inside its own document and drop later
+    * repeats, re-joining survivors in order — the map-side complement
+    * of [[chunkScrub]]'s corpus-level removal. Output one row per
+    * document: (id, text_deduped, n_chunks, n_dup).
+    *
+    * Scale shape: ZERO exchanges at any scale (asserted in DedupSpec) —
+    * the whole operator is a projection of array HOFs riding the scan,
+    * so it composes with any downstream pass for free. The first-
+    * occurrence filter is O(k²) in k = chunks per document (each chunk
+    * probes the prefix before it); at the paragraph grain of real
+    * corpora k is O(100), and the pathological million-token document
+    * is exactly what the length/quality filters (q33/q121) drop before
+    * this pass runs. */
+  def docChunkDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10): DataFrame =
+    df.select(col(idCol), chunkGrid(textCol, chunkTokens).as("_chunks"))
+      .select(col(idCol), col("_chunks"),
+        filter(col("_chunks"), (c, i) =>
+          array_position(slice(col("_chunks"), lit(1), i), c) === lit(0L))
+          .as("_kept"))
+      .select(
+        col(idCol),
+        array_join(col("_kept"), " ").as("text_deduped"),
+        size(col("_chunks")).cast("long").as("n_chunks"),
+        (size(col("_chunks")) - size(col("_kept"))).cast("long").as("n_dup"))
 
   /** Substring-level exact dedup — the suffix-array regime (repeated
     * long substrings ACROSS documents: boilerplate headers, license

@@ -374,6 +374,68 @@ object Curation {
         graft.operators.Dedup.containmentPairs(
           graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents")),
           "doc_id", "text", ngram = 3, maxDfShare = 2,
-          minContainmentFp = 6554L, maxDfAbs = 4))
+          minContainmentFp = 6554L, maxDfAbs = 4)),
+
+    // ---- q197: cross-document duplicated-chunk SCRUB — the
+    // RefinedWeb/Dolma "remove duplicated spans" pass q117 only
+    // measures: chunks (same fixed 10-token grid) occurring in ≥ 2
+    // distinct documents are removed from every document and the
+    // surviving text is re-joined in chunk order. The oracle replays
+    // the identical grid, document-frequency ban list and ordered
+    // re-join. ----
+    QuerySpec(
+      "q197_chunk_scrub",
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        chunks AS (
+          SELECT doc_id, i AS chunk_idx,
+                 array_to_string(ts[(i*10+1):(i*10+10)], ' ') AS chunk
+          FROM toks, UNNEST(range(CAST(CEIL(LEN(ts)/10.0) AS BIGINT))) AS t(i)),
+        dfreq AS (
+          SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1),
+        flagged AS (
+          SELECT c.doc_id, c.chunk_idx, c.chunk,
+                 CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END AS banned
+          FROM chunks c JOIN dfreq d USING (chunk))
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN banned = 0 THEN chunk END,
+                                   ' ' ORDER BY chunk_idx), '') AS text_scrubbed,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(banned) AS BIGINT) AS n_removed
+        FROM flagged GROUP BY doc_id"""),
+      (s, dir) =>
+        graft.operators.Dedup.chunkScrub(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 10, minDocs = 2)),
+
+    // ---- q198: WITHIN-document repeated-chunk dedup (Dolma's
+    // paragraph-dedupe pass) — keep each chunk's first occurrence
+    // inside its own document, drop later repeats, re-join in order.
+    // Pure map-side array HOFs: the plan has ZERO exchanges (asserted
+    // in DedupSpec). ----
+    QuerySpec(
+      "q198_doc_chunk_dedup",
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        chunks AS (
+          SELECT doc_id, i AS chunk_idx,
+                 array_to_string(ts[(i*10+1):(i*10+10)], ' ') AS chunk
+          FROM toks, UNNEST(range(CAST(CEIL(LEN(ts)/10.0) AS BIGINT))) AS t(i)),
+        flagged AS (
+          SELECT doc_id, chunk_idx, chunk,
+                 CASE WHEN chunk_idx = MIN(chunk_idx)
+                        OVER (PARTITION BY doc_id, chunk)
+                      THEN 0 ELSE 1 END AS dup
+          FROM chunks)
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN dup = 0 THEN chunk END,
+                                   ' ' ORDER BY chunk_idx), '') AS text_deduped,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(dup) AS BIGINT) AS n_dup
+        FROM flagged GROUP BY doc_id"""),
+      (s, dir) =>
+        graft.operators.Dedup.docChunkDedup(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 10))
   )
 }

@@ -288,6 +288,61 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == (3L, 2L))
   }
 
+  test("chunk scrub: cross-doc duplicated chunks removed from every doc") {
+    // chunkTokens=2 → doc 1: [a b][c d], doc 2: [a b][x y], doc 3:
+    // [c d][a b][z]. "a b" in docs {1,2,3}, "c d" in {1,3} → both
+    // banned (≥2 docs); "x y", "z" unique → kept.
+    val tiny = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "c d a b z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkScrub(tiny, "doc_id", "text", chunkTokens = 2)
+      .select("doc_id", "text_scrubbed", "n_chunks", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(out(1L) == (("", 2L, 2L)))
+    assert(out(2L) == (("x y", 2L, 1L)))
+    assert(out(3L) == (("z", 3L, 2L)))
+  }
+
+  test("chunk scrub: minDocs above every df is the identity scrub") {
+    val tiny = Seq((1L, "a b c d"), (2L, "a b x y")).toDF("doc_id", "text")
+    val out = Dedup.chunkScrub(tiny, "doc_id", "text",
+        chunkTokens = 2, minDocs = 99)
+      .select("doc_id", "text_scrubbed", "n_removed")
+      .as[(Long, String, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L) == (("a b c d", 0L)))
+    assert(out(2L) == (("a b x y", 0L)))
+  }
+
+  test("chunk scrub: result is partitioning-invariant") {
+    val docs = (0L until 200L).map(i => (i, (s"tok${i % 7} " * 12).trim))
+      .toDF("doc_id", "text")
+    val a = Dedup.chunkScrub(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val b = Dedup.chunkScrub(docs.repartition(13), "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(a == b)
+    assert(a.exists(_._4 > 0), "fixture must contain banned chunks")
+  }
+
+  test("doc chunk dedup: first occurrence kept in order, zero exchanges") {
+    // chunkTokens=2 → doc 1: [a b][c d][a b][e] → [a b][c d][e];
+    // doc 2: no repeats → identity.
+    val tiny = Seq(
+      (1L, "a b c d a b e"), (2L, "p q r s")
+    ).toDF("doc_id", "text")
+    val deduped = Dedup.docChunkDedup(tiny, "doc_id", "text", chunkTokens = 2)
+    val out = deduped
+      .select("doc_id", "text_deduped", "n_chunks", "n_dup")
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(out(1L) == (("a b c d e", 4L, 1L)))
+    assert(out(2L) == (("p q r s", 2L, 0L)))
+    // map-side contract: the whole operator rides the scan
+    val plan = deduped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"docChunkDedup must not shuffle:\n$plan")
+  }
+
   test("chunk dedup: keeper choice is partitioning-invariant") {
     val docs = (0L until 200L).map(i => (i, (s"tok${i % 7} " * 12).trim))
       .toDF("doc_id", "text")
