@@ -577,6 +577,59 @@ object Dedup {
       .drop("_block_hash")
   }
 
+  /** FUZZY benchmark decontamination — the near-duplicate analogue of
+    * [[decontaminate]] (exact) and [[decontaminateNgrams]] (verbatim
+    * n-gram leak): a corpus document is contaminated when its shingle
+    * Jaccard against ANY blocklist document reaches `threshold`, found
+    * through the same MinHash-LSH banding as [[minhashCandidatePairs]]
+    * but run BIPARTITE (corpus bands probe blocklist bands) — the
+    * paraphrase/light-edit leak that exact hashes and verbatim 13-grams
+    * both miss. Returns the surviving corpus rows unchanged.
+    *
+    * Scale shape — this is where bipartite beats the self-join: the
+    * blocklist is a benchmark suite, thousands of documents against a
+    * corpus of billions, so its banded signatures AND its shingle sets
+    * are explicitly broadcast. Every stage is then a map-side probe of
+    * the streaming corpus: banding join (broadcast), Jaccard verify
+    * (broadcast), final left-anti on the contaminated ids (pair-grain,
+    * broadcast) — the corpus text NEVER crosses an exchange, and no
+    * hot-bucket cap is needed because bucket fan-out is bounded by the
+    * blocklist side. The corpus-grain kernel runs twice (banding + the
+    * verify rejoin), the [[minhashCandidatePairs]] pipelined-kernel
+    * trade, with zero cache footprint. A blocklist too large to
+    * broadcast is not this operator's regime — band it against itself
+    * with [[minhashCandidatePairs]] machinery instead. */
+  def decontaminateFuzzy(
+      corpus: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, blocklistTextCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5,
+      shingleHasher: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+        defaultShingleHasher): DataFrame = {
+    // blocklist rows get a content-hash id: dedups exact repeats in the
+    // suite for free and keeps the operator id-agnostic on that side
+    val blockSh = blocklist
+      .select(shingleHasher(col(blocklistTextCol), shingleSize).as("_bsh"))
+      .withColumn("_bid", xxhash64(col("_bsh")))
+      .dropDuplicates("_bid")
+    def band(rows: DataFrame, id: String, sh: String): DataFrame = rows
+      .select(col(id), posexplode(
+        T.bandHashes(T.minhashSignature(col(sh), numHashes), numHashes, bands)))
+      .select(col(id), col("pos").as("_band"), col("col").as("_bh"))
+    val corpusSh = Fanout.forKernel(corpus)
+      .select(col(idCol), shingleHasher(col(textCol), shingleSize).as("_csh"))
+    val cand = band(corpusSh, idCol, "_csh")
+      .join(broadcast(band(blockSh, "_bid", "_bsh")), Seq("_band", "_bh"))
+      .select(col(idCol), col("_bid"))
+      .distinct()
+    val contaminated = corpusSh
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(blockSh), Seq("_bid"))
+      .filter(T.jaccard(col("_csh"), col("_bsh")) >= threshold)
+      .select(col(idCol))
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** [[decontaminate]] for blocklists too big to broadcast. At 100 TB a
     * blocklist can outgrow the broadcast threshold, and the plain
     * left-anti join then shuffles the whole corpus. Instead: one

@@ -436,6 +436,90 @@ object Curation {
       (s, dir) =>
         graft.operators.Dedup.docChunkDedup(
           Tables.load(s, dir, "documents"), "doc_id", "text",
-          chunkTokens = 10))
+          chunkTokens = 10)),
+
+    // ---- q199: FUZZY benchmark decontamination — near-duplicate leak
+    // removal (paraphrase/light-edit contamination that q47's exact
+    // hash and q85's verbatim 13-grams both miss): corpus docs whose
+    // shingle Jaccard against ANY blocklist doc reaches 0.5, found via
+    // bipartite MinHash-LSH banding (corpus bands probe the broadcast
+    // blocklist bands). Blocklist = the doc_id % 10 = 0 slice (q47's
+    // fixture convention), corpus = the rest. The md5 shingle family
+    // lets DuckDB replay every step — signatures via the inlined
+    // affine coefficients, banding by raw signature slice, exact
+    // Jaccard verify, anti join — the q91 oracle pattern run across
+    // two sides. ----
+    QuerySpec(
+      "q199_decontaminate_fuzzy",
+      Some {
+        val k = 32; val bands = 8; val rows = k / bands
+        val (as, bs) = graft.functions.MinHashSignature.coefficients(k)
+        def unsigned(v: Long): java.math.BigInteger =
+          if (v >= 0) java.math.BigInteger.valueOf(v)
+          else java.math.BigInteger.valueOf(v).add(java.math.BigInteger.ONE.shiftLeft(64))
+        val coeffRows = (0 until k).map(j =>
+          s"($j, CAST('${unsigned(as(j))}' AS HUGEINT), CAST('${unsigned(bs(j))}' AS HUGEINT))")
+          .mkString(",\n          ")
+        s"""
+        WITH coeffs(j, a, b) AS (VALUES
+          $coeffRows),
+        toks AS (
+          SELECT doc_id, CASE WHEN nrm = '' THEN [] ELSE string_split(nrm, ' ') END AS t
+          FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
+                FROM documents)
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' ')) END,
+                   s -> list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                          list_transform(range(1, 17),
+                            i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS HUGEINT))),
+                          (acc, d) -> acc * 16 + d))) AS hs
+          FROM toks
+        ), expl AS (SELECT doc_id, unnest(hs) AS x FROM sh),
+        scoredh AS (
+          SELECT e.doc_id, c.j,
+                 ((c.a * (e.x // 4294967296)) % 4294967296 * 4294967296
+                   + c.a * (e.x % 4294967296) + c.b) % 18446744073709551616 AS hv
+          FROM expl e CROSS JOIN coeffs c
+        ), minh AS (
+          SELECT doc_id, j,
+                 MIN(CAST(CASE WHEN hv >= 9223372036854775808
+                               THEN hv - 18446744073709551616 ELSE hv END AS BIGINT)) AS m
+          FROM scoredh GROUP BY 1, 2
+        ), sigs AS (
+          SELECT doc_id, list(m ORDER BY j) AS sig FROM minh GROUP BY 1
+        ), banded AS (
+          SELECT doc_id, b, sig[b*$rows+1 : b*$rows+$rows] AS key
+          FROM sigs, (SELECT unnest(range(0, $bands)) AS b)
+        ), pairs AS (
+          SELECT DISTINCT c.doc_id AS cid, bl.doc_id AS bid
+          FROM banded c JOIN banded bl
+            ON c.b = bl.b AND c.key = bl.key
+           AND c.doc_id % 10 <> 0 AND bl.doc_id % 10 = 0
+        ), contaminated AS (
+          SELECT DISTINCT p.cid
+          FROM pairs p
+          JOIN sh s1 ON s1.doc_id = p.cid
+          JOIN sh s2 ON s2.doc_id = p.bid
+          WHERE CASE WHEN len(list_distinct(s1.hs || s2.hs)) = 0 THEN 1.0
+                     ELSE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+                        / CAST(len(list_distinct(s1.hs || s2.hs)) AS DOUBLE) END >= 0.5
+        )
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id % 10 <> 0
+          AND NOT EXISTS (SELECT 1 FROM contaminated v WHERE v.cid = d.doc_id)"""
+      },
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Dedup.decontaminateFuzzy(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "text",
+          shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5,
+          shingleHasher = graft.functions.TextFunctions.md5ShingleHashes)
+          .select("doc_id")
+      })
   )
 }

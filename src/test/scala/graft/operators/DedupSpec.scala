@@ -288,6 +288,32 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == (3L, 2L))
   }
 
+  test("fuzzy decontamination: near-dups of blocklist dropped, unrelated kept") {
+    // blocklist = baseText; corpus: doc 2 is a 1-word-in-20 edit
+    // (3-shingle jaccard ≈ 0.74 ≥ 0.5 → dropped), doc 4 unrelated
+    // (kept), doc 7 an exact copy (jaccard 1 → dropped), doc 8 a
+    // half-overlap rewrite below threshold (kept).
+    val block = Seq((100L, baseText)).toDF("bid", "btext")
+    val corpus = Seq(
+      (2L, baseText.replace("kappa", "kilo")),
+      (4L, "totally different content about spark engines and scale"),
+      (7L, baseText),
+      (8L, "alpha beta gamma completely new words follow here now " +
+        "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminateFuzzy(
+      corpus, "doc_id", "text", block, "btext",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(4L, 8L))
+    // the blocklist side must reach the banding join as a broadcast —
+    // the corpus text never crosses an exchange
+    val plan = Dedup.decontaminateFuzzy(
+      corpus, "doc_id", "text", block, "btext").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"blocklist must broadcast:\n$plan")
+  }
+
   test("chunk scrub: cross-doc duplicated chunks removed from every doc") {
     // chunkTokens=2 → doc 1: [a b][c d], doc 2: [a b][x y], doc 3:
     // [c d][a b][z]. "a b" in docs {1,2,3}, "c d" in {1,3} → both
