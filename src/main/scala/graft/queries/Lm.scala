@@ -72,41 +72,137 @@ object Lm {
                CAST(SUM(s_fp) AS BIGINT) // COUNT(*) AS ppl_fp
         FROM bg JOIN surp ON surp.bigram = bg.bigram
         GROUP BY bg.doc_id"""),
+      (s, dir) =>
+        surprisalScored(s, dir)._2.select("doc_id", "n_bigrams", "ppl_fp")),
+
+    // ---- q200: CCNet head/middle/tail perplexity buckets — the
+    // published split that routes LM training data by quality: per
+    // LANGUAGE, documents are cut at the tercile boundaries of the
+    // q165 surprisal score (head = the lowest-perplexity third, the
+    // cleanest text). Scale shape — deliberately NOT a per-language
+    // NTILE window (which sorts every document of a language through
+    // one reducer): tercile CUTOFFS come from a cumulative window over
+    // the (lang, ppl_fp) COUNT frame, whose size is bounded by the
+    // fixed-point score DOMAIN (≤ a few million distinct values, log
+    // in corpus size) independent of document count; assignment is
+    // then a map-side broadcast join of the lang-grain cutoff table.
+    // Ties at a cutoff share its bucket (threshold semantics — the
+    // production form; tercile sizes are exact to within one score
+    // class). The scored frame is checkpointed eagerly so the bigram
+    // cache frees before the bucket stage runs. ----
+    QuerySpec(
+      "q200_ccnet_ppl_buckets",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $tokensSql AS t FROM documents),
+        bg AS (
+          SELECT doc_id, unnest(${shinglesSql(2)}) AS bigram
+          FROM toks WHERE len(t) >= 2),
+        cnt AS (
+          SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
+        pfx AS (
+          SELECT string_split(bigram, ' ')[1] AS w1,
+                 CAST(SUM(c) AS BIGINT) AS cp
+          FROM cnt GROUP BY 1),
+        voc AS (
+          SELECT COUNT(DISTINCT token) AS v
+          FROM (SELECT unnest(t) AS token FROM toks)),
+        surp AS (
+          SELECT cnt.bigram,
+                 ${log2FpSql("cp + v")} - ${log2FpSql("c + 1")} AS s_fp
+          FROM cnt
+          JOIN pfx ON pfx.w1 = string_split(cnt.bigram, ' ')[1]
+          CROSS JOIN voc),
+        scored AS (
+          SELECT bg.doc_id, d.lang,
+                 CAST(SUM(s_fp) AS BIGINT) // COUNT(*) AS ppl_fp
+          FROM bg JOIN surp ON surp.bigram = bg.bigram
+          JOIN documents d ON d.doc_id = bg.doc_id
+          GROUP BY bg.doc_id, d.lang),
+        counts AS (
+          SELECT lang, ppl_fp, COUNT(*) AS n FROM scored GROUP BY 1, 2),
+        cum AS (
+          SELECT lang, ppl_fp,
+                 SUM(n) OVER (PARTITION BY lang ORDER BY ppl_fp) AS c,
+                 SUM(n) OVER (PARTITION BY lang) AS t
+          FROM counts),
+        cuts AS (
+          SELECT lang,
+                 MIN(CASE WHEN c * 3 >= t THEN ppl_fp END) AS c1,
+                 MIN(CASE WHEN c * 3 >= 2 * t THEN ppl_fp END) AS c2
+          FROM cum GROUP BY lang)
+        SELECT s.doc_id, s.lang, s.ppl_fp,
+               CASE WHEN s.ppl_fp <= c1 THEN 'head'
+                    WHEN s.ppl_fp <= c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s JOIN cuts USING (lang)"""),
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-        val toks = docs.select(col("doc_id"),
-          graft.functions.TextFunctions.tokens(col("text")).as("t"))
-        // materialized once: the doc-bigram table feeds both the model
-        // (counts -> surprisal) and the scoring join — unpersisted, the
-        // text scan + tokenize + explode re-runs per consumer
-        val bg = docs
-          .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 2)
-          .select(col("doc_id"),
-            explode(graft.functions.TextFunctions.shingles(col("text"), 2)).as("bigram"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // populated before the counts/scoring fan-out (cold-cache race:
-        // two references in one action re-tokenize the corpus). The
-        // cache-write pass costs more than the duplicated tokenize at
-        // small scale (sf0.1 min 1.44 -> 1.78 s) but wins once the
-        // corpus dominates (sf1 3.99 -> 2.73 s, min of 5) — the
-        // recompute grows with data while the extra pass amortizes.
-        bg.count()
-        val cnt = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
-        val pfx = cnt
-          .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
-          .agg(sum("c").as("cp"))
-        val voc = toks.select(explode(col("t")).as("token"))
-          .agg(countDistinct("token").as("v"))
-        val surp = cnt
-          .join(pfx, split(col("bigram"), " ").getItem(0) === col("w1"))
-          .crossJoin(broadcast(voc))
-          .selectExpr("bigram",
-            s"${graft.operators.Search.log2FpExpr("cp + v")} - " +
-              s"${graft.operators.Search.log2FpExpr("c + 1")} AS s_fp")
-        bg.join(surp, "bigram")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum("s_fp").as("sum_fp"))
-          .selectExpr("doc_id", "n_bigrams", "sum_fp div n_bigrams AS ppl_fp")
+        import org.apache.spark.sql.expressions.Window
+        val (bg, scored) = surprisalScored(s, dir)
+        // one evaluation of the scoring join, then the bigram cache is
+        // dead — the checkpointed doc-grain frame feeds both the cutoff
+        // build and the final assignment
+        val snap = scored.localCheckpoint(true)
+        bg.unpersist(false)
+        val byLang = Window.partitionBy("lang").orderBy("ppl_fp")
+        val cum = snap.groupBy("lang", "ppl_fp").agg(count(lit(1)).as("n"))
+          .withColumn("_c", sum("n").over(
+            byLang.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("_t", sum("n").over(Window.partitionBy("lang")))
+        val cuts = cum.groupBy("lang").agg(
+          min(when(col("_c") * 3 >= col("_t"), col("ppl_fp"))).as("_c1"),
+          min(when(col("_c") * 3 >= col("_t") * 2, col("ppl_fp"))).as("_c2"))
+        snap.join(broadcast(cuts), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("ppl_fp"),
+            when(col("ppl_fp") <= col("_c1"), "head")
+              .when(col("ppl_fp") <= col("_c2"), "middle")
+              .otherwise("tail").as("bucket"))
       })
   )
+
+  /** Shared q165/q200 scoring core: per-document average bigram
+    * surprisal (fixed-point), lang carried through for the bucket
+    * stage. Returns the persisted bigram frame (the caller frees it —
+    * q200 checkpoints the scored frame first; q165 returns a plan that
+    * still references it, so its lifetime is the session/teardown
+    * contract) and the doc-grain scored frame. */
+  private def surprisalScored(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("t"))
+    // materialized once: the doc-bigram table feeds both the model
+    // (counts -> surprisal) and the scoring join — unpersisted, the
+    // text scan + tokenize + explode re-runs per consumer
+    val bg = docs
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), 2)).as("bigram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // populated before the counts/scoring fan-out (cold-cache race:
+    // two references in one action re-tokenize the corpus). The
+    // cache-write pass costs more than the duplicated tokenize at
+    // small scale (sf0.1 min 1.44 -> 1.78 s) but wins once the
+    // corpus dominates (sf1 3.99 -> 2.73 s, min of 5) — the
+    // recompute grows with data while the extra pass amortizes.
+    bg.count()
+    val cnt = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
+    val pfx = cnt
+      .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+      .agg(sum("c").as("cp"))
+    val voc = toks.select(explode(col("t")).as("token"))
+      .agg(countDistinct("token").as("v"))
+    val surp = cnt
+      .join(pfx, split(col("bigram"), " ").getItem(0) === col("w1"))
+      .crossJoin(broadcast(voc))
+      .selectExpr("bigram",
+        s"${graft.operators.Search.log2FpExpr("cp + v")} - " +
+          s"${graft.operators.Search.log2FpExpr("c + 1")} AS s_fp")
+    val scored = bg.join(surp, "bigram")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s_fp").as("sum_fp"))
+      .selectExpr("doc_id", "lang", "n_bigrams", "sum_fp div n_bigrams AS ppl_fp")
+    (bg, scored)
+  }
 }
