@@ -928,25 +928,40 @@ object Dedup {
     * occurrence counts as duplicated. Returns one row per document:
     * (id, n_chunks, n_dup).
     *
-    * Scale shape: chunks explode to ~tokens/chunkTokens rows, then ONE
-    * hash exchange (the window over the chunk hash — the same exchange
-    * any exact dedup pays) and one group-back on the id. No joins, no
-    * driver state. The id×1e6 order encoding requires chunk_idx < 1e6,
-    * i.e. docs under ~chunkTokens·1e6 tokens — cheap insurance vs
-    * carrying a struct ordering that the DuckDB oracle can't replay. */
+    * Scale shape (r14 rewrite — aggregates only, NO window): the
+    * original window-over-chunk-hash form buffered every instance of a
+    * hash in ONE window partition — a universal boilerplate chunk puts
+    * its whole corpus-wide row set (text included) through a single
+    * reducer at 100 TB. Instead: a doc's non-duplicated count equals
+    * the number of hash groups whose keeper (min encoded instance) it
+    * owns, so three partial-combinable aggregates suffice — per-hash
+    * MIN (a hot chunk pre-combines to one row per map task), keeper
+    * counts decoded back to doc grain, and per-doc totals — joined at
+    * doc grain. The chunk text never crosses an exchange (only the
+    * md5 and the encoded position do) where the window form shuffled
+    * full instance rows. The id×1e6 order encoding requires
+    * chunk_idx < 1e6, i.e. docs under ~chunkTokens·1e6 tokens — cheap
+    * insurance vs carrying a struct ordering that the DuckDB oracle
+    * can't replay. */
   def chunkDupStats(
       df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 10): DataFrame = {
     val chunks = chunkGrid(textCol, chunkTokens)
     val encoded = col(idCol) * 1000000L + col("chunk_idx")
-    Fanout.forKernel(df)
+    val rows = Fanout.forKernel(df)
       .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
-      .withColumn("_keeper", min(encoded).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("chunk")))))
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(when(encoded === col("_keeper"), 0L).otherwise(1L)).as("n_dup"))
+      .select(col(idCol), encoded.as("_enc"), md5(col("chunk")).as("_ch"))
+    // integer div, not `/`: encoded reaches id·10⁶ ≈ 2⁵⁷ at wide id
+    // layouts — double division would lose low bits past 2⁵³
+    val keeperOwned = rows.groupBy(col("_ch"))
+      .agg(min(col("_enc")).as("_k"))
+      .groupBy(expr("_k div 1000000").as(idCol))
+      .agg(count(lit(1)).as("_n_keep"))
+    rows.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"))
+      .join(keeperOwned, Seq(idCol), "left") // a doc can own zero keepers
+      .select(col(idCol), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("_n_keep"), lit(0L))).as("n_dup"))
   }
 
   /** The fixed-grid chunk array shared by the chunk-grain operators:
@@ -1075,7 +1090,6 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 80, w: Int = 8, p: Int = 32): DataFrame = {
     import graft.functions.{TextFunctions => T}
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("_ch"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_start"))
     val chunks = Fanout.forKernel(df)
@@ -1083,9 +1097,19 @@ object Dedup {
         posexplode(T.cdcChunks(col(textCol), w, p)))
       .select(col(idCol), col("col.start").as("_start"), col("col.len").as("_len"),
         md5(expr("substring(_t, col.start, col.len)")).as("_ch"))
-    chunks
-      .withColumn("_n", count(lit(1)).over(byHash))
+    // duplicate flagging as a SEMI-join against the hash-grain count
+    // table, not a COUNT() window over the hash (r14 rewrite): the
+    // window form buffers every instance of a hash in one partition —
+    // a corpus-universal boilerplate chunk is a single-reducer stage
+    // at 100 TB — while the join form pre-combines counts map-side and
+    // STREAMS the instance rows through the probe (AQE skew-split
+    // applies if the hot hash's probe volume itself skews)
+    val dupHashes = chunks.groupBy(col("_ch"))
+      .agg(count(lit(1)).as("_n"))
       .filter(col("_n") > 1)
+      .select(col("_ch"))
+    chunks
+      .join(dupHashes, Seq("_ch"), "left_semi")
       // chunks are contiguous within a doc, so a surviving chunk starts
       // a new run exactly when the previous survivor doesn't end at it
       .withColumn("_brk",

@@ -380,6 +380,20 @@ class DedupSpec extends SparkSpec {
     assert(a.map(_._3).sum > 0, "fixture must contain duplicated chunks")
   }
 
+  test("chunk dedup: aggregate-only plan — no hash-partition window (hot-chunk safe)") {
+    // the pre-r14 window-over-chunk-hash form parked a corpus-universal
+    // chunk's whole instance set in one window partition; the rewrite
+    // must keep the plan window-free so that shape can't regress
+    val docs = (0L until 50L).map(i => (i, "same boilerplate chunk here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDupStats(docs, "doc_id", "text", chunkTokens = 2)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "chunkDupStats must stay aggregate-only")
+    // every doc dedups against doc 0 under the universal chunk
+    val m = out.as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(m(0L) == 0L && (1L until 50L).forall(m(_) == 2L))
+  }
+
   /** Direct (non-rolling) reference of the CDC substring-dup definition:
     * per-position window hashes, boundary set, md5-free content
     * multiplicity, run merge — everything the operator computes, written
