@@ -32,11 +32,16 @@ object CorpusPrep {
     val normalized = Fanout.forKernel(docs).select(
       col(idCol), col(langCol), norm.as("_norm"),
       md5(norm).as("_h"))
-    // exact dedup: keeper = min id per content hash (one window shuffle)
-    val hashW = Window.partitionBy(col("_h"))
-    val deduped = normalized
-      .withColumn("_keep", min(col(idCol)).over(hashW))
-      .filter(col(idCol) === col("_keep"))
+    // exact dedup: keeper = min-id row per content hash, as ONE min_by
+    // aggregate rather than a window over the hash (the Dedup.exact r14
+    // rationale — a hot clique would buffer its whole instance set
+    // INCLUDING the normalized text in one window partition; min_by's
+    // partial state is one row per group, so a clique pre-combines
+    // map-side to a single full row per map task, and the kernel — nfc
+    // + normalize + md5 — still runs exactly once over the corpus)
+    val deduped = normalized.groupBy(col("_h"))
+      .agg(min_by(struct(normalized.columns.map(col): _*), col(idCol)).as("_r"))
+      .select(col("_r.*"))
     // quality: integer-only so the oracle hashes identically — token
     // bounds plus "at least half the characters are a-z"
     val nTokens = when(length(col("_norm")) === 0, lit(0L))
@@ -52,13 +57,30 @@ object CorpusPrep {
       .distinct()
     val clean = quality.join(broadcast(bl), Seq("_h"), "left_anti")
     // stratified quota per language, deterministic overflow-proof hash
-    // order (ids at 100 TB exceed the naive Knuth-multiply int64 range)
-    val quotaW = Window.partitionBy(col(langCol))
-      .orderBy(graft.Exact.hashOrder(col(idCol), 97), col(idCol))
+    // order (ids at 100 TB exceed the naive Knuth-multiply int64 range).
+    // Selection is the bounded-state TopK aggregate (the domainCap
+    // machinery), NOT a per-language ROW_NUMBER window — the window
+    // sorts a whole language's surviving corpus through one reducer,
+    // while partial_topk reduces every map partition to ≤ quota entries
+    // per language before the exchange. n_tokens rides packed into the
+    // id (maxTokens bounds it far under the 2²⁰ pack base; ids at 2³⁷
+    // stay clear of 2⁶³/2²⁰), so the quality kernel still runs exactly
+    // once and no join-back re-derives the corpus. Ordering matches the
+    // window form: score = -hashOrder ties on packed id asc == id asc
+    // (the token count is constant per id).
+    require(maxTokens < (1 << 20), "quota packing requires maxTokens < 2^20")
+    val packBase = 1L << 20
     clean
-      .withColumn("_rn", row_number().over(quotaW))
-      .filter(col("_rn") <= quotaPerLang)
-      .select(col(idCol), col(langCol), col("_ntok").as("n_tokens"))
+      .groupBy(col(langCol))
+      .agg(TopKAggregator.topK(quotaPerLang)(
+        -graft.Exact.hashOrder(col(idCol), 97).cast("double"),
+        col(idCol).cast("long") * packBase + col("_ntok")).as("_keep"))
+      .select(col(langCol), explode(col("_keep.id")).as("_packed"))
+      // integer div, not `/`: packed values pass 2⁵³, double loses bits
+      .select(
+        expr(s"_packed div $packBase").as(idCol),
+        col(langCol),
+        (col("_packed") % packBase).as("n_tokens"))
   }
 
   /** Per-registrable-domain document cap — the crawl-pipeline staple

@@ -75,12 +75,20 @@ object Dedup {
 
   /** Exact dedup on a hash of the given columns (SURVEY.md A8-adjacent:
     * the reference dedups with SELECT DISTINCT; at scale we keep lineage
-    * by electing a keeper per hash group instead of dropping rows). */
+    * by electing a keeper per hash group instead of dropping rows).
+    * Keeper election is an aggregate + join-back, not a window over the
+    * content hash (r14): the window form buffers a duplicate clique's
+    * ENTIRE instance set in one window partition — a degenerate corpus
+    * (10⁸ empty/boilerplate pages hash-equal) is a single-reducer
+    * stage — while min-per-hash pre-combines map-side and the join
+    * probe streams (AQE skew-split applies if a clique's probe volume
+    * itself skews). */
   def exact(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame = {
     val h = xxhash64(cols.map(col): _*)
-    df.select(col(idCol), h.as("content_hash"))
-      .withColumn("keep_id", min(col(idCol)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
+    val hashed = df.select(col(idCol), h.as("content_hash"))
+    val keepers = hashed.groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"))
+    hashed.join(keepers, Seq("content_hash"))
       .select(
         col(idCol),
         col("content_hash"),
@@ -123,11 +131,17 @@ object Dedup {
       expectedItems: Long = 1000000L, numBits: Long = 1L << 23): DataFrame = {
     import org.apache.spark.sql.graft.shim
     val idx = indexHashes.select(col(indexHashCol).as("_ih")).distinct()
-    val batchKept = Fanout.forKernel(incoming)
+    // within-batch keepers via ONE min_by aggregate, not a window over
+    // the content hash (the [[exact]] r14 rationale — a hot clique
+    // buffers its whole instance set in one window partition — without
+    // the join-back's second kernel pass: min_by's partial state is one
+    // row per group, so a clique pre-combines map-side to one full row
+    // per map task and the keeper row rides the aggregate exchange)
+    val batchHashed = Fanout.forKernel(incoming)
       .withColumn("content_hash", md5(T.normalizeText(col(textCol))))
-      .withColumn("_keep", min(col(idCol)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
-      .filter(col(idCol) === col("_keep")).drop("_keep")
+    val batchKept = batchHashed.groupBy(col("content_hash"))
+      .agg(min_by(struct(batchHashed.columns.map(col): _*), col(idCol)).as("_r"))
+      .select(col("_r.*"))
     val bloomBytes = idx.select(shim.column(
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           shim.expression(xxhash64(col("_ih"))),

@@ -263,11 +263,14 @@ object Curation {
                  * 65536 // COUNT(*) AS novelty_fp
         FROM d GROUP BY doc_id"""),
       (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
-        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
+        // df via aggregate + join-back, not a window over the shingle
+        // (the Dedup.exact r14 rationale: a corpus-universal 5-gram
+        // would buffer its whole posting set in one window partition;
+        // the count pre-combines map-side and the join probe streams)
+        val sh = graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
           .select(col("doc_id"),
             explode(array_distinct(T.shingles(col("text"), 5))).as("s"))
-          .withColumn("df", count(lit(1)).over(w))
+        sh.join(sh.groupBy("s").agg(count(lit(1)).as("df")), Seq("s"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))

@@ -1151,8 +1151,16 @@ object TextAnalysis {
     // ---- q122: token-budget mix sampling — the "data mixing" pass: per
     // language, admit documents in deterministic pseudo-random order
     // until a token budget fills (a doc is admitted if it STARTS before
-    // the budget line, so the budget is met, not undershot). One window
-    // shuffle on lang; the running sum is the same frame as q18. ----
+    // the budget line, so the budget is met, not undershot). r14 shape:
+    // the q89 bucket decomposition, NOT one running-sum window per
+    // language (which funnels a language's ENTIRE corpus through one
+    // reducer to select ~budget docs). Bucket-grain prefix sums run in
+    // a window bounded by the 10⁶ hash-order domain regardless of
+    // corpus size; only the under-budget buckets (≤ budget+zone rows
+    // per language) join back — broadcast — and the per-doc running
+    // sum partitions by (lang, bucket), each partition corpus/10⁶.
+    // Total order (hash bucket, then id) is the window form's order,
+    // so results are identical. ----
     QuerySpec(
       "q122_token_budget_sample",
       Some(s"""
@@ -1175,13 +1183,28 @@ object TextAnalysis {
         SELECT doc_id, lang, n_tokens, cum_tokens
         FROM c WHERE cum_tokens - n_tokens < 2000"""),
       (s, dir) => {
-        val w = Window.partitionBy(col("lang"))
-          .orderBy(graft.Exact.hashOrder(col("doc_id"), 1000000), col("doc_id"))
+        val budget = 2000L
+        val t = graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"),
+            T.tokenCount(col("text")).as("n_tokens"),
+            graft.Exact.hashOrder(col("doc_id"), 1000000).as("_hb"))
+        // bucket-grain prefix sums: the window's partitions are bounded
+        // by the hash-order domain, never by corpus size
+        val bucketPrefix = t.groupBy(col("lang"), col("_hb"))
+          .agg(sum(col("n_tokens")).as("_bt"))
+          .withColumn("_prefix", coalesce(sum(col("_bt")).over(
+            Window.partitionBy("lang").orderBy("_hb")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .filter(col("_prefix") < budget)
+          .select(col("lang"), col("_hb"), col("_prefix"))
+        val wDoc = Window.partitionBy(col("lang"), col("_hb"))
+          .orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
-          .select(col("doc_id"), col("lang"), T.tokenCount(col("text")).as("n_tokens"))
-          .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
-          .filter(col("cum_tokens") - col("n_tokens") < 2000)
+        t.join(broadcast(bucketPrefix), Seq("lang", "_hb"))
+          .withColumn("cum_tokens",
+            (col("_prefix") + sum(col("n_tokens")).over(wDoc)).cast("long"))
+          .filter(col("cum_tokens") - col("n_tokens") < budget)
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
       }),
 
     // ---- q123: contamination overlap REPORT — per eval document, how
@@ -1316,8 +1339,9 @@ object TextAnalysis {
     // must co-assign or eval leaks through near-copies of training
     // docs. Exact-dup groups (q30's content-hash keeper) share their
     // keeper id, and the split is the keeper's deterministic hash
-    // bucket — one window exchange on the content hash, no joins, the
-    // same overflow-proof hash order as q48/q122. ----
+    // bucket — keeper election via aggregate + hash-grain join-back
+    // (the Dedup.exact r14 rationale: no hot-clique window partition),
+    // the same overflow-proof hash order as q48/q122. ----
     QuerySpec(
       "q125_leakage_safe_split",
       Some(s"""
@@ -1335,10 +1359,11 @@ object TextAnalysis {
               FROM k)"""),
       (s, dir) => {
         val hb = graft.Exact.hashOrder(col("keep_id"), 100)
-        Tables.load(s, dir, "documents")
-          .select(col("doc_id"),
-            min(col("doc_id")).over(
-              Window.partitionBy(md5(col("text")))).as("keep_id"))
+        val hashed = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("_h"))
+        hashed
+          .join(hashed.groupBy(col("_h")).agg(min(col("doc_id")).as("keep_id")),
+            Seq("_h"))
           .select(col("doc_id"), col("keep_id"),
             when(hb < 80, "train").when(hb < 90, "valid")
               .otherwise("test").as("split"))
