@@ -454,50 +454,9 @@ object Curation {
     // two sides. ----
     QuerySpec(
       "q199_decontaminate_fuzzy",
-      Some {
-        val k = 32; val bands = 8; val rows = k / bands
-        val (as, bs) = graft.functions.MinHashSignature.coefficients(k)
-        def unsigned(v: Long): java.math.BigInteger =
-          if (v >= 0) java.math.BigInteger.valueOf(v)
-          else java.math.BigInteger.valueOf(v).add(java.math.BigInteger.ONE.shiftLeft(64))
-        val coeffRows = (0 until k).map(j =>
-          s"($j, CAST('${unsigned(as(j))}' AS HUGEINT), CAST('${unsigned(bs(j))}' AS HUGEINT))")
-          .mkString(",\n          ")
-        s"""
-        WITH coeffs(j, a, b) AS (VALUES
-          $coeffRows),
-        toks AS (
-          SELECT doc_id, CASE WHEN nrm = '' THEN [] ELSE string_split(nrm, ' ') END AS t
-          FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
-                FROM documents)
-        ), sh AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(
-                   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                        ELSE list_transform(range(1, len(t) - 1),
-                               i -> array_to_string(t[i:i+2], ' ')) END,
-                   s -> list_reduce(list_prepend(CAST(0 AS HUGEINT),
-                          list_transform(range(1, 17),
-                            i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS HUGEINT))),
-                          (acc, d) -> acc * 16 + d))) AS hs
-          FROM toks
-        ), expl AS (SELECT doc_id, unnest(hs) AS x FROM sh),
-        scoredh AS (
-          SELECT e.doc_id, c.j,
-                 ((c.a * (e.x // 4294967296)) % 4294967296 * 4294967296
-                   + c.a * (e.x % 4294967296) + c.b) % 18446744073709551616 AS hv
-          FROM expl e CROSS JOIN coeffs c
-        ), minh AS (
-          SELECT doc_id, j,
-                 MIN(CAST(CASE WHEN hv >= 9223372036854775808
-                               THEN hv - 18446744073709551616 ELSE hv END AS BIGINT)) AS m
-          FROM scoredh GROUP BY 1, 2
-        ), sigs AS (
-          SELECT doc_id, list(m ORDER BY j) AS sig FROM minh GROUP BY 1
-        ), banded AS (
-          SELECT doc_id, b, sig[b*$rows+1 : b*$rows+$rows] AS key
-          FROM sigs, (SELECT unnest(range(0, $bands)) AS b)
-        ), pairs AS (
+      Some(s"""
+        WITH ${MinhashOracle.signaturesCte(32, 8)},
+        pairs AS (
           SELECT DISTINCT c.doc_id AS cid, bl.doc_id AS bid
           FROM banded c JOIN banded bl
             ON c.b = bl.b AND c.key = bl.key
@@ -513,8 +472,7 @@ object Curation {
         )
         SELECT d.doc_id FROM documents d
         WHERE d.doc_id % 10 <> 0
-          AND NOT EXISTS (SELECT 1 FROM contaminated v WHERE v.cid = d.doc_id)"""
-      },
+          AND NOT EXISTS (SELECT 1 FROM contaminated v WHERE v.cid = d.doc_id)"""),
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         graft.operators.Dedup.decontaminateFuzzy(
@@ -523,6 +481,45 @@ object Curation {
           shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5,
           shingleHasher = graft.functions.TextFunctions.md5ShingleHashes)
           .select("doc_id")
+      }),
+
+    // ---- q201: cross-source near-duplicate overlap matrix — the
+    // dataset-analysis staple ("how much of source A is near-copied in
+    // source B") behind de-weighting decisions when mixing crawls:
+    // verified MinHash pair counts grouped by unordered source pair.
+    // Scale shape: the verified pair set is tiny by construction and
+    // BROADCASTS into two passes over the narrow (doc_id, source)
+    // projection — the corpus text is read once inside the dedup
+    // kernel and never again; the matrix aggregate is
+    // |sources|²-bounded. ----
+    QuerySpec(
+      "q201_source_overlap_matrix",
+      Some(s"""
+        WITH ${MinhashOracle.signaturesCte(32, 8)},
+        ${MinhashOracle.verifiedSelfPairsCte(0.5)}
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b,
+               COUNT(*) AS n_pairs
+        FROM verified v
+        JOIN documents da ON da.doc_id = v.id_a
+        JOIN documents db ON db.doc_id = v.id_b
+        GROUP BY 1, 2"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        val pairs = graft.operators.Dedup.minhashCandidatePairs(
+          docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5,
+          shingleHasher = graft.functions.TextFunctions.md5ShingleHashes)
+          .select(col("id_a"), col("id_b"))
+        val withA = src.join(broadcast(pairs), col("doc_id") === col("id_a"))
+          .select(col("id_b"), col("source").as("_sa"))
+        src.join(broadcast(withA), col("doc_id") === col("id_b"))
+          .select(
+            least(col("_sa"), col("source")).as("source_a"),
+            greatest(col("_sa"), col("source")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
       })
   )
 }
