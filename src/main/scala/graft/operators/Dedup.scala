@@ -893,17 +893,41 @@ object Dedup {
     // raw shuffle would grow with the repetition ratio — but the
     // production sequence (q191/q192) runs containment AFTER near-dedup
     // precisely so replica cliques never reach this operator.
+    //
+    // Exchange WIDTH: on a big corpus the distinct-pair count dwarfs
+    // the row count (sf1: 1.13e8 pairs from 5e4 docs), so at the
+    // session default of one partition per core each reducer's
+    // aggregation map holds pairs/cores entries -- the allocator/GC
+    // pressure behind the measured cold-run cliff. 8x the default
+    // parallelism cuts the per-task map 8-fold and runs the aggregate
+    // in waves of small tasks: q182@sf1 dedicated-run median 47.6 ->
+    // 18-24 s (min-of-3 ladder: 1x = 33.4 min, 4x = 19.1, 8x =
+    // 16.3-18.7, 16x = 16.7 min but worse median) -- 8x is the knee.
+    // Gated on the TRUE pair volume, not a corpus-size proxy: the
+    // postings are already cached, so one vocabulary-grain pass sums
+    // sz·(sz−1)/2 exactly — q191/q192 run containment after near-dedup
+    // with 10³× smaller pair volumes than q182 over the same corpus
+    // size, and must not pay hundreds of near-empty tasks.
+    val defaultWidth = src.sparkSession.sessionState.conf.numShufflePartitions
+    val pairVolume = grouped
+      .agg(coalesce(
+        sum(expr("CAST(size(ds) AS BIGINT) * (size(ds) - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+    val pairWidth =
+      if (pairVolume / defaultWidth > 1000000L)
+        8 * src.sparkSession.sparkContext.defaultParallelism
+      else defaultWidth
     val inter =
       if (packDirect)
         grouped.select(explode(T.sortedPairsPacked(col("ds"))).as("pk"))
-          .repartition(col("pk"))
+          .repartition(pairWidth, col("pk"))
           .groupBy("pk").agg(count(lit(1)).as("inter"))
           .select(shiftrightunsigned(col("pk"), 32).as("ia"),
             col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("ib"), col("inter"))
       else
         grouped.select(explode(T.sortedPairs(col("ds"))).as("p"))
           .select(col("p.a").as("ia"), col("p.b").as("ib"))
-          .repartition(col("ia"), col("ib"))
+          .repartition(pairWidth, col("ia"), col("ib"))
           .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
     // inner = the doc with the smaller distinctive-shingle set (ties by
     // id — ia < ib is canonical, so the tie keeps ia, matching the
