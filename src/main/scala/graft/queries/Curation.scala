@@ -520,6 +520,59 @@ object Curation {
             greatest(col("_sa"), col("source")).as("source_b"))
           .groupBy(col("source_a"), col("source_b"))
           .agg(count(lit(1)).as("n_pairs"))
+      }),
+
+    // ---- q202: QUALITY-elected cluster keeper — near-dup clusters
+    // keep their LONGEST document (curation keeps the best
+    // representative, not the smallest id): transitive MinHash
+    // clusters, keeper = max (n_chars, then min id) per cluster via a
+    // max_by aggregate (cluster-grain, map-combinable — never a
+    // per-cluster window). The oracle replays closure with a
+    // recursive min-label CTE over the verified pairs (the component
+    // min always survives the lbl < dst prune, so the closure is
+    // exact) and the keeper with ROW_NUMBER over the tiny clusters. ----
+    QuerySpec(
+      "q202_cluster_keeper_quality",
+      Some(s"""
+        WITH RECURSIVE ${MinhashOracle.signaturesCte(32, 8)},
+        ${MinhashOracle.verifiedSelfPairsCte(0.5)},
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM verified),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst AS node, r.lbl
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.lbl < e.dst),
+        comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY 1),
+        keeper AS (
+          SELECT cluster, doc_id AS keep_id
+          FROM (SELECT c.cluster, d.doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY c.cluster
+                                          ORDER BY d.n_chars DESC, d.doc_id) AS rn
+                FROM comp c JOIN documents d USING (doc_id))
+          WHERE rn = 1)
+        SELECT c.doc_id, k.keep_id, c.doc_id <> k.keep_id AS is_duplicate
+        FROM comp c JOIN keeper k USING (cluster)"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = graft.operators.Dedup.minhashCandidatePairs(
+          docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5,
+          shingleHasher = graft.functions.TextFunctions.md5ShingleHashes)
+        val clusters = graft.operators.Dedup
+          .connectedComponents(docs.select(col("doc_id")), "doc_id", pairs)
+          .select(col("doc_id"), col("keep_id").as("_cluster"))
+        val keepers = clusters
+          .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+          .groupBy(col("_cluster"))
+          .agg(max_by(col("doc_id"),
+            struct(col("n_chars"), -col("doc_id"))).as("keep_id"))
+        clusters.join(keepers, Seq("_cluster"))
+          .select(col("doc_id"), col("keep_id"),
+            (col("doc_id") =!= col("keep_id")).as("is_duplicate"))
       })
   )
 }
