@@ -862,8 +862,14 @@ object Dedup {
     // (its only readers were the bounds pass and the shingle explode),
     // so it is freed immediately — peak storage during the pair
     // aggregate must not carry the corpus text (r14: a pass-3 executor
-    // OOM at sf1 traced to exactly that)
-    grouped.count()
+    // OOM at sf1 traced to exactly that). The populate action carries
+    // the exact pair volume Σ sz·(sz−1)/2 for the exchange-width gate
+    // below — one pass, not a separate probe (a second scan of the
+    // cached array column measured ~1 s at sf1 on q191/q192).
+    val pairVolume = grouped
+      .agg(coalesce(
+        sum(expr("CAST(size(ds) AS BIGINT) * (size(ds) - 1) div 2")), lit(0L)))
+      .head().getLong(0)
     src.unpersist(false)
     // Sizes count the SAME distinctive universe as the intersection —
     // numerator and denominator stay coherent, so containment 1.0 is
@@ -909,10 +915,6 @@ object Dedup {
     // with 10³× smaller pair volumes than q182 over the same corpus
     // size, and must not pay hundreds of near-empty tasks.
     val defaultWidth = src.sparkSession.sessionState.conf.numShufflePartitions
-    val pairVolume = grouped
-      .agg(coalesce(
-        sum(expr("CAST(size(ds) AS BIGINT) * (size(ds) - 1) div 2")), lit(0L)))
-      .head().getLong(0)
     val pairWidth =
       if (pairVolume / defaultWidth > 1000000L)
         8 * src.sparkSession.sparkContext.defaultParallelism
