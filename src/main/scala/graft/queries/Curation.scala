@@ -573,6 +573,91 @@ object Curation {
         clusters.join(keepers, Seq("_cluster"))
           .select(col("doc_id"), col("keep_id"),
             (col("doc_id") =!= col("keep_id")).as("is_duplicate"))
+      }),
+
+    // ---- q203: the FULL curation chain as one export — near-dedup
+    // keeper election (q91), containment pruning over the deduped
+    // corpus (q191), then cross-document span SCRUB (q197) of the
+    // surviving documents: the RefinedWeb sequence end to end, emitting
+    // the text a trainer actually consumes. Each stage's pair/ban
+    // volume shrinks because the previous stage ran first — replica
+    // cliques never reach containment, quoted wrappers never reach the
+    // chunk ban list. The oracle staples all three replay chains under
+    // one hash. ----
+    QuerySpec(
+      "q203_curated_scrub_export",
+      Some {
+        val shingleCase = """
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(range(1, len(t) - 1),
+                      i -> array_to_string(t[i:i+2], ' ')) END"""
+        s"""
+        WITH ${MinhashOracle.signaturesCte(32, 8)},
+        ${MinhashOracle.verifiedSelfPairsCte(0.5)},
+        best AS (
+          SELECT id_b AS doc_id, MIN(id_a) AS partner_min FROM verified GROUP BY 1),
+        kept AS MATERIALIZED (
+          SELECT d.doc_id FROM documents d LEFT JOIN best USING (doc_id)
+          WHERE LEAST(COALESCE(partner_min, d.doc_id), d.doc_id) = d.doc_id),
+        csh AS MATERIALIZED (
+          SELECT DISTINCT t.doc_id, unnest($shingleCase) AS s
+          FROM (SELECT toks.doc_id, toks.t FROM toks JOIN kept USING (doc_id)) t),
+        nn AS (SELECT COUNT(*) AS n FROM kept),
+        rare AS (
+          SELECT s FROM (SELECT s, COUNT(*) AS df FROM csh GROUP BY s) d
+          CROSS JOIN nn
+          WHERE df * 15 <= n AND df <= ${graft.operators.Dedup.DefaultMaxDfAbs}),
+        rsh AS MATERIALIZED (SELECT csh.doc_id, csh.s FROM csh JOIN rare USING (s)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rsh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+          FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+        contained AS (
+          SELECT DISTINCT ia AS doc_id
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = ia
+          JOIN sizes sb ON sb.doc_id = ib
+          WHERE (sa.sz < sb.sz OR (sa.sz = sb.sz AND ia < ib))
+            AND inter * 65536 // sa.sz >= 13108),
+        final_kept AS MATERIALIZED (
+          SELECT doc_id FROM kept
+          WHERE doc_id NOT IN (SELECT doc_id FROM contained)),
+        ktoks AS (
+          SELECT d.doc_id, string_split(d.text, ' ') AS ts
+          FROM documents d JOIN final_kept USING (doc_id)),
+        chunks AS (
+          SELECT doc_id, i AS chunk_idx,
+                 array_to_string(ts[(i*10+1):(i*10+10)], ' ') AS chunk
+          FROM ktoks, UNNEST(range(CAST(CEIL(LEN(ts)/10.0) AS BIGINT))) AS t2(i)),
+        dfreq AS (
+          SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1),
+        flagged AS (
+          SELECT c.doc_id, c.chunk_idx, c.chunk,
+                 CASE WHEN d2.nd >= 2 THEN 1 ELSE 0 END AS banned
+          FROM chunks c JOIN dfreq d2 USING (chunk))
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN banned = 0 THEN chunk END,
+                                   ' ' ORDER BY chunk_idx), '') AS text_scrubbed,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(banned) AS BIGINT) AS n_removed
+        FROM flagged GROUP BY doc_id"""
+      },
+      (s, dir) => {
+        val docs = graft.operators.Fanout.forKernel(
+          Tables.load(s, dir, "documents"))
+        val kept = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text",
+            shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5,
+            shingleHasher = graft.functions.TextFunctions.md5ShingleHashes)
+          .filter(!col("is_duplicate")).select(col("doc_id"))
+        val contained = graft.operators.Dedup.containmentPairs(
+            docs.join(kept, "doc_id"), "doc_id", "text",
+            ngram = 3, maxDfShare = 15, minContainmentFp = 13108L)
+          .select(col("inner_id").as("doc_id")).distinct()
+        val finalKept = kept.join(contained, Seq("doc_id"), "left_anti")
+        graft.operators.Dedup.chunkScrub(
+          docs.join(finalKept, "doc_id"), "doc_id", "text",
+          chunkTokens = 10, minDocs = 2)
       })
   )
 }

@@ -151,7 +151,8 @@ class PlanSpec extends SparkSpec {
       "q191_containment_after_neardedup", // 1-row kept-count broadcast cross join (q182 pattern)
       "q193_dsir_disjoint_score",      // 1-row feature-total broadcast cross join (q177 pattern)
       "q196_oph_recall_eval",          // brute Jaccard truth over the bounded eval slice (q188 pattern)
-      "q200_ccnet_ppl_buckets")        // 1-row vocab-size broadcast cross join via the q165 core
+      "q200_ccnet_ppl_buckets",        // 1-row vocab-size broadcast cross join via the q165 core
+      "q203_curated_scrub_export")     // 1-row kept-count broadcast cross join via containment (q191 pattern)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(deliberate)
       .flatMap { name =>

@@ -351,6 +351,35 @@ class DedupSpec extends SparkSpec {
     assert(a.exists(_._4 > 0), "fixture must contain banned chunks")
   }
 
+  test("chunk scrub invariants on a random corpus: counts add up, text shrinks") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 120L).map { i =>
+      val toks = Seq.fill(4 + rnd.nextInt(30))(s"w${rnd.nextInt(40)}")
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Dedup.chunkScrub(docs, "doc_id", "text", chunkTokens = 3)
+      .select("doc_id", "text_scrubbed", "n_chunks", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 120)
+    val orig = docs.as[(Long, String)].collect().toMap
+    out.foreach { case (id, scrubbed, nChunks, nRemoved) =>
+      assert(nRemoved >= 0 && nRemoved <= nChunks, s"doc $id counts")
+      // survivors are a subsequence of the original token stream
+      val o = orig(id).split(" ")
+      val s = if (scrubbed.isEmpty) Array.empty[String] else scrubbed.split(" ")
+      var oi = 0
+      s.foreach { tok =>
+        while (oi < o.length && o(oi) != tok) oi += 1
+        assert(oi < o.length, s"doc $id: '$tok' not in order in original")
+        oi += 1
+      }
+      // full scrub <=> empty output
+      assert((nRemoved == nChunks) == scrubbed.isEmpty, s"doc $id empty-iff")
+    }
+    // the fixture's 40-token vocabulary guarantees cross-doc repeats
+    assert(out.map(_._4).sum > 0, "fixture must ban some chunks")
+  }
+
   test("doc chunk dedup: first occurrence kept in order, zero exchanges") {
     // chunkTokens=2 → doc 1: [a b][c d][a b][e] → [a b][c d][e];
     // doc 2: no repeats → identity.
