@@ -62,25 +62,24 @@ object CorpusPrep {
     // machinery), NOT a per-language ROW_NUMBER window — the window
     // sorts a whole language's surviving corpus through one reducer,
     // while partial_topk reduces every map partition to ≤ quota entries
-    // per language before the exchange. n_tokens rides packed into the
-    // id (maxTokens bounds it far under the 2²⁰ pack base; ids at 2³⁷
-    // stay clear of 2⁶³/2²⁰), so the quality kernel still runs exactly
-    // once and no join-back re-derives the corpus. Ordering matches the
-    // window form: score = -hashOrder ties on packed id asc == id asc
-    // (the token count is constant per id).
-    require(maxTokens < (1 << 20), "quota packing requires maxTokens < 2^20")
-    val packBase = 1L << 20
+    // per language before the exchange. n_tokens rides as the
+    // aggregator's INERT payload field (r15: the earlier id·2²⁰+ntok
+    // packing silently corrupted negative ids and overflowed past
+    // 2⁴³ — hash-derived ids, which this codebase uses elsewhere, hit
+    // both), so the full int64 id domain is safe, the quality kernel
+    // still runs exactly once, and no join-back re-derives the corpus.
+    // Ordering matches the window form: score = -hashOrder, ties on id
+    // asc; the payload never participates.
     clean
       .groupBy(col(langCol))
-      .agg(TopKAggregator.topK(quotaPerLang)(
+      .agg(TopKAggregator.topKPair(quotaPerLang)(
         -graft.Exact.hashOrder(col(idCol), 97).cast("double"),
-        col(idCol).cast("long") * packBase + col("_ntok")).as("_keep"))
-      .select(col(langCol), explode(col("_keep.id")).as("_packed"))
-      // integer div, not `/`: packed values pass 2⁵³, double loses bits
+        col(idCol).cast("long"), col("_ntok")).as("_keep"))
+      .select(col(langCol), explode(col("_keep")).as("_k"))
       .select(
-        expr(s"_packed div $packBase").as(idCol),
+        col("_k.id").as(idCol),
         col(langCol),
-        (col("_packed") % packBase).as("n_tokens"))
+        col("_k.payload").as("n_tokens"))
   }
 
   /** Per-registrable-domain document cap — the crawl-pipeline staple

@@ -57,18 +57,21 @@ object Dedup {
     * [[connectedComponents]]'s `maxDriverEdges`. */
   private[operators] def materializeSmall(
       df: DataFrame, maxDriverRows: Int = 32768): DataFrame = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val ckpt = df.localCheckpoint(true)
     if (ckpt.count() > maxDriverRows) ckpt
     else {
       val out = df.sparkSession.createDataFrame(
         java.util.Arrays.asList(ckpt.collect(): _*), df.schema)
-      // release the checkpoint blocks the LocalRelation replaced —
-      // construction is single-threaded, so the id diff is exactly the
-      // checkpoint RDD just created
-      (sc.getPersistentRDDs.keySet -- before)
-        .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      // release exactly the checkpoint blocks the LocalRelation
+      // replaced: the checkpointed frame's plan IS a LogicalRDD over
+      // the persisted RDD, so we unpersist that specific RDD rather
+      // than diffing the global persistent-RDD registry — a concurrent
+      // job persisting its own blocks between our snapshot and diff
+      // (the r15 advice race) can no longer have its cache freed out
+      // from under it
+      ckpt.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false))
       out
     }
   }

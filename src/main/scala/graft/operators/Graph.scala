@@ -109,26 +109,38 @@ object Graph {
       // div 1e6) div 100, sums order-insensitive, floors identical —
       // over the collected share table, so the output is bit-identical
       // to the distributed loop (GraphSpec pins it) with ZERO per-round
-      // scheduler trips. Every node carries a zero-share self-loop, so
-      // the dst set IS the node set.
+      // scheduler trips. Ranks are keyed off the NODES frame (exactly
+      // the distributed regime's round-0 ranks), and an edge whose src
+      // holds no rank contributes nothing — mirroring the distributed
+      // inner join on src — so an off-contract edge endpoint absent
+      // from `nodes` degrades to the same silent drop in BOTH regimes
+      // instead of crash-vs-drop depending on maxDriverEdges (r15;
+      // GraphSpec pins the off-contract regime equality too).
       val es = eshare.select(col("src"), col("dst"), col("s")).collect()
       val r0 = scale / n
       var r = scala.collection.mutable.LongMap.empty[Long]
-      es.foreach(row => r.update(row.getLong(1), r0))
+      nodes.select(col("node")).collect()
+        .foreach(row => r.update(row.getLong(0), r0))
       var round = 0
       var converged = false
       while (round < iterations && !converged) {
         val sums = scala.collection.mutable.LongMap.empty[Long]
         es.foreach { row =>
-          val term = r(row.getLong(0)) * row.getLong(2) / 1000000L
-          sums.update(row.getLong(1), sums.getOrElse(row.getLong(1), 0L) + term)
+          r.get(row.getLong(0)).foreach { rs =>
+            val term = rs * row.getLong(2) / 1000000L
+            sums.update(row.getLong(1), sums.getOrElse(row.getLong(1), 0L) + term)
+          }
         }
         val next = scala.collection.mutable.LongMap.empty[Long]
         sums.foreach { case (node, s) => next.update(node, base + 85 * s / 100) }
         round += 1
         if (toleranceL1 >= 0L && round % deltaEvery == 0) {
+          // the distributed delta is an inner join of consecutive rank
+          // frames — only nodes present in both contribute
           var delta = 0L
-          next.foreach { case (node, v) => delta += math.abs(v - r(node)) }
+          next.foreach { case (node, v) =>
+            r.get(node).foreach(p => delta += math.abs(v - p))
+          }
           converged = delta <= toleranceL1
         }
         r = next
@@ -255,21 +267,31 @@ object Graph {
         m.foreach { case (node, v) => out.update(node, v * scale / t) }
         out
       }
+      // score maps are keyed off the NODES frame (the distributed
+      // regime's round-0 h), and a half-round term whose source score
+      // is absent contributes nothing — mirroring the distributed
+      // inner joins on src/dst — so off-contract edge endpoints absent
+      // from `nodes` degrade identically in both regimes (r15)
       var h = scala.collection.mutable.LongMap.empty[Long]
-      rows.foreach(r => h.update(r.getLong(0), scale))
+      nodes.select(col("node")).collect()
+        .foreach(r => h.update(r.getLong(0), scale))
       var a = h
       var round = 1
       while (round <= iterations) {
         val araw = scala.collection.mutable.LongMap.empty[Long]
         rows.foreach { r =>
-          val term = r.getLong(2) * h(r.getLong(0)) / 1000000L
-          araw.update(r.getLong(1), araw.getOrElse(r.getLong(1), 0L) + term)
+          h.get(r.getLong(0)).foreach { hv =>
+            val term = r.getLong(2) * hv / 1000000L
+            araw.update(r.getLong(1), araw.getOrElse(r.getLong(1), 0L) + term)
+          }
         }
         a = normalizeM(araw)
         val hraw = scala.collection.mutable.LongMap.empty[Long]
         rows.foreach { r =>
-          val term = r.getLong(2) * a(r.getLong(1)) / 1000000L
-          hraw.update(r.getLong(0), hraw.getOrElse(r.getLong(0), 0L) + term)
+          a.get(r.getLong(1)).foreach { av =>
+            val term = r.getLong(2) * av / 1000000L
+            hraw.update(r.getLong(0), hraw.getOrElse(r.getLong(0), 0L) + term)
+          }
         }
         h = normalizeM(hraw)
         round += 1
@@ -277,7 +299,8 @@ object Graph {
       es.unpersist(false)
       val spark = edges.sparkSession
       import spark.implicits._
-      h.toSeq.map { case (node, hv) => (node, hv, a(node)) }
+      // the distributed final result is h INNER JOIN a on node
+      h.toSeq.flatMap { case (node, hv) => a.get(node).map(av => (node, hv, av)) }
         .toDF("node", "hub_fp", "auth_fp")
     } else {
       def normalize(raw: DataFrame): DataFrame = {

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QuerySpec, Tables}
 import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation selection passes (round 12, continued): DSIR
@@ -263,17 +264,33 @@ object Curation {
                  * 65536 // COUNT(*) AS novelty_fp
         FROM d GROUP BY doc_id"""),
       (s, dir) => {
-        // df via aggregate + join-back, not a window over the shingle
-        // (the Dedup.exact r14 rationale: a corpus-universal 5-gram
-        // would buffer its whole posting set in one window partition;
-        // the count pre-combines map-side and the join probe streams)
-        val sh = graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
-          .select(col("doc_id"),
-            explode(array_distinct(T.shingles(col("text"), 5))).as("s"))
-        sh.join(sh.groupBy("s").agg(count(lit(1)).as("df")), Seq("s"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_shingles"),
-            sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
+        // df via aggregate, not a window over the shingle (the
+        // Dedup.exact r14 rationale: a corpus-universal 5-gram would
+        // buffer its whole posting set in one window partition; the
+        // count pre-combines map-side). r15: NO join-back of the df
+        // table onto the shingle stream — that shape ran the
+        // tokenize+shingle kernel twice AND exchanged the shingle
+        // stream twice (the r14 sf1 regression). A df=1 shingle's
+        // owner is recoverable from the same aggregate (min(doc_id)
+        // of a one-doc posting set IS the doc), so n_unique comes out
+        // of the single shingle exchange; n_shingles is doc-grain
+        // (size of the distinct-shingle array) and never leaves the
+        // scan partitioning. The second kernel evaluation computes
+        // only an array length — no explode, no exchange.
+        val docs = graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
+        val sh = docs.select(col("doc_id"),
+          explode(array_distinct(T.shingles(col("text"), 5))).as("s"))
+        val uniq = sh.groupBy("s")
+          .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+          .filter(col("df") === 1)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_unique"))
+        docs.select(col("doc_id"),
+            size(array_distinct(T.shingles(col("text"), 5))).cast("long")
+              .as("n_shingles"))
+          .filter(col("n_shingles") > 0)
+          .join(uniq, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_unique"), lit(0L)).as("n_unique"))
           .withColumn("novelty_fp", expr("n_unique * 65536 div n_shingles"))
       }),
 
@@ -487,11 +504,16 @@ object Curation {
     // dataset-analysis staple ("how much of source A is near-copied in
     // source B") behind de-weighting decisions when mixing crawls:
     // verified MinHash pair counts grouped by unordered source pair.
-    // Scale shape: the verified pair set is tiny by construction and
-    // BROADCASTS into two passes over the narrow (doc_id, source)
-    // projection — the corpus text is read once inside the dedup
-    // kernel and never again; the matrix aggregate is
-    // |sources|²-bounded. ----
+    // Scale shape: the corpus text is read once inside the dedup
+    // kernel and never again; the two source-lookup joins run over the
+    // narrow (doc_id, source) projection, and the matrix aggregate is
+    // |sources|²-bounded. The pair set is NOT bounded by construction
+    // (it scales with the corpus's duplicate structure — billions of
+    // rows on a heavily-duplicated crawl), so the broadcast hint is
+    // GATED on a measured count (r15; the kernel already materialized
+    // the pairs, so the count is a cache-local action) — beyond the
+    // bound both lookups fall back to AQE-planned shuffles on the doc
+    // key. PlanSpec asserts the hinted regime at test scale. ----
     QuerySpec(
       "q201_source_overlap_matrix",
       Some(s"""
@@ -512,9 +534,12 @@ object Curation {
           shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5,
           shingleHasher = graft.functions.TextFunctions.md5ShingleHashes)
           .select(col("id_a"), col("id_b"))
-        val withA = src.join(broadcast(pairs), col("doc_id") === col("id_a"))
+        val hint: DataFrame => DataFrame =
+          if (pairs.count() <= 4000000L) (df: DataFrame) => broadcast(df)
+          else (df: DataFrame) => df
+        val withA = src.join(hint(pairs), col("doc_id") === col("id_a"))
           .select(col("id_b"), col("source").as("_sa"))
-        src.join(broadcast(withA), col("doc_id") === col("id_b"))
+        src.join(hint(withA), col("doc_id") === col("id_b"))
           .select(
             least(col("_sa"), col("source")).as("source_a"),
             greatest(col("_sa"), col("source")).as("source_b"))

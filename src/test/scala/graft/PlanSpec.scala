@@ -255,4 +255,31 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"),
       s"variant match must be an equi-join:\n$p")
   }
+
+  test("q201: pair-side source lookups broadcast under the measured gate") {
+    // r15: the broadcast hint on the verified pair set is GATED on a
+    // measured pair count (the set is unbounded by construction — on a
+    // replica-heavy 100 TB crawl it is billions of rows and a forced
+    // hint OOMs the driver). At test scale the gate passes, so both
+    // source lookups must still be broadcast joins, never SMJ.
+    val p = plan("q201_source_overlap_matrix")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"both pair-side lookups must broadcast at test scale:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"pair lookups degraded to SMJ:\n$p")
+  }
+
+  test("q184: single shingle exchange — no df join-back onto the shingle stream") {
+    // r15: df=1 ownership rides out of the shingle aggregate via
+    // min(doc_id); the old join-back shape exchanged the shingle
+    // stream twice and ran the tokenize kernel twice over it. The only
+    // shingle-keyed operators allowed are the one aggregate pair around
+    // its one exchange; the doc-grain count join stays broadcast.
+    val p = plan("q184_ngram_novelty")
+    assert(!p.contains("SortMergeJoin"),
+      s"doc-grain join must not SMJ the shingle stream:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3,
+      s"expected at most shingle + doc-grain exchanges, got $exchanges:\n$p")
+  }
 }

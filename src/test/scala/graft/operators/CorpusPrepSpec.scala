@@ -54,6 +54,35 @@ class CorpusPrepSpec extends SparkSpec {
     assertSameRows(out, out2, "quota selection across partitionings")
   }
 
+  test("quota selection survives full-range ids (negative and >= 2^43)") {
+    // the r15 packing removal: ids used to ride packed as id·2^20+ntok,
+    // which truncates negative ids toward zero on decode and overflows
+    // int64 past 2^43 — both silently. Hash-derived ids (xxhash64
+    // content ids are used as doc ids elsewhere in the catalog) hit
+    // both regions, so prepare() must keep them bit-exact.
+    val ids = Seq(Long.MinValue + 5L, -987654321098765432L, -3L,
+      7L, (1L << 43) + 17L, Long.MaxValue - 9L)
+    val docs = ids.zipWithIndex.map { case (id, i) =>
+      (id, s"unique ordinary document number about topic $i with several plain words", "en")
+    }.toDF("doc_id", "text", "lang")
+    val out = CorpusPrep.prepare(docs, Seq.empty[String].toDF("text"),
+      "doc_id", "text", "lang", quotaPerLang = 100)
+      .as[(Long, String, Long)].collect()
+    assert(out.map(_._1).toSet == ids.toSet,
+      s"ids must round-trip bit-exact, got ${out.map(_._1).toSet}")
+    assert(out.forall(_._3 == 11L), s"token counts must survive: ${out.toSeq}")
+    // binding quota: selection order is (hashOrder asc, id asc) —
+    // computed independently here and compared against the aggregate
+    val expected = docs
+      .select(col("doc_id"), graft.Exact.hashOrder(col("doc_id"), 97).as("_ho"))
+      .as[(Long, Long)].collect().sortBy { case (id, ho) => (ho, id) }
+      .take(2).map(_._1).toSet
+    val bound = CorpusPrep.prepare(docs, Seq.empty[String].toDF("text"),
+      "doc_id", "text", "lang", quotaPerLang = 2)
+      .as[(Long, String, Long)].collect().map(_._1).toSet
+    assert(bound == expected, s"got $bound, want $expected")
+  }
+
   test("registrableDomain: eTLD+1 across subdomain depth and suffix shape") {
     val cases = Seq(
       ("https://www.site.co.uk/p/1", "site.co.uk"),     // multi-part suffix

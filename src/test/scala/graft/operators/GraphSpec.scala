@@ -127,6 +127,37 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("off-contract edge endpoints degrade identically in both regimes") {
+    // an edge endpoint absent from `nodes` is out of contract; the
+    // distributed regime silently drops such edges via its inner joins
+    // on the score frames. r15: the driver regime must do the SAME
+    // (keyed off `nodes`, absent-source terms skipped) — before, a
+    // missing source with no in-edges threw NoSuchElementException
+    // mid-loop, so which behavior you got depended on maxDriverEdges.
+    val edges = Seq(
+      (1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L),
+      (50L, 2L, 5L),  // src off-contract, no in-edges → the old crash
+      (3L, 60L, 4L)   // dst off-contract
+    ).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    for (tol <- Seq(-1L, 0L)) {
+      val driver = Graph.pageRankFixedPoint(edges, nodes, iterations = 6,
+        toleranceL1 = tol)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val dist = Graph.pageRankFixedPoint(edges, nodes, iterations = 6,
+        toleranceL1 = tol, maxDriverEdges = 0L)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(driver == dist, s"pageRank off-contract regimes diverged at tol=$tol")
+      assert(driver.keySet.contains(4L), "in-contract isolated node kept")
+    }
+    val hDriver = Graph.hitsFixedPoint(edges, nodes, iterations = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val hDist = Graph.hitsFixedPoint(edges, nodes, iterations = 4,
+        maxDriverEdges = 0L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(hDriver == hDist, "HITS off-contract regimes diverged")
+  }
+
   test("hitsFixedPoint matches hand-rolled fixed-point iteration on a star") {
     // hub 1 points at authorities 2 and 3 (weights 3 and 1); node 4
     // isolated. ΣW=4 -> shares s(1→2)=750000, s(1→3)=250000.
