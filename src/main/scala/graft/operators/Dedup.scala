@@ -346,20 +346,33 @@ object Dedup {
     // pair set (10⁵–10⁶ rows on a replica-clique corpus) is never
     // materialized, persisted, or shipped through the driver; it is
     // referenced ONCE, so the whole verify is a single pipelined
-    // action over the warm banded cache. The kernel is evaluated at
-    // most 3× (banding + the two verification rejoins) with ZERO cache
-    // footprint; restricting the rejoins to candidate ids was measured
-    // at both sf0.1 and sf1 (r14 iteration) and its bookkeeping — a
-    // candidate-grain cache plus an extra capped-join pass — costs
-    // more than the two kernel evaluations it avoids (q91@sf1:
-    // 12.2 s restricted vs ~6 s pipelined), so the simple shape wins
-    // until a hasher's per-row cost dominates the join work.
+    // action over the warm banded cache. r15: verification hashes the
+    // corpus ONCE — each candidate pair explodes into its two member
+    // ids, a single join attaches that doc's shingle set, and a
+    // pair-grain regroup reassembles (sh_a, sh_b). The former shape
+    // joined the hash projection twice (id_a side, id_b side) — TWO
+    // corpus-grain kernel evaluations, the residual the r14 lifecycle
+    // redesign left behind (q38@sf1 3.2 → 4.2 s min); this shape pays
+    // instead one candidate-grain exchange of the matched shingle
+    // arrays, a sliver of the corpus by construction. Kernel
+    // evaluations per call: banding + one verify pass, zero cache
+    // footprint either way. (Restricting per-side rejoins to candidate
+    // ids — the r14 alternative — kept both kernel evaluations AND
+    // added a capped-join pass; it measured 12.2 s vs ~6 s on q91@sf1
+    // and stays rejected.)
     val (cand, bucketCleanup) =
       cappedBucketPairsLazy(banded, Seq("band", "bh"), idCol, hotBucketCap)
     val sh = hashed(src)
     val verified = cand
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .join(sh, Seq(idCol))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        first(when(col(idCol) === col("id_a"), col("sh")),
+          ignoreNulls = true).as("sh_a"),
+        first(when(col(idCol) === col("id_b"), col("sh")),
+          ignoreNulls = true).as("sh_b"))
       .select(
         col("id_a"), col("id_b"),
         T.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))

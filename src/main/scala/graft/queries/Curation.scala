@@ -267,30 +267,48 @@ object Curation {
         // df via aggregate, not a window over the shingle (the
         // Dedup.exact r14 rationale: a corpus-universal 5-gram would
         // buffer its whole posting set in one window partition; the
-        // count pre-combines map-side). r15: NO join-back of the df
-        // table onto the shingle stream — that shape ran the
-        // tokenize+shingle kernel twice AND exchanged the shingle
-        // stream twice (the r14 sf1 regression). A df=1 shingle's
-        // owner is recoverable from the same aggregate (min(doc_id)
-        // of a one-doc posting set IS the doc), so n_unique comes out
-        // of the single shingle exchange; n_shingles is doc-grain
-        // (size of the distinct-shingle array) and never leaves the
-        // scan partitioning. The second kernel evaluation computes
-        // only an array length — no explode, no exchange.
+        // count pre-combines map-side). r15: the tokenize+shingle
+        // kernel runs exactly ONCE — the r14 join-back shape ran it
+        // twice and exchanged the shingle stream twice (the r14 sf1
+        // regression). A TAG-UNION aggregate carries both outputs
+        // through one shingle-grain exchange: each doc's explode emits
+        // its shingles under key (0, s) plus ONE sentinel row under
+        // key (1, doc_id), so a single groupBy yields per-shingle
+        // (df, owner = min(doc_id) — for a df=1 group the owner IS the
+        // unique doc) and per-doc n_shingles (the sentinel's payload)
+        // side by side; sentinel keys are doc-unique, so no hot key.
+        // Both slices are doc-keyed after that, so ONE doc-grain
+        // re-aggregate stitches them — no join, no second reference to
+        // the aggregate subtree (a split+join re-evaluates the whole
+        // scan: ReuseExchange does not fire across the two consumers).
+        // The sentinel rides the SAME posexplode, appended LAST, so its
+        // position IS size(arr) — n_shingles costs nothing. (A naive
+        // `size(arr)` projection next to the explode is a trap:
+        // Catalyst collapses it ABOVE the Generate and re-runs the
+        // whole kernel per exploded row — measured 8× slower. Nothing
+        // above the Generate may reference `text`.)
         val docs = graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
-        val sh = docs.select(col("doc_id"),
-          explode(array_distinct(T.shingles(col("text"), 5))).as("s"))
-        val uniq = sh.groupBy("s")
-          .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
-          .filter(col("df") === 1)
-          .groupBy("doc_id").agg(count(lit(1)).as("n_unique"))
-        docs.select(col("doc_id"),
-            size(array_distinct(T.shingles(col("text"), 5))).cast("long")
-              .as("n_shingles"))
+        val arr = array_distinct(T.shingles(col("text"), 5))
+        val tagged = docs
+          .select(col("doc_id"),
+            posexplode(concat(arr, array(lit(null).cast("string")))))
+          .select(col("doc_id"),
+            when(col("col").isNotNull,
+              struct(lit(0).as("k"), col("col").as("v")))
+              .otherwise(struct(lit(1).as("k"),
+                col("doc_id").cast("string").as("v"))).as("key"),
+            when(col("col").isNull, col("pos").cast("long")).as("n_sh"))
+        tagged.groupBy("key")
+          .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"),
+            min(col("n_sh")).as("n_sh"))
+          .filter((col("key.k") === 0 && col("df") === 1) || col("key.k") === 1)
+          .groupBy("doc_id")
+          .agg(
+            sum(when(col("key.k") === 0, lit(1L)).otherwise(lit(0L)))
+              .as("n_unique"),
+            max(when(col("key.k") === 1, col("n_sh"))).as("n_shingles"))
           .filter(col("n_shingles") > 0)
-          .join(uniq, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_shingles"),
-            coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+          .select(col("doc_id"), col("n_shingles"), col("n_unique"))
           .withColumn("novelty_fp", expr("n_unique * 65536 div n_shingles"))
       }),
 

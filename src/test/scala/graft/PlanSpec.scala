@@ -269,17 +269,23 @@ class PlanSpec extends SparkSpec {
       s"pair lookups degraded to SMJ:\n$p")
   }
 
-  test("q184: single shingle exchange — no df join-back onto the shingle stream") {
-    // r15: df=1 ownership rides out of the shingle aggregate via
-    // min(doc_id); the old join-back shape exchanged the shingle
-    // stream twice and ran the tokenize kernel twice over it. The only
-    // shingle-keyed operators allowed are the one aggregate pair around
-    // its one exchange; the doc-grain count join stays broadcast.
+  test("q184: tag-union single-kernel plan — one Generate, no kernel above it") {
+    // r15: the tokenize+shingle kernel must appear exactly once, inside
+    // the Generate. Two regressions this guards: (a) the r14 join-back
+    // shape, which ran the kernel twice and exchanged the shingle
+    // stream twice; (b) the Catalyst Generate-collapse trap — a
+    // `size(arr)` projected NEXT TO the explode gets collapsed ABOVE
+    // the Generate and re-runs the whole kernel per exploded row
+    // (measured 8× at sf1). The sentinel's posexplode position carries
+    // n_shingles instead, so `text` is dead above the Generate.
     val p = plan("q184_ngram_novelty")
-    assert(!p.contains("SortMergeJoin"),
-      s"doc-grain join must not SMJ the shingle stream:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      s"single-tree shape must have no join:\n$p")
+    val kernelEvals = p.linesIterator.count(_.contains("array_distinct"))
+    assert(kernelEvals == 1,
+      s"shingle kernel must appear exactly once (in the Generate), got $kernelEvals:\n$p")
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges <= 3,
-      s"expected at most shingle + doc-grain exchanges, got $exchanges:\n$p")
+    assert(exchanges <= 2,
+      s"expected only the shingle + doc-grain exchanges, got $exchanges:\n$p")
   }
 }
