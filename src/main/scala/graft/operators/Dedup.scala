@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   * invoke them per-epoch without accumulating cache. The one retained
   * footprint is the result itself when it exceeds the driver bound
   * (then a pair-grain localCheckpoint, documented on the helper).
+  * Cleanup touches only blocks these operators created themselves
+  * ([[materializeSmall]] unpersists its own checkpoint RDD, taken from
+  * the checkpointed plan; per-operator cleanups hold direct references)
+  * — a concurrent job's caches are never diffed or freed, so per-epoch
+  * invocation from a multi-tenant service is safe (r15).
   */
 object Dedup {
 
