@@ -687,20 +687,12 @@ object Curation {
         FROM flagged GROUP BY doc_id"""
       },
       (s, dir) => {
-        val docs = graft.operators.Fanout.forKernel(
-          Tables.load(s, dir, "documents"))
-        val kept = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text",
-            shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5,
-            shingleHasher = graft.functions.TextFunctions.md5ShingleHashes)
-          .filter(!col("is_duplicate")).select(col("doc_id"))
-        val contained = graft.operators.Dedup.containmentPairs(
-            docs.join(kept, "doc_id"), "doc_id", "text",
-            ngram = 3, maxDfShare = 15, minContainmentFp = 13108L)
-          .select(col("inner_id").as("doc_id")).distinct()
-        val finalKept = kept.join(contained, Seq("doc_id"), "left_anti")
-        graft.operators.Dedup.chunkScrub(
-          docs.join(finalKept, "doc_id"), "doc_id", "text",
-          chunkTokens = 10, minDocs = 2)
+        // the chain body lives in pipeline.CurationChain so
+        // run.PipelineMain can emit it as a job (r15); defaults there
+        // ARE these parameters — CurationChainSpec pins the equality
+        graft.pipeline.CurationChain.curate(
+          graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents")),
+          "doc_id", "text")
       })
   )
 }

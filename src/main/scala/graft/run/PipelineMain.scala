@@ -1,6 +1,6 @@
 package graft.run
 
-import graft.pipeline.{Clean, PinQueries}
+import graft.pipeline.{Clean, CurationChain, PinQueries}
 import graft.sources.JsonSource
 import org.apache.spark.sql.SparkSession
 
@@ -10,13 +10,26 @@ import org.apache.spark.sql.SparkSession
   * out. Retries are the scheduler's job (the DAG's `retries: 5` maps to
   * the cron/workflow layer, not the engine).
   *
-  * Usage: PipelineMain <landedBaseDir> <outDir>
-  *   landedBaseDir — contains topics/{pin,geo,user}/partition=N/ JSON files
-  *   outDir        — one parquet dir per task + per cleaned table
+  * Usage:
+  *   PipelineMain <landedBaseDir> <outDir>
+  *     landedBaseDir — topics/{pin,geo,user}/partition=N/ JSON files
+  *     outDir        — one parquet dir per task + per cleaned table
+  *
+  *   PipelineMain curate <corpusDir> <outDir>
+  *     corpusDir — holds documents.parquet (the TESTDATA layout)
+  *     outDir    — curated/ (scrubbed export parquet) + stats/ (one-row
+  *                 release-note stats). The q203 chain as a runnable
+  *                 job: near-dedup → containment → span scrub
+  *                 ([[graft.pipeline.CurationChain]]).
+  *
+  *   PipelineMain curate-landed <landedBase> <outDir>
+  *     landedBase — committed batch=N dirs written by the streaming
+  *                  ingest ([[graft.streaming.StreamPipeline.dedupStreamWithIndex]]);
+  *                  this nightly half runs the corpus-global stages
+  *                  (containment + scrub) the online pass cannot.
   */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
-    val Array(baseDir, outDir) = args.take(2)
     val spark = SparkSession.builder()
       .appName("graft-pipeline")
       // spark-submit injects spark.master; standalone runs fall back local
@@ -26,7 +39,40 @@ object PipelineMain {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
+    args.headOption match {
+      case Some("curate") =>
+        val Array(_, corpusDir, outDir) = args.take(3)
+        val docs = graft.operators.Fanout.forKernel(
+          graft.Tables.load(spark, corpusDir, "documents"))
+        runCurate(spark, docs.count(),
+          CurationChain.curate(docs, "doc_id", "text"), outDir)
+      case Some("curate-landed") =>
+        val Array(_, landedBase, outDir) = args.take(3)
+        val nInput = graft.streaming.IdempotentSink
+          .committedDirs(spark, landedBase) match {
+          case dirs if dirs.nonEmpty => spark.read.parquet(dirs: _*).count()
+          case _ => 0L
+        }
+        runCurate(spark, nInput,
+          CurationChain.curateLanded(spark, landedBase, "doc_id", "text"),
+          outDir)
+      case _ =>
+        runPinPipeline(spark, args(0), args(1))
+    }
+    spark.stop()
+  }
 
+  /** Land the curated export, then compute the stats artifact FROM the
+    * landed files — the chain is evaluated exactly once. */
+  private[graft] def runCurate(spark: SparkSession, nInput: Long,
+      curated: org.apache.spark.sql.DataFrame, outDir: String): Unit = {
+    curated.write.mode("overwrite").parquet(s"$outDir/curated")
+    CurationChain.stats(nInput, spark.read.parquet(s"$outDir/curated"))
+      .coalesce(1).write.mode("overwrite").json(s"$outDir/stats")
+  }
+
+  private def runPinPipeline(
+      spark: SparkSession, baseDir: String, outDir: String): Unit = {
     // the transport seam (SURVEY §7.1.2): swap FileJsonTableSource for
     // KafkaTableSource(bootstrap, prefix) and nothing downstream changes
     val source = graft.sources.FileJsonTableSource(baseDir)
@@ -43,7 +89,5 @@ object PipelineMain {
 
     for ((name, df) <- PinQueries.allDf(pin, geo, user).toSeq.sortBy(_._1))
       df.write.mode("overwrite").parquet(s"$outDir/tasks/$name")
-
-    spark.stop()
   }
 }
