@@ -453,4 +453,59 @@ object CorpusPrep {
       .filter(col("cum") <= col("b_g"))
       .select(col("grp"), col("id"), col("n"), col("cum"))
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling"): spread a total token budget
+    * over languages as EVENLY as possible subject to a per-language
+    * repetition cap — no language may be allocated more than
+    * `epochsCap` epochs of its own corpus. The waterfilling loop is the
+    * paper's: languages ascending by cap, each takes
+    * min(cap, remaining_budget div remaining_languages).
+    *
+    * Scale shape: the only corpus-grain work is the caller's per-group
+    * token aggregate (map-combined); the allocation itself runs on the
+    * DRIVER over the collected group-grain stats — the q89/Bucketing
+    * bounded-driver discipline, with the bound explicit: the group
+    * domain (languages) is semantically small, and `maxGroups` fails
+    * loudly rather than collecting an unbounded frame. The sequential
+    * recurrence is order-dependent by definition (ascending cap, ties
+    * on group), so a window formulation would be a GLOBAL window — the
+    * exact single-reducer shape the catalog bans; the driver loop over
+    * ≤ maxGroups rows is strictly cheaper. Budget = total · num/den in
+    * the divide-first decomposition (overflow-safe at the 100 TB token
+    * regime, same as [[temperatureSample]]).
+    *
+    * @param groupTokens group-grain stats: (groupCol, tokCol)
+    * @return one row per group: (group, corpus_tokens, cap_tokens,
+    *         alloc_tokens, epochs_fp = alloc·65536 div corpus_tokens) */
+  def unimaxAllocation(
+      groupTokens: DataFrame, groupCol: String, tokCol: String,
+      budgetNum: Long, budgetDen: Long, epochsCap: Int,
+      maxGroups: Int = 100000): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0 && epochsCap >= 1)
+    val spark = groupTokens.sparkSession
+    val rows = groupTokens
+      .select(col(groupCol).cast("string"), col(tokCol).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(rows.length <= maxGroups,
+      s"unimaxAllocation collected ${rows.length} groups > maxGroups=" +
+        s"$maxGroups — group by a bounded domain or raise the bound")
+    val total = rows.map(_._2).sum
+    val budget =
+      (total / budgetDen) * budgetNum + (total % budgetDen) * budgetNum / budgetDen
+    val sorted = rows
+      .map { case (g, n) => (g, n, n * epochsCap) }
+      .sortBy { case (g, _, cap) => (cap, g) }
+    var rem = budget
+    val out = sorted.zipWithIndex.map { case ((g, n, cap), i) =>
+      val level = rem / (sorted.length - i)
+      val a = math.min(cap, level)
+      rem -= a
+      val epochsFp = if (n == 0) 0L else a * 65536 / n
+      (g, n, cap, a, epochsFp)
+    }
+    import spark.implicits._
+    out.toSeq.toDF(groupCol, "corpus_tokens", "cap_tokens",
+      "alloc_tokens", "epochs_fp")
+  }
 }

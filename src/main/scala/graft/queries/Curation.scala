@@ -693,6 +693,143 @@ object Curation {
         graft.pipeline.CurationChain.curate(
           graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents")),
           "doc_id", "text")
+      }),
+
+    // ---- q204: UniMax budget allocation (Chung et al. 2023) — spread
+    // a total token budget (2/5 of the corpus here) over languages as
+    // evenly as the per-language repetition cap (3 epochs) allows:
+    // languages ascending by cap, each takes min(cap, remaining div
+    // remaining_langs) — tail languages get their full capped corpus,
+    // the head splits what is left. The corpus-grain work is ONE
+    // map-combined per-language token aggregate; the sequential
+    // waterfilling runs on the driver over the bounded language domain
+    // (the q89 bounded-driver discipline — a window form would be the
+    // banned GLOBAL window). The oracle replays the recurrence with a
+    // recursive CTE. ----
+    QuerySpec(
+      "q204_unimax_allocation",
+      Some(s"""
+        WITH RECURSIVE items AS (
+          SELECT lang,
+                 CASE WHEN nrm = '' THEN 0
+                      ELSE CAST(LEN(STRING_SPLIT(nrm, ' ')) AS BIGINT) END AS n
+          FROM (SELECT lang,
+                       regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
+                FROM documents)),
+        gstats AS (
+          SELECT lang, CAST(SUM(n) AS BIGINT) AS n_g FROM items GROUP BY lang),
+        tot AS (
+          SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot FROM gstats),
+        ordered AS (
+          SELECT lang, n_g, n_g * 3 AS capv,
+                 ROW_NUMBER() OVER (ORDER BY n_g * 3, lang) AS rn,
+                 COUNT(*) OVER () AS nl
+          FROM gstats),
+        rec(rn, alloc, rem) AS (
+          SELECT 0, CAST(0 AS BIGINT),
+                 ((n_tot // 5) * 2 + (n_tot % 5) * 2 // 5) FROM tot
+          UNION ALL
+          SELECT o.rn,
+                 LEAST(o.capv, r.rem // (o.nl - o.rn + 1)),
+                 r.rem - LEAST(o.capv, r.rem // (o.nl - o.rn + 1))
+          FROM rec r JOIN ordered o ON o.rn = r.rn + 1)
+        SELECT o.lang, o.n_g AS corpus_tokens, o.capv AS cap_tokens,
+               r.alloc AS alloc_tokens,
+               CASE WHEN o.n_g = 0 THEN 0
+                    ELSE r.alloc * 65536 // o.n_g END AS epochs_fp
+        FROM rec r JOIN ordered o USING (rn) WHERE r.rn >= 1"""),
+      (s, dir) => {
+        val stats = Tables.load(s, dir, "documents")
+          .select(col("lang"), T.tokenCount(col("text")).as("n"))
+          .groupBy("lang").agg(sum(col("n")).as("n_g"))
+        graft.operators.CorpusPrep.unimaxAllocation(
+          stats, "lang", "n_g", budgetNum = 2L, budgetDen = 5L, epochsCap = 3)
+      }),
+
+    // ---- q205: PII density profile — the release-gating scan before
+    // any corpus ships: per doc, counts of email / dashed-phone /
+    // long-digit-run matches, density per kilotoken in 16-bit fixed
+    // point, and a release bucket. One pass riding the scan (three
+    // codegen'd regexp_count projections), zero joins; the grouping a
+    // release report needs composes downstream. Redaction itself is
+    // q46; this is the MEASUREMENT side. ----
+    QuerySpec(
+      "q205_pii_density",
+      Some(s"""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_emails,
+                 CAST(len(regexp_extract_all(text,
+                   '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+                 CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT)
+                   AS n_digit_runs,
+                 CASE WHEN nrm = '' THEN 0
+                      ELSE CAST(LEN(STRING_SPLIT(nrm, ' ')) AS BIGINT) END AS n_toks
+          FROM (SELECT doc_id, text,
+                       regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
+                FROM documents))
+        SELECT doc_id, n_emails, n_phones, n_digit_runs,
+               (n_emails + n_phones + n_digit_runs) * 1000 * 65536
+                 // GREATEST(n_toks, 1) AS pii_per_kt_fp,
+               CASE WHEN n_emails + n_phones + n_digit_runs = 0 THEN 'clean'
+                    WHEN (n_emails + n_phones + n_digit_runs) * 1000 * 65536
+                         // GREATEST(n_toks, 1) < 65536 THEN 'low'
+                    ELSE 'high' END AS bucket
+        FROM m"""),
+      (s, dir) => {
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"),
+            regexp_count(col("text"),
+              lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+              .cast("long").as("n_emails"),
+            regexp_count(col("text"), lit("[0-9]{3}-[0-9]{3}-[0-9]{4}"))
+              .cast("long").as("n_phones"),
+            regexp_count(col("text"), lit("[0-9]{9,}"))
+              .cast("long").as("n_digit_runs"),
+            T.tokenCount(col("text")).as("n_toks"))
+          .withColumn("pii_per_kt_fp", expr(
+            "(n_emails + n_phones + n_digit_runs) * 1000 * 65536" +
+              " div greatest(n_toks, 1L)"))
+          .select(col("doc_id"), col("n_emails"), col("n_phones"),
+            col("n_digit_runs"), col("pii_per_kt_fp"),
+            when(col("n_emails") + col("n_phones") + col("n_digit_runs") === 0,
+              lit("clean"))
+              .when(col("pii_per_kt_fp") < 65536L, lit("low"))
+              .otherwise(lit("high")).as("bucket"))
+      }),
+
+    // ---- q206: exact-duplication rate by source — the crawl-health
+    // report behind de-weighting and re-crawl decisions: per source,
+    // how many docs are byte-identical (normalized) to an
+    // earlier-id doc anywhere in the corpus. Rides the Dedup.exact
+    // aggregate+join-back (min-per-hash pre-combines map-side; no
+    // content-hash window), then reduces to the |sources|-bounded
+    // report grain. Grouping is hash-family-agnostic, so the md5
+    // oracle replays the xxhash engine exactly. ----
+    QuerySpec(
+      "q206_dup_rate_by_source",
+      Some(s"""
+        WITH norm AS (
+          SELECT doc_id, source,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+          FROM documents),
+        keep AS (SELECT h, MIN(doc_id) AS keep_id FROM norm GROUP BY h)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n.doc_id <> k.keep_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dups,
+               CAST(SUM(CASE WHEN n.doc_id <> k.keep_id THEN 1 ELSE 0 END)
+                 AS BIGINT) * 65536 // COUNT(*) AS dup_rate_fp
+        FROM norm n JOIN keep k USING (h) GROUP BY source"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Dedup.exactNormalized(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("n_dups"))
+          .withColumn("dup_rate_fp", expr("n_dups * 65536 div n_docs"))
       })
   )
 }

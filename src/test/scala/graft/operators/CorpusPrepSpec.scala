@@ -83,6 +83,33 @@ class CorpusPrepSpec extends SparkSpec {
     assert(bound == expected, s"got $bound, want $expected")
   }
 
+  test("unimaxAllocation: caps bind the tail, the head splits the rest, budget conserved") {
+    // total 1000, budget 1/1 → 1000; caps (×2): a=20, b=60, c=1200, d=720
+    val stats = Seq(("a", 10L), ("b", 30L), ("c", 600L), ("d", 360L))
+      .toDF("lang", "n_g")
+    val out = CorpusPrep.unimaxAllocation(stats, "lang", "n_g",
+        budgetNum = 1L, budgetDen = 1L, epochsCap = 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // waterfilling ascending by cap: a: min(20, 1000/4=250)=20;
+    // b: min(60, 980/3=326)=60; d: min(720, 920/2=460)=460;
+    // c: min(1200, 460/1)=460
+    assert(out("a")._4 == 20L && out("b")._4 == 60L, s"tail at cap: $out")
+    assert(out("d")._4 == 460L && out("c")._4 == 460L, s"head splits: $out")
+    assert(out.values.map(_._4).sum == 1000L, "budget conserved")
+    assert(out("a")._5 == 131072L, "epochs_fp: 2 epochs = 2·65536")
+    // slack budget: everything capped, leftover unspent
+    val slack = CorpusPrep.unimaxAllocation(stats, "lang", "n_g",
+        budgetNum = 10L, budgetDen = 1L, epochsCap = 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(slack.forall(r => r._4 == r._3), s"all at cap under slack: ${slack.toSeq}")
+    // group-domain bound fails loudly
+    val err = intercept[IllegalArgumentException] {
+      CorpusPrep.unimaxAllocation(stats, "lang", "n_g", 1L, 1L, 2, maxGroups = 2)
+    }
+    assert(err.getMessage.contains("maxGroups"))
+  }
+
   test("registrableDomain: eTLD+1 across subdomain depth and suffix shape") {
     val cases = Seq(
       ("https://www.site.co.uk/p/1", "site.co.uk"),     // multi-part suffix
