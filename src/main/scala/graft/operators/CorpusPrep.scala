@@ -508,4 +508,38 @@ object CorpusPrep {
     out.toSeq.toDF(groupCol, "corpus_tokens", "cap_tokens",
       "alloc_tokens", "epochs_fp")
   }
+
+  /** Epoch expansion — the step that turns a per-group token allocation
+    * ([[unimaxAllocation]] output) into the CONCRETE repeat schedule a
+    * training run consumes: every doc of group g repeats
+    * `alloc_g div n_g` times (whole epochs), and a deterministic
+    * hash-ordered token prefix of the group repeats once more to spend
+    * the remainder `alloc_g mod n_g` (approached from below at doc
+    * granularity, the q122/q178 budget discipline). Docs with zero
+    * repeats (allocation below one epoch and outside the remainder
+    * prefix) are dropped — the output IS the sampled corpus.
+    *
+    * Scale shape: the allocation table is group-grain and broadcast;
+    * the items table shuffles once for the per-group running-sum
+    * window (group-partitioned — never global). Integer end to end.
+    *
+    * @param items doc-grain (groupCol, idCol, nCol)
+    * @param alloc group-grain with `corpus_tokens` and `alloc_tokens`
+    *              columns keyed by groupCol
+    * @return (group, id, n, n_repeats) with n_repeats ≥ 1 */
+  def epochExpand(
+      items: DataFrame, groupCol: String, idCol: String, nCol: String,
+      alloc: DataFrame): DataFrame = {
+    val a = alloc.select(col(groupCol),
+      col("corpus_tokens").as("_ng"), col("alloc_tokens").as("_alloc"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(graft.Exact.hashOrder(col(idCol), 1000000), col(idCol))
+    items.join(broadcast(a), groupCol)
+      .filter(col("_ng") > 0)
+      .withColumn("_cum", sum(col(nCol)).over(w))
+      .withColumn("n_repeats", expr(
+        s"_alloc div _ng + (CASE WHEN _cum <= _alloc % _ng THEN 1 ELSE 0 END)"))
+      .filter(col("n_repeats") > 0)
+      .select(col(groupCol), col(idCol), col(nCol), col("n_repeats"))
+  }
 }

@@ -830,6 +830,71 @@ object Curation {
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("n_dups"))
           .withColumn("dup_rate_fp", expr("n_dups * 65536 div n_docs"))
+      }),
+
+    // ---- q207: epoch expansion — q204's allocation made CONCRETE:
+    // every doc repeats alloc div n_g times, and a hash-ordered token
+    // prefix of each language repeats once more to spend the
+    // remainder (approached from below at doc granularity, the
+    // q122/q178 budget discipline). The output is the repeat schedule
+    // a trainer consumes. Allocation is group-grain and broadcast;
+    // the corpus shuffles once for the language-partitioned
+    // running-sum window. The oracle chains q204's recursive-CTE
+    // waterfilling into q178's window pattern. ----
+    QuerySpec(
+      "q207_epoch_expansion",
+      Some(s"""
+        WITH RECURSIVE items AS (
+          SELECT doc_id, lang,
+                 CASE WHEN nrm = '' THEN 0
+                      ELSE CAST(LEN(STRING_SPLIT(nrm, ' ')) AS BIGINT) END AS n
+          FROM (SELECT doc_id, lang,
+                       regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
+                FROM documents)),
+        gstats AS (
+          SELECT lang, CAST(SUM(n) AS BIGINT) AS n_g FROM items GROUP BY lang),
+        tot AS (
+          SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot FROM gstats),
+        ordered AS (
+          SELECT lang, n_g, n_g * 3 AS capv,
+                 ROW_NUMBER() OVER (ORDER BY n_g * 3, lang) AS rn,
+                 COUNT(*) OVER () AS nl
+          FROM gstats),
+        rec(rn, alloc, rem) AS (
+          SELECT 0, CAST(0 AS BIGINT),
+                 ((n_tot // 5) * 2 + (n_tot % 5) * 2 // 5) FROM tot
+          UNION ALL
+          SELECT o.rn,
+                 LEAST(o.capv, r.rem // (o.nl - o.rn + 1)),
+                 r.rem - LEAST(o.capv, r.rem // (o.nl - o.rn + 1))
+          FROM rec r JOIN ordered o ON o.rn = r.rn + 1),
+        expand AS (
+          SELECT i.lang, i.doc_id, i.n, r.alloc, o.n_g,
+                 CAST(SUM(i.n) OVER (
+                   PARTITION BY i.lang
+                   ORDER BY ${graft.Exact.hashOrderSql("i.doc_id", 1000000)},
+                            i.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum
+          FROM items i
+          JOIN ordered o USING (lang)
+          JOIN rec r ON r.rn = o.rn)
+        SELECT lang, doc_id, n AS n_toks,
+               alloc // n_g
+                 + CASE WHEN cum <= alloc % n_g THEN 1 ELSE 0 END AS n_repeats
+        FROM expand
+        WHERE n_g > 0
+          AND alloc // n_g
+                + CASE WHEN cum <= alloc % n_g THEN 1 ELSE 0 END > 0"""),
+      (s, dir) => {
+        val P = graft.operators.CorpusPrep
+        val items = Tables.load(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            T.tokenCount(col("text")).as("n_toks"))
+        val alloc = P.unimaxAllocation(
+          items.groupBy("lang").agg(sum(col("n_toks")).as("n_g")),
+          "lang", "n_g", budgetNum = 2L, budgetDen = 5L, epochsCap = 3)
+        P.epochExpand(items, "lang", "doc_id", "n_toks", alloc)
       })
   )
 }

@@ -110,6 +110,30 @@ class CorpusPrepSpec extends SparkSpec {
     assert(err.getMessage.contains("maxGroups"))
   }
 
+  test("epochExpand: whole epochs plus a deterministic remainder prefix") {
+    val items = Seq(
+      ("en", 1L, 100L), ("en", 2L, 100L), ("en", 3L, 100L), ("en", 4L, 100L),
+      ("de", 5L, 50L), ("de", 6L, 50L)).toDF("lang", "doc_id", "n")
+    // en: n_g=400, alloc 1000 → 2 epochs + 200-token remainder prefix
+    // (2 docs in hash order get a 3rd repeat); de: alloc 25 → 0 epochs,
+    // remainder covers no full doc (50 > 25) → de drops entirely
+    val alloc = Seq(("en", 400L, 1000L), ("de", 100L, 25L))
+      .toDF("lang", "corpus_tokens", "alloc_tokens")
+    val out = CorpusPrep.epochExpand(items, "lang", "doc_id", "n", alloc)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.forall(_._1 == "en"), s"de below one doc must drop: ${out.toSeq}")
+    assert(out.length == 4 && out.map(_._4).sorted.toSeq == Seq(2L, 2L, 3L, 3L),
+      s"2 whole epochs + 2-doc remainder prefix: ${out.toSeq}")
+    // spent mass approaches the allocation from below at doc grain
+    val spent = out.map(r => r._3 * r._4).sum
+    assert(spent == 1000L, s"remainder spent exactly here: $spent")
+    // determinism: the same docs get the extra repeat across partitionings
+    val out2 = CorpusPrep.epochExpand(
+        items.repartition(7), "lang", "doc_id", "n", alloc)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.sortBy(_._2).toSeq == out2.sortBy(_._2).toSeq)
+  }
+
   test("registrableDomain: eTLD+1 across subdomain depth and suffix shape") {
     val cases = Seq(
       ("https://www.site.co.uk/p/1", "site.co.uk"),     // multi-part suffix
