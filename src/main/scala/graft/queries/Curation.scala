@@ -895,6 +895,104 @@ object Curation {
           items.groupBy("lang").agg(sum(col("n_toks")).as("n_g")),
           "lang", "n_g", budgetNum = 2L, budgetDen = 5L, epochsCap = 3)
         P.epochExpand(items, "lang", "doc_id", "n_toks", alloc)
+      }),
+
+    // ---- q208: margin-criterion pair mining (Artetxe & Schwenk 2019;
+    // the CCMatrix/LASER bitext-mining decision rule, applied here as
+    // a high-precision aligner of a NEW BATCH against the at-rest
+    // corpus): a pair survives only if each side is the other's top-1
+    // neighbor AND the dot stands out against BOTH sides' k-NN
+    // averages — margin = dot·(cnt_a+cnt_b) / (Σtop4_a + Σtop4_b) ≥
+    // 1.1. Raw cosine thresholds over-fire in dense hubs (a vector
+    // whose whole neighborhood is close); the margin normalizer is
+    // exactly the hubness correction. Scale shape: the mining batch
+    // (even ids < 200 — ingest-bounded) BROADCASTS; the corpus side
+    // streams through the dot scan once per consumer, and both k-NN
+    // tables are bounded-state TopK aggregates (map-combined), so
+    // nothing corpus-grain is ever sorted or windowed. Quantized
+    // integer dots → the oracle replays every step, margins included. ----
+    QuerySpec(
+      "q208_margin_mining",
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), a AS (
+          SELECT vec_id AS id_a, v AS av FROM qz
+          WHERE vec_id % 2 = 0 AND vec_id < 200
+        ), b AS (
+          SELECT vec_id AS id_b, v AS bv FROM qz WHERE vec_id % 2 = 1
+        ), pairs AS (
+          SELECT * FROM (
+            SELECT id_a, id_b,
+                   CAST(list_sum(list_transform(generate_series(1, len(av)),
+                     i -> av[i] * bv[i])) AS BIGINT) AS dot
+            FROM a, b) raw
+          WHERE dot > 0
+        ), ar AS (
+          SELECT id_a, id_b, dot,
+                 ROW_NUMBER() OVER (PARTITION BY id_a
+                                    ORDER BY dot DESC, id_b) AS r
+          FROM pairs
+        ), astats AS (
+          SELECT id_a,
+                 CAST(SUM(CASE WHEN r <= 4 THEN dot END) AS BIGINT) AS sumk_a,
+                 CAST(SUM(CASE WHEN r <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+                 MIN(CASE WHEN r = 1 THEN id_b END) AS fwd
+          FROM ar GROUP BY id_a
+        ), br AS (
+          SELECT id_a, id_b, dot,
+                 ROW_NUMBER() OVER (PARTITION BY id_b
+                                    ORDER BY dot DESC, id_a) AS r
+          FROM pairs
+        ), bstats AS (
+          SELECT id_b,
+                 CAST(SUM(CASE WHEN r <= 4 THEN dot END) AS BIGINT) AS sumk_b,
+                 CAST(SUM(CASE WHEN r <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b,
+                 MIN(CASE WHEN r = 1 THEN id_a END) AS bwd
+          FROM br GROUP BY id_b
+        )
+        SELECT p.id_a, p.id_b, p.dot,
+               p.dot * (s.cnt_a + t.cnt_b) * 65536
+                 // (s.sumk_a + t.sumk_b) AS margin_fp
+        FROM pairs p
+        JOIN astats s USING (id_a)
+        JOIN bstats t USING (id_b)
+        WHERE s.fwd = p.id_b AND t.bwd = p.id_a
+          AND p.dot * (s.cnt_a + t.cnt_b) * 65536
+                // (s.sumk_a + t.sumk_b) >= 72090"""),
+      (s, dir) => {
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        val a = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 200)
+          .select(col("vec_id").as("id_a"), quant.as("av"))
+        val b = emb.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("id_b"), quant.as("bv"))
+        val pairs = b.crossJoin(broadcast(a))
+          .select(col("id_a"), col("id_b"),
+            graft.functions.VectorFunctions.longDot(col("av"), col("bv"))
+              .as("dot"))
+          .filter(col("dot") > 0)
+        def stats(key: String, other: String, fwdName: String) = pairs
+          .groupBy(col(key))
+          .agg(graft.operators.TopKAggregator.topK(4)(
+            col("dot").cast("double"), col(other)).as("_t"))
+          .select(col(key),
+            expr("aggregate(_t, 0L, (acc, x) -> acc + CAST(x.score AS BIGINT))")
+              .as(s"sumk_$fwdName"),
+            expr("size(_t)").cast("long").as(s"cnt_$fwdName"),
+            expr("element_at(_t, 1).id").as(fwdName))
+        val astats = stats("id_a", "id_b", "fwd")
+        val bstats = stats("id_b", "id_a", "bwd")
+        pairs.join(astats, "id_a").join(bstats, "id_b")
+          .filter(col("fwd") === col("id_b") && col("bwd") === col("id_a"))
+          .withColumn("margin_fp", expr(
+            "dot * (cnt_fwd + cnt_bwd) * 65536 div (sumk_fwd + sumk_bwd)"))
+          .filter(col("margin_fp") >= 72090L)
+          .select(col("id_a"), col("id_b"), col("dot"), col("margin_fp"))
       })
   )
 }
