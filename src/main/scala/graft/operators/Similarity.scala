@@ -300,6 +300,59 @@ object Similarity {
     topKPerQuery(scored, queryId, corpusId, k)
   }
 
+  /** Margin-criterion pair mining (Artetxe & Schwenk 2019 — the
+    * CCMatrix/LASER bitext-mining decision rule): align a bounded NEW
+    * BATCH against the at-rest corpus, keeping a pair only when each
+    * side is the other's top-1 neighbor AND the dot stands out against
+    * BOTH sides' k-NN averages:
+    *
+    *   margin_fp = dot · (cnt_a + cnt_b) · 65536 / (Σtopk_a + Σtopk_b)
+    *
+    * Raw similarity thresholds over-fire in dense hubs (a vector whose
+    * whole neighborhood is close); the two-sided normalizer is exactly
+    * the hubness correction. Inputs carry INTEGER (quantized) vectors —
+    * `array<long>` in `vecCol` on both frames — so every step replays
+    * in the DuckDB oracle (q208).
+    *
+    * Scale shape: the mining batch broadcasts (ingest-bounded by
+    * contract — the caller slices it); the corpus streams through the
+    * dot scan, and both k-NN tables are bounded-state [[TopKAggregator]]
+    * aggregates (map-combined) — nothing corpus-grain is sorted or
+    * windowed. Dots ride as exact doubles inside the aggregator
+    * (|dot| < 2^53 by the quantization regime) and return to longs.
+    *
+    * @return (id_a from batch, id_b from corpus, dot, margin_fp) for
+    *         mutual top-1 pairs with margin_fp ≥ marginFpMin */
+  def marginMine(
+      corpus: DataFrame, corpusId: String,
+      batch: DataFrame, batchId: String,
+      vecCol: String, k: Int = 4, marginFpMin: Long = 72090L): DataFrame = {
+    require(k >= 1)
+    val a = batch.select(col(batchId).as("id_a"), col(vecCol).as("_av"))
+    val b = Fanout.forKernel(corpus)
+      .select(col(corpusId).as("id_b"), col(vecCol).as("_bv"))
+    val pairs = b.crossJoin(broadcast(a))
+      .select(col("id_a"), col("id_b"),
+        V.longDot(col("_av"), col("_bv")).as("dot"))
+      .filter(col("dot") > 0)
+    def stats(key: String, other: String, fwdName: String) = pairs
+      .groupBy(col(key))
+      .agg(TopKAggregator.topK(k)(
+        col("dot").cast("double"), col(other)).as("_t"))
+      .select(col(key),
+        expr("aggregate(_t, 0L, (acc, x) -> acc + CAST(x.score AS BIGINT))")
+          .as(s"sumk_$fwdName"),
+        expr("size(_t)").cast("long").as(s"cnt_$fwdName"),
+        expr("element_at(_t, 1).id").as(fwdName))
+    pairs.join(stats("id_a", "id_b", "fwd"), "id_a")
+      .join(stats("id_b", "id_a", "bwd"), "id_b")
+      .filter(col("fwd") === col("id_b") && col("bwd") === col("id_a"))
+      .withColumn("margin_fp", expr(
+        "dot * (cnt_fwd + cnt_bwd) * 65536 div (sumk_fwd + sumk_bwd)"))
+      .filter(col("margin_fp") >= marginFpMin)
+      .select(col("id_a"), col("id_b"), col("dot"), col("margin_fp"))
+  }
+
   /** Near-duplicate embeddings: pairs with cosine ≥ threshold, candidates
     * from exact equality of two independent hyperplane-signature bands
     * (either band matching promotes the pair), then cosine-verified. */

@@ -964,35 +964,15 @@ object Curation {
           AND p.dot * (s.cnt_a + t.cnt_b) * 65536
                 // (s.sumk_a + t.sumk_b) >= 72090"""),
       (s, dir) => {
-        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
+        val emb = Tables.load(s, dir, "embeddings")
         val quant = expr(
           "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
-        val a = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 200)
-          .select(col("vec_id").as("id_a"), quant.as("av"))
-        val b = emb.filter(col("vec_id") % 2 === 1)
-          .select(col("vec_id").as("id_b"), quant.as("bv"))
-        val pairs = b.crossJoin(broadcast(a))
-          .select(col("id_a"), col("id_b"),
-            graft.functions.VectorFunctions.longDot(col("av"), col("bv"))
-              .as("dot"))
-          .filter(col("dot") > 0)
-        def stats(key: String, other: String, fwdName: String) = pairs
-          .groupBy(col(key))
-          .agg(graft.operators.TopKAggregator.topK(4)(
-            col("dot").cast("double"), col(other)).as("_t"))
-          .select(col(key),
-            expr("aggregate(_t, 0L, (acc, x) -> acc + CAST(x.score AS BIGINT))")
-              .as(s"sumk_$fwdName"),
-            expr("size(_t)").cast("long").as(s"cnt_$fwdName"),
-            expr("element_at(_t, 1).id").as(fwdName))
-        val astats = stats("id_a", "id_b", "fwd")
-        val bstats = stats("id_b", "id_a", "bwd")
-        pairs.join(astats, "id_a").join(bstats, "id_b")
-          .filter(col("fwd") === col("id_b") && col("bwd") === col("id_a"))
-          .withColumn("margin_fp", expr(
-            "dot * (cnt_fwd + cnt_bwd) * 65536 div (sumk_fwd + sumk_bwd)"))
-          .filter(col("margin_fp") >= 72090L)
-          .select(col("id_a"), col("id_b"), col("dot"), col("margin_fp"))
+        graft.operators.Similarity.marginMine(
+          emb.filter(col("vec_id") % 2 === 1)
+            .select(col("vec_id"), quant.as("qv")), "vec_id",
+          emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 200)
+            .select(col("vec_id"), quant.as("qv")), "vec_id",
+          "qv", k = 4, marginFpMin = 72090L)
       })
   )
 }

@@ -884,4 +884,35 @@ object StreamPipeline {
   def currentKept(spark: org.apache.spark.sql.SparkSession,
       stateBase: String, idCol: String): DataFrame =
     latestPerKey(spark, stateBase, "domain", s"domain STRING, $idCol BIGINT")
+
+  /** Streaming margin-criterion alignment — the incremental-ingest twin
+    * of [[graft.operators.Similarity.marginMine]]: each micro-batch of
+    * (quantized) vectors mines its mutual-top-1 margin pairs against
+    * the AT-REST corpus and lands them through [[IdempotentSink]]'s
+    * batch=<id> + _SUCCESS discipline (replayed batches skip on their
+    * marker — exactly-once output). The margin definition is batch-
+    * relative by construction (the batch side IS the bounded side), so
+    * stream == per-batch batch-operator identity holds exactly and is
+    * pinned in StreamPipelineSpec. */
+  def marginMineStream(batches: DataFrame, idCol: String, vecCol: String,
+      corpus: DataFrame, corpusId: String, outBase: String,
+      k: Int = 4, marginFpMin: Long = 72090L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", s"$outBase/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        marginMineBatch(batch, batchId, idCol, vecCol,
+          corpus, corpusId, outBase, k, marginFpMin)
+      }
+      .start()
+
+  /** One micro-batch of [[marginMineStream]] — named so replay
+    * scenarios are directly testable. */
+  def marginMineBatch(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String,
+      corpus: DataFrame, corpusId: String, outBase: String,
+      k: Int = 4, marginFpMin: Long = 72090L): Unit =
+    IdempotentSink.writeBatch(outBase)(
+      graft.operators.Similarity.marginMine(
+        corpus, corpusId, batch, idCol, vecCol, k, marginFpMin), batchId)
 }

@@ -1028,4 +1028,37 @@ class StreamPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("failed to fold"),
       s"lost-batch fold must fail loudly, got: ${e.getMessage}")
   }
+
+  test("streaming margin mining: per-batch == batch operator, replay skips") {
+    // the margin definition is batch-relative by construction (the
+    // batch IS the bounded side), so the streamed landing must equal
+    // the batch operator applied per batch — and a replayed batch
+    // must skip on its _SUCCESS marker, not double its pairs
+    val corpus = Seq(
+      (1L, Array(1000L, 0L, 0L)), (3L, Array(0L, 1000L, 0L)),
+      (5L, Array(0L, 0L, 1000L)), (7L, Array(700L, 700L, 0L)))
+      .toDF("vec_id", "qv")
+    val b0 = Seq(
+      (100L, Array(990L, 10L, 0L)), (102L, Array(0L, 995L, 5L)))
+      .toDF("vec_id", "qv")
+    val b1 = Seq((104L, Array(5L, 0L, 998L))).toDF("vec_id", "qv")
+    val out = java.nio.file.Files.createTempDirectory("graft-mm").toString + "/pairs"
+    StreamPipeline.marginMineBatch(b0, 0L, "vec_id", "qv", corpus, "vec_id", out)
+    StreamPipeline.marginMineBatch(b1, 1L, "vec_id", "qv", corpus, "vec_id", out)
+    val committed = IdempotentSink.committedDirs(spark, out)
+    val streamed = spark.read.parquet(committed: _*)
+    val expected = graft.operators.Similarity
+      .marginMine(corpus, "vec_id", b0, "vec_id", "qv")
+      .unionByName(graft.operators.Similarity
+        .marginMine(corpus, "vec_id", b1, "vec_id", "qv"))
+    assertSameRows(streamed, expected, "streamed landing vs per-batch operator")
+    // planted mutual pairs actually surface
+    val got = streamed.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 1L), (102L, 3L), (104L, 5L)), s"pairs: $got")
+    // at-least-once redelivery: same batch id, no growth
+    StreamPipeline.marginMineBatch(b1, 1L, "vec_id", "qv", corpus, "vec_id", out)
+    val after = spark.read.parquet(
+      IdempotentSink.committedDirs(spark, out): _*)
+    assert(after.count() == streamed.count(), "replayed batch must skip")
+  }
 }
