@@ -973,6 +973,66 @@ object Curation {
           emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 200)
             .select(col("vec_id"), quant.as("qv")), "vec_id",
           "qv", k = 4, marginFpMin = 72090L)
+      }),
+
+    // ---- q209: cluster-balanced DIVERSITY sample — the anti-hub
+    // complement of SemDeDup (q153): instead of deleting redundancy
+    // inside embedding clusters, CAP each cluster's contribution so
+    // the sample spans the space instead of following its density
+    // (cluster-balanced selection, the DiverseEvol/dataset-pruning
+    // staple). Assignment = nearest of the 16 lowest-id centroids
+    // (the q44/q90 untrained choice, quantized dots → replayable);
+    // the per-cluster keep is the domainCap TopK aggregate in
+    // deterministic hash order — map-side partials hold ≤ cap entries
+    // per cluster, so the head cluster of a density-skewed space
+    // never lands on one reducer (the per-vec assignment window is
+    // 16-rows-per-partition, bounded by construction). ----
+    QuerySpec(
+      "q209_diversity_sample",
+      Some(s"""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), cents AS (
+          SELECT vec_id AS list_id, v AS centv FROM qz ORDER BY vec_id LIMIT 16
+        ), adot AS (
+          SELECT c.vec_id, ct.list_id,
+                 CAST(list_sum(list_transform(generate_series(1, len(c.v)),
+                   i -> c.v[i] * ct.centv[i])) AS BIGINT) AS d
+          FROM qz c, cents ct
+        ), assigned AS (
+          SELECT vec_id, list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY d DESC, list_id) AS r FROM adot)
+          WHERE r = 1
+        )
+        SELECT list_id, vec_id FROM (
+          SELECT list_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY list_id
+                   ORDER BY ${graft.Exact.hashOrderSql("vec_id", 97)}, vec_id)
+                   AS pick
+          FROM assigned)
+        WHERE pick <= 20"""),
+      (s, dir) => {
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        val corpus = emb.select(col("vec_id"), quant.as("cv"))
+        val cents = corpus.orderBy("vec_id").limit(16)
+          .select(col("vec_id").as("list_id"), col("cv").as("centv"))
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("d").desc, col("list_id"))
+        val assigned = corpus.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("list_id"),
+            graft.functions.VectorFunctions.longDot(col("cv"), col("centv"))
+              .as("d"))
+          .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+          .select(col("list_id"), col("vec_id"))
+        graft.operators.CorpusPrep.capByDomain(
+            assigned.withColumnRenamed("list_id", "domain"), "vec_id", 20)
+          .select(col("domain").as("list_id"), col("vec_id"))
       })
   )
 }

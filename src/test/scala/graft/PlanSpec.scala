@@ -153,7 +153,8 @@ class PlanSpec extends SparkSpec {
       "q196_oph_recall_eval",          // brute Jaccard truth over the bounded eval slice (q188 pattern)
       "q200_ccnet_ppl_buckets",        // 1-row vocab-size broadcast cross join via the q165 core
       "q203_curated_scrub_export",     // 1-row kept-count broadcast cross join via containment (q191 pattern)
-      "q208_margin_mining")            // mining-batch scan: corpus x bounded (<200 even-id) broadcast (q86/q168 pattern)
+      "q208_margin_mining",            // mining-batch scan: corpus x bounded (<200 even-id) broadcast (q86/q168 pattern)
+      "q209_diversity_sample")         // centroid assignment: corpus x 16 centroids (q90 pattern)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(deliberate)
       .flatMap { name =>
