@@ -31,7 +31,9 @@ def run_one(name, sf_dir, reps):
         "SPARK_GRAFT_REPS": str(reps),
         "SPARK_GRAFT_BUDGET_SEC": "100000",
     })
-    if "sf1" in sf_dir:
+    # exact scale-token match: a substring test ("sf1" in sf_dir) would
+    # also hit sf10/sf15 paths and apply the wrong partition bytes
+    if os.path.basename(sf_dir.rstrip("/")) == "sf1":
         env.setdefault("SPARK_GRAFT_MAX_PART_BYTES", "524288")
     out = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],

@@ -484,12 +484,17 @@ object CorpusPrep {
       maxGroups: Int = 100000): DataFrame = {
     require(budgetNum >= 0 && budgetDen > 0 && epochsCap >= 1)
     val spark = groupTokens.sparkSession
+    // The loud bound must fire BEFORE any unbounded driver
+    // materialization: collecting maxGroups+1 rows is enough to decide
+    // pass/fail, so a mis-grained input (doc-grain instead of
+    // group-grain) costs one bounded fetch, never a driver OOM.
     val rows = groupTokens
       .select(col(groupCol).cast("string"), col(tokCol).cast("long"))
+      .limit(maxGroups + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(rows.length <= maxGroups,
-      s"unimaxAllocation collected ${rows.length} groups > maxGroups=" +
-        s"$maxGroups — group by a bounded domain or raise the bound")
+      s"unimaxAllocation collected more than maxGroups=$maxGroups rows " +
+        "— group by a bounded domain or raise the bound")
     val total = rows.map(_._2).sum
     val budget =
       (total / budgetDen) * budgetNum + (total % budgetDen) * budgetNum / budgetDen

@@ -320,6 +320,11 @@ object Similarity {
     * aggregates (map-combined) — nothing corpus-grain is sorted or
     * windowed. Dots ride as exact doubles inside the aggregator
     * (|dot| < 2^53 by the quantization regime) and return to longs.
+    * The margin product multiplies dot by up to 2k·65536, so the
+    * overflow-safe dot bound is the TIGHTER 2^63/(2k·65536) (≈2^44 at
+    * k=4, ample for quantized vectors) — guarded with a loud
+    * raise_error, matching the DuckDB oracle, which errors on bigint
+    * overflow rather than wrapping.
     *
     * @return (id_a from batch, id_b from corpus, dot, margin_fp) for
     *         mutual top-1 pairs with margin_fp ≥ marginFpMin */
@@ -344,11 +349,20 @@ object Similarity {
           .as(s"sumk_$fwdName"),
         expr("size(_t)").cast("long").as(s"cnt_$fwdName"),
         expr("element_at(_t, 1).id").as(fwdName))
+    // dot·(cnt_fwd+cnt_bwd)·65536 with cnt_* ≤ k: |dot| must stay under
+    // 2^63/(2k·65536) or the int64 product wraps silently (ANSI off)
+    // while the DuckDB oracle errors — fail loudly at the same bound.
+    val maxAbsDot = Long.MaxValue / (2L * k * 65536L)
     pairs.join(stats("id_a", "id_b", "fwd"), "id_a")
       .join(stats("id_b", "id_a", "bwd"), "id_b")
       .filter(col("fwd") === col("id_b") && col("bwd") === col("id_a"))
-      .withColumn("margin_fp", expr(
-        "dot * (cnt_fwd + cnt_bwd) * 65536 div (sumk_fwd + sumk_bwd)"))
+      .withColumn("margin_fp",
+        when(abs(col("dot")) <= lit(maxAbsDot), expr(
+          "dot * (cnt_fwd + cnt_bwd) * 65536 div (sumk_fwd + sumk_bwd)"))
+          .otherwise(raise_error(concat(
+            lit(s"marginMine: |dot| exceeds the overflow-safe bound " +
+              s"$maxAbsDot at k=$k — rescale the quantized vectors: "),
+            col("dot").cast("string")))))
       .filter(col("margin_fp") >= marginFpMin)
       .select(col("id_a"), col("id_b"), col("dot"), col("margin_fp"))
   }

@@ -178,7 +178,7 @@ object Extended {
         val region = Tables.load(s, dir, "region")
         li.join(orders, col("l_orderkey") === col("o_orderkey"))
           .join(customer, col("o_custkey") === col("c_custkey"))
-          .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+          .join(supplier, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
           .filter(col("r_name").isin("ASIA", "EUROPE") &&
@@ -1759,7 +1759,7 @@ object Extended {
             max(when(col("_late") === 1, col("l_suppkey"))).as("late_supp"))
           .filter(col("n_supp") > 1 && col("n_late") === 1)
         orders
-          .join(broadcast(Tables.load(s, dir, "supplier")),
+          .join(Tables.load(s, dir, "supplier"),
             col("late_supp") === col("s_suppkey"))
           .groupBy(col("s_name"))
           .agg(count(lit(1)).as("n_orders"))

@@ -139,11 +139,14 @@ object Relational {
         val orders = Tables.load(s, dir, "orders")
         val customer = Tables.load(s, dir, "customer")
         val nation = Tables.load(s, dir, "nation")
-        // customer/nation are dims: broadcast both sides of the chain so
-        // the fact table never shuffles (SURVEY §2.4 — reference relies on
-        // Catalyst auto-broadcast; we make it explicit for 100 TB safety).
+        // nation is constant-size (25 rows) — hinted. customer GROWS
+        // with SF (TPC-H 150k/SF): the hint is left to stats/AQE, which
+        // broadcast it at any scale where it fits (PlanSpec asserts the
+        // BHJ at bench scale) and degrade to a shuffle join where it
+        // doesn't — a static hint would OOM the driver at 100 TB
+        // (r15 forced-broadcast audit, q201 discipline).
         orders
-          .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+          .join(customer, col("o_custkey") === col("c_custkey"))
           .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"), col("o_orderpriority"))
           .agg(count(lit(1)).as("order_count"))
@@ -169,8 +172,9 @@ object Relational {
         val orders = Tables.load(s, dir, "orders")
         val customer = Tables.load(s, dir, "customer")
         val nation = Tables.load(s, dir, "nation")
+        // customer unhinted (linear in SF — q02 rationale); nation kept
         val counts = orders
-          .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+          .join(customer, col("o_custkey") === col("c_custkey"))
           .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"), col("o_orderpriority"))
           .agg(count(lit(1)).as("order_count"))

@@ -103,7 +103,10 @@ object Warehouse {
     // revenue fraction for one month, emitted as numerator /
     // denominator cents plus basis points via INTEGER division
     // (Spark `div` == DuckDB `//` for non-negative operands) so no
-    // float ratio is ever hashed. One fact⋈dim join, part broadcast. ----
+    // float ratio is ever hashed. One fact⋈dim join; part (linear in SF)
+    // is UNHINTED — stats/AQE broadcast it wherever it fits (r15
+    // forced-broadcast audit discipline; PlanSpec asserts BHJ at
+    // bench scale). ----
     QuerySpec(
       "q110_promo_revenue_share",
       Some(s"""
@@ -121,7 +124,7 @@ object Warehouse {
         Tables.load(s, dir, "lineitem")
           .filter(col("l_shipdate") >= lit("1996-06-01").cast("timestamp") &&
             col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
-          .join(broadcast(Tables.load(s, dir, "part")),
+          .join(Tables.load(s, dir, "part"),
             col("p_partkey") === col("l_partkey"))
           .agg(
             sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).as("promo_cents"),
@@ -168,7 +171,7 @@ object Warehouse {
             .cast("long")).as("rev_cents"))
         val maxRev = rev.groupBy().agg(max(col("rev_cents")).as("max_rev"))
         rev.join(broadcast(maxRev), col("rev_cents") === col("max_rev"))
-          .join(broadcast(Tables.load(s, dir, "supplier")),
+          .join(Tables.load(s, dir, "supplier"),
             col("s_suppkey") === col("l_suppkey"))
           .select(col("s_suppkey"), col("s_name"), col("rev_cents"))
       }),
@@ -197,7 +200,7 @@ object Warehouse {
           (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
             col("l_quantity").between(20, 40))
         Tables.load(s, dir, "lineitem")
-          .join(broadcast(Tables.load(s, dir, "part")),
+          .join(Tables.load(s, dir, "part"),
             col("p_partkey") === col("l_partkey"))
           .filter(band)
           .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
@@ -208,7 +211,8 @@ object Warehouse {
     // ---- q113: 5-way star join rollup (TPC-H Q9 shape; no partsupp
     // cost column, so "profit" is revenue on the ECONOMY part slice)
     // grouped by supplier nation × order year. lineitem⋈orders is the
-    // one fact⋈fact exchange; part, supplier, nation broadcast. ----
+    // one fact⋈fact exchange; nation (constant) is hinted,
+    // part/supplier (linear in SF) are left to stats/AQE. ----
     QuerySpec(
       "q113_nation_year_revenue",
       Some(s"""
@@ -223,9 +227,9 @@ object Warehouse {
         GROUP BY n_name, o_year"""),
       (s, dir) =>
         Tables.load(s, dir, "lineitem")
-          .join(broadcast(Tables.load(s, dir, "part").filter(col("p_type") === "ECONOMY")),
+          .join(Tables.load(s, dir, "part").filter(col("p_type") === "ECONOMY"),
             col("p_partkey") === col("l_partkey"))
-          .join(broadcast(Tables.load(s, dir, "supplier")),
+          .join(Tables.load(s, dir, "supplier"),
             col("s_suppkey") === col("l_suppkey"))
           .join(broadcast(Tables.load(s, dir, "nation")),
             col("n_nationkey") === col("s_nationkey"))
@@ -290,9 +294,9 @@ object Warehouse {
             .cast("long")).as("unit_cents"))
           .withColumn("rk", rank().over(w))
           .filter(col("rk") === 1)
-          .join(broadcast(Tables.load(s, dir, "part").filter(col("p_size") === 10)),
+          .join(Tables.load(s, dir, "part").filter(col("p_size") === 10),
             col("p_partkey") === col("l_partkey"))
-          .join(broadcast(Tables.load(s, dir, "supplier")),
+          .join(Tables.load(s, dir, "supplier"),
             col("s_suppkey") === col("l_suppkey"))
           .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("unit_cents"))
       }),
