@@ -237,6 +237,77 @@ object Similarity {
       .select(col("_list"), col("_centroid").cast("array<float>"))
   }
 
+  /** Integer twin of [[kmeansCentroids]] for QUANTIZED vectors
+    * (`array<long>` in `vecCol`) — the trainer behind q210, the oracle
+    * twin that puts the trained-kmeans-IVF index family itself under
+    * the DuckDB hash gate (q49 keeps the float/scale path; r16 verdict
+    * item: q49's previous twin q173 is a different index family).
+    *
+    * Same topology and cost model as the float form: ONE bounded
+    * cluster job collects the hash-spread sample (here the
+    * cross-engine [[graft.Exact.hashOrder]] spread — xxhash64 has no
+    * DuckDB mirror), Lloyd runs driver-side over ≤ sampleSize rows,
+    * training cost constant in corpus size. Exact-integer semantics so
+    * every round replays in SQL: assignment is argmax integer DOT with
+    * ties to the smaller list id; the update is the per-dimension floor
+    * mean computed as (Σ(x+shift)) div n − shift — the +shift keeps
+    * numerators non-negative so truncating (Spark/Scala) and flooring
+    * (DuckDB //) division agree; emptied lists DROP from the working
+    * set exactly as the float form's groupBy does.
+    *
+    * Contract: every component must be ≥ −shift (the ×1000 unit-norm
+    * quantization is ±1000 ≪ 4096) — checked loudly per vector. */
+  def kmeansCentroidsQuantized(
+      corpus: DataFrame, corpusId: String, vecCol: String,
+      k: Int, iters: Int = 2, sampleSize: Int = 256,
+      shift: Long = 4096L): DataFrame = {
+    require(sampleSize >= k, s"sampleSize ($sampleSize) must be >= k ($k)")
+    val spark = corpus.sparkSession
+    val sample: Array[(Long, Array[Long])] =
+      Fanout.forKernel(corpus.select(col(corpusId), col(vecCol)))
+        .select(graft.Exact.hashOrder(col(corpusId), 1000000).as("_h"),
+          col(corpusId).cast("long").as("_id"), col(vecCol).as("_v"))
+        .orderBy(col("_h"), col("_id")).limit(sampleSize)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+        .sortBy(t => (t._1, t._2)) // don't rely on collect preserving sort
+        .map(t => (t._2, t._3))
+    sample.foreach { case (id, v) =>
+      require(v.forall(_ >= -shift),
+        s"kmeansCentroidsQuantized: vector $id has a component < -$shift" +
+          " — raise `shift` or re-quantize (floor-mean exactness contract)")
+    }
+    var centroids: Array[(Long, Array[Long])] =
+      sample.take(k).map { case (id, v) => (id, v.clone()) }
+    for (_ <- 0 until iters) {
+      val accs = collection.mutable.Map.empty[Long, Array[Long]]
+      val counts = collection.mutable.Map.empty[Long, Long]
+      for ((_, v) <- sample) {
+        var best = Long.MinValue
+        var bestList = Long.MaxValue
+        for ((lid, c) <- centroids) {
+          var d = 0L; var i = 0
+          val n = math.min(v.length, c.length)
+          while (i < n) { d += v(i) * c(i); i += 1 }
+          if (d > best || (d == best && lid < bestList)) {
+            best = d; bestList = lid
+          }
+        }
+        val acc = accs.getOrElseUpdate(bestList, new Array[Long](v.length))
+        var i = 0
+        while (i < v.length && i < acc.length) { acc(i) += v(i) + shift; i += 1 }
+        counts(bestList) = counts.getOrElse(bestList, 0L) + 1L
+      }
+      centroids = accs.toArray.sortBy(_._1).map { case (lid, acc) =>
+        val n = counts(lid)
+        (lid, acc.map(x => x / n - shift))
+      }
+    }
+    import spark.implicits._
+    centroids.toSeq.map { case (l, c) => (l, c.toSeq) }
+      .toDF("_list", "_centroid")
+  }
+
   /** Driver mirror of [[VectorFunctions.cosine]]: double accumulator,
     * zero-norm/mismatched length → 0.0 (not NaN). */
   private def cosineDriver(a: Array[Float], b: Array[Float]): Double = {

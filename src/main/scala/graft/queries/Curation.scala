@@ -1033,6 +1033,128 @@ object Curation {
         graft.operators.CorpusPrep.capByDomain(
             assigned.withColumnRenamed("list_id", "domain"), "vec_id", 20)
           .select(col("domain").as("list_id"), col("vec_id"))
+      }),
+
+    // ---- q210: TRAINED-kmeans IVF in integer arithmetic — q49's index
+    // family (sampled Lloyd training + IVF assign→probe→rank) under the
+    // hash gate (r16 verdict item 3: q49's previous twin q173 trains a
+    // PQ codebook, a different family). The trainer is
+    // [[Similarity.kmeansCentroidsQuantized]]: a hashOrder-spread
+    // 256-row sample, init = first 8 in hash order, TWO Lloyd rounds
+    // with argmax-integer-dot assignment (ties to the smaller list id)
+    // and the +4096-shift floor-mean update; emptied lists DROP exactly
+    // as the float trainer's groupBy does. The oracle replays sampling,
+    // both rounds, corpus assignment, probing, and the final top-5 —
+    // the whole index build is bit-replayed, not just the search. ----
+    QuerySpec(
+      "q210_ann_ivf_kmeans_quantized_topk",
+      Some(s"""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ), samp AS (
+          SELECT vec_id, v,
+                 ROW_NUMBER() OVER (ORDER BY
+                   ${graft.Exact.hashOrderSql("vec_id", 1000000)}, vec_id) AS rn
+          FROM qz
+          QUALIFY rn <= 256
+        ), cents0 AS (
+          SELECT vec_id AS list_id, v AS centv FROM samp WHERE rn <= 8
+        ), assign1 AS (
+          SELECT vec_id, v, list_id FROM (
+            SELECT s.vec_id, s.v, ct.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, len(s.v)),
+                       i -> s.v[i] * ct.centv[i])) AS BIGINT) DESC, ct.list_id) AS r
+            FROM samp s, cents0 ct) t
+          WHERE r = 1
+        ), cents1 AS (
+          SELECT list_id, list(cv ORDER BY i) AS centv FROM (
+            SELECT a.list_id, i,
+                   CAST(SUM(a.v[i] + 4096) AS BIGINT) // COUNT(*) - 4096 AS cv
+            FROM assign1 a, UNNEST(range(1, 65)) AS ti(i)
+            GROUP BY a.list_id, i) t
+          GROUP BY list_id
+        ), assign2 AS (
+          SELECT vec_id, v, list_id FROM (
+            SELECT s.vec_id, s.v, ct.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, len(s.v)),
+                       i -> s.v[i] * ct.centv[i])) AS BIGINT) DESC, ct.list_id) AS r
+            FROM samp s, cents1 ct) t
+          WHERE r = 1
+        ), cents2 AS (
+          SELECT list_id, list(cv ORDER BY i) AS centv FROM (
+            SELECT a.list_id, i,
+                   CAST(SUM(a.v[i] + 4096) AS BIGINT) // COUNT(*) - 4096 AS cv
+            FROM assign2 a, UNNEST(range(1, 65)) AS ti(i)
+            GROUP BY a.list_id, i) t
+          GROUP BY list_id
+        ), assigned AS (
+          SELECT vec_id, v, list_id FROM (
+            SELECT c.vec_id, c.v, ct.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, len(c.v)),
+                       i -> c.v[i] * ct.centv[i])) AS BIGINT) DESC, ct.list_id) AS r
+            FROM qz c, cents2 ct) t
+          WHERE r = 1
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 20
+        ), probes AS (
+          SELECT query_id, qv, list_id FROM (
+            SELECT q.query_id, q.qv, ct.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+                       i -> q.qv[i] * ct.centv[i])) AS BIGINT) DESC, ct.list_id) AS r
+            FROM q, cents2 ct) t
+          WHERE r <= 3
+        ), scored AS (
+          SELECT p.query_id, a.vec_id,
+                 CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+                   i -> a.v[i] * p.qv[i])) AS BIGINT) AS dot
+          FROM assigned a JOIN probes p ON a.list_id = p.list_id
+          WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, vec_id, dot, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY dot DESC, vec_id) AS rank
+          FROM scored)
+        WHERE rank <= 5"""),
+      (s, dir) => {
+        val emb = graft.operators.Fanout.forKernel(Tables.load(s, dir, "embeddings"))
+        val quant = expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        def dot(a: String, b: String) =
+          graft.functions.VectorFunctions.longDot(col(a), col(b))
+        val corpus = emb.select(col("vec_id"), quant.as("cv"))
+        val cents = graft.operators.Similarity.kmeansCentroidsQuantized(
+            corpus, "vec_id", "cv", k = 8, iters = 2, sampleSize = 256)
+          .select(col("_list").as("list_id"), col("_centroid").as("centv"))
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("d").desc, col("list_id"))
+        val assigned = corpus.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cv"), col("list_id"),
+            dot("cv", "centv").as("d"))
+          .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+          .select(col("vec_id"), col("cv"), col("list_id"))
+        val queries = corpus.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("cv").as("qv"))
+        val wProbe = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("d").desc, col("list_id"))
+        val probes = queries.crossJoin(broadcast(cents))
+          .select(col("query_id"), col("qv"), col("list_id"),
+            dot("qv", "centv").as("d"))
+          .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 3)
+          .select(col("query_id"), col("qv"), col("list_id"))
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("dot").desc, col("vec_id"))
+        assigned.join(broadcast(probes), Seq("list_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), dot("cv", "qv").as("dot"))
+          .withColumn("rank", row_number().over(wTop).cast("long"))
+          .filter(col("rank") <= 5)
       })
   )
 }

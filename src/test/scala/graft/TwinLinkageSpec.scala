@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   *   q41 (float brute top-k)   ↔ q86  (quantized exact top-k oracle)
   *   q42 (float LSH top-k)     ↔ q93  (quantized LSH oracle)
   *   q44 (float IVF top-k)     ↔ q90  (quantized IVF oracle)
-  *   q49 (trained-kmeans IVF)  ↔ q173 (trained-PQ recall oracle)
+  *   q49 (trained-kmeans IVF)  ↔ q210 (trained-kmeans IVF, quantized
+  *                                     full-build oracle; r16 — q173
+  *                                     remains the PQ-family witness)
   *
   * Why planted data and not equality on the bench tables: the twins
   * differ by hash family / quantization, so borderline LSH bucket
@@ -162,10 +164,16 @@ class TwinLinkageSpec extends SparkSpec {
     }
   }
 
-  test("q49 ↔ q173: both trained variants retrieve the planted neighbor") {
+  test("q49 ↔ q210: trained-kmeans IVF float and quantized retrieve the planted neighbor") {
     val a = neighbors(q("q49_ann_ivf_kmeans_topk"), 1)
     for (f <- 0L until 16L)
       assert(a(f) == Seq(20 + f), s"trained IVF q$f top-1: ${a(f)}")
+    // the SAME-FAMILY oracle twin (hashOrder sample → integer Lloyd →
+    // assign/probe/rank, all replayed by DuckDB in q210's SQL): the
+    // planted .999 partner must be every query's top-1 here too
+    val c = neighbors(q("q210_ann_ivf_kmeans_quantized_topk"), 1)
+    for (f <- 0L until 16L)
+      assert(c(f) == Seq(20 + f), s"quantized trained IVF q$f top-1: ${c(f)}")
     // the trained-PQ twin measures recall vs the quantized-exact truth.
     // The planted corpus is ADVERSARIAL for PQ — 16 mutually orthogonal
     // family directions cannot be represented by 8 codebook entries per
