@@ -27,9 +27,24 @@ import org.apache.spark.sql.SparkSession
   *                  ingest ([[graft.streaming.StreamPipeline.dedupStreamWithIndex]]);
   *                  this nightly half runs the corpus-global stages
   *                  (containment + scrub) the online pass cannot.
+  *
+  *   PipelineMain gen-topics <baseDir> [n=400] [seed=42]
+  *     writes the seeded landed-topic layout (topics/{pin,geo,user}/
+  *     partition=0/NNN.json) — the S8-S10 generator as a CLI, so the
+  *     whole ingest→clean→tasks path can be driven from a shell
+  *     (scripts/smoke_pipeline.py runs exactly that end to end).
   */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("gen-topics")) {
+      // pure file generation — no SparkSession needed
+      val n = if (args.length > 2) args(2).toInt else 400
+      val seed = if (args.length > 3) args(3).toLong else 42L
+      graft.sources.EmulatorGenerator.writeTopicLayout(
+        java.nio.file.Paths.get(args(1)), n, seed)
+      println(s"[pipeline] gen-topics: wrote $n records/topic to ${args(1)}")
+      return
+    }
     val spark = SparkSession.builder()
       .appName("graft-pipeline")
       // spark-submit injects spark.master; standalone runs fall back local
