@@ -454,6 +454,38 @@ object CorpusPrep {
       .select(col("grp"), col("id"), col("n"), col("cum"))
   }
 
+  /** Leakage-safe train/test split — the split analogue of
+    * decontamination (round 16): a plain per-document hash split leaks
+    * whenever a test document's near-duplicate lands in train (the
+    * model "memorizes the answer" through the twin — the
+    * train-test-contamination failure Lee et al. 2022 "Deduplicating
+    * Training Data" §5 measures). Here the split unit is the
+    * near-duplicate CLUSTER: transitive components over the verified
+    * pair set ([[Dedup.connectedComponents]] — min-id label, dual
+    * driver/distributed regime), with the side decided by the
+    * deterministic [[graft.Exact.hashOrder]] of the cluster ROOT, so
+    * every member of a component lands on the same side at any scale,
+    * partitioning, or arrival order.
+    *
+    * Scale shape: inherits connectedComponents' regimes (edges = the
+    * verified duplicate pairs, tiny relative to the corpus by
+    * construction); the side assignment is one codegen'd projection.
+    * Integer/string end to end → DuckDB-replayable (q211, recursive
+    * closure CTE).
+    *
+    * @param pairs verified near-dup pairs (id_a, id_b)
+    * @return (idCol, cluster_root, side ∈ {train,test}) one row per doc */
+  def leakageSafeSplit(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      testPct: Int = 10): DataFrame = {
+    require(testPct >= 0 && testPct <= 100)
+    Dedup.connectedComponents(docs, idCol, pairs)
+      .select(col(idCol), col("keep_id").as("cluster_root"))
+      .withColumn("side",
+        when(graft.Exact.hashOrder(col("cluster_root"), 100) < testPct,
+          lit("test")).otherwise(lit("train")))
+  }
+
   /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
     * More Effective Language Sampling"): spread a total token budget
     * over languages as EVENLY as possible subject to a per-language

@@ -1155,6 +1155,46 @@ object Curation {
           .select(col("query_id"), col("vec_id"), dot("cv", "qv").as("dot"))
           .withColumn("rank", row_number().over(wTop).cast("long"))
           .filter(col("rank") <= 5)
+      }),
+
+    // ---- q211: LEAKAGE-SAFE train/test split — the split analogue of
+    // decontamination (Lee et al. 2022 §5: a per-doc hash split leaks
+    // through near-duplicate twins). Split unit = the transitive
+    // near-dup CLUSTER (md5 MinHash pairs, the q91 family, →
+    // connectedComponents min-id roots); side = hashOrder of the
+    // cluster ROOT, so components never straddle the boundary. The
+    // oracle replays the FULL chain: signatures, banding, verify,
+    // transitive closure (recursive min-reachability CTE — exact at
+    // gate scale where clusters are small), root hashing. ----
+    QuerySpec(
+      "q211_leakage_safe_split",
+      Some(s"""
+        WITH RECURSIVE ${MinhashOracle.signaturesCte(32, 8)},
+        ${MinhashOracle.verifiedSelfPairsCte(0.5)},
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM verified
+          UNION ALL SELECT id_b AS u, id_a AS v FROM verified
+        ), reach AS (
+          SELECT doc_id AS id, doc_id AS r FROM documents
+          UNION
+          SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+        ), roots AS (
+          SELECT id AS doc_id, MIN(r) AS cluster_root FROM reach GROUP BY 1
+        )
+        SELECT doc_id, cluster_root,
+               CASE WHEN ${graft.Exact.hashOrderSql("cluster_root", 100)} < 10
+                    THEN 'test' ELSE 'train' END AS side
+        FROM roots"""),
+      (s, dir) => {
+        val docs = graft.operators.Fanout.forKernel(
+          Tables.load(s, dir, "documents"))
+        graft.operators.CorpusPrep.leakageSafeSplit(
+          docs, "doc_id",
+          graft.operators.Dedup.minhashCandidatePairs(
+            docs, "doc_id", "text", shingleSize = 3, numHashes = 32,
+            bands = 8, threshold = 0.5,
+            shingleHasher = graft.functions.TextFunctions.md5ShingleHashes),
+          testPct = 10)
       })
   )
 }

@@ -370,4 +370,27 @@ class CorpusPrepSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("dsirLambda")),
       s"expected the dsirLambda domain guard, got: ${chain(e)}")
   }
+
+  test("leakageSafeSplit: clusters never straddle the boundary, singletons hash independently") {
+    // planted: chain 10-11, 11-12 (one component, root 10); pair 20-21
+    // (root 20); singletons 30..59. Sides must be a pure function of
+    // the component ROOT, regardless of member ids.
+    val docs = ((10L to 12L) ++ (20L to 21L) ++ (30L to 59L)).toDF("doc_id")
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val out = CorpusPrep.leakageSafeSplit(docs, "doc_id", pairs, testPct = 30)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size == 35)
+    // whole component shares root AND side
+    for (id <- 10L to 12L) assert(out(id)._1 == 10L, s"chain root: $out")
+    assert(Set(out(10L)._2, out(11L)._2, out(12L)._2).size == 1, s"chain split: $out")
+    for (id <- 20L to 21L) assert(out(id) == out(20L), s"pair: $out")
+    // singletons: root = self, side = hashOrder(id) < 30
+    for (id <- 30L to 59L) {
+      assert(out(id)._1 == id)
+      val want = if (((id % 1000000007L) * 2654435761L) % 100 < 30) "test" else "train"
+      assert(out(id)._2 == want, s"singleton $id side: ${out(id)}")
+    }
+    // both sides populated at testPct=30 over 33 roots
+    assert(out.values.map(_._2).toSet == Set("train", "test"))
+  }
 }
