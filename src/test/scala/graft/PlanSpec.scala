@@ -168,7 +168,8 @@ class PlanSpec extends SparkSpec {
       "q200_ccnet_ppl_buckets",        // 1-row vocab-size broadcast cross join via the q165 core
       "q203_curated_scrub_export",     // 1-row kept-count broadcast cross join via containment (q191 pattern)
       "q208_margin_mining",            // mining-batch scan: corpus x bounded (<200 even-id) broadcast (q86/q168 pattern)
-      "q209_diversity_sample")         // centroid assignment: corpus x 16 centroids (q90 pattern)
+      "q209_diversity_sample",         // centroid assignment: corpus x 16 centroids (q90 pattern)
+      "q210_ann_ivf_kmeans_quantized_topk") // centroid assignment: corpus x 8 TRAINED centroids (q90 pattern)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(deliberate)
       .flatMap { name =>
