@@ -486,6 +486,62 @@ object CorpusPrep {
           lit("test")).otherwise(lit("train")))
   }
 
+  /** Incremental STICKY extension of [[leakageSafeSplit]] (round 16):
+    * when a new snapshot adds documents (and so new near-dup edges),
+    * the assignments already published must not move — a document that
+    * was "test" flipping to "train" retroactively contaminates every
+    * eval that used the old split. The append-only contract:
+    *
+    *  - existing docs KEEP their assigned side verbatim;
+    *  - a new doc whose component touches exactly ONE old side adopts
+    *    it (joins its twins' side — the leakage-safety invariant);
+    *  - a new doc in an all-new component gets the fresh
+    *    [[leakageSafeSplit]] hash-of-root side;
+    *  - a new doc whose component BRIDGES both old sides is
+    *    `quarantined`: any side choice would put it in near-dup reach
+    *    of the other side, and re-siding old members is forbidden by
+    *    stickiness — dropping the bridge keeps every KEPT train/test
+    *    pair separated in the observed similarity graph exactly as the
+    *    old split promised.
+    *
+    * Scale shape: components via [[Dedup.connectedComponents]] over
+    * the union corpus; old assignments join back at doc grain; the
+    * per-component side census is a component-grain aggregate (two
+    * conditional max flags, map-combined — never a collected set).
+    * Deterministic and integer/string end to end → DuckDB-replayable
+    * (q212 replays BOTH closures — the old snapshot's and the
+    * union's).
+    *
+    * @param assigned prior assignment (idCol, side) — q211 output shape
+    * @param docs     the UNION corpus (old + new docs)
+    * @param pairs    verified near-dup pairs over the union corpus
+    * @return (idCol, cluster_root, side, is_new) one row per union doc;
+    *         side ∈ {train, test, quarantined} */
+  def leakageSafeSplitIncremental(
+      assigned: DataFrame, docs: DataFrame, idCol: String, pairs: DataFrame,
+      testPct: Int = 10): DataFrame = {
+    require(testPct >= 0 && testPct <= 100)
+    val old = assigned.select(col(idCol), col("side").as("_old_side"))
+    val cc = Dedup.connectedComponents(docs, idCol, pairs)
+      .select(col(idCol), col("keep_id").as("cluster_root"))
+      .join(old, Seq(idCol), "left")
+    val census = cc.groupBy(col("cluster_root"))
+      .agg(
+        max(when(col("_old_side") === "train", 1).otherwise(0)).as("_has_train"),
+        max(when(col("_old_side") === "test", 1).otherwise(0)).as("_has_test"))
+    cc.join(census, Seq("cluster_root"))
+      .select(col(idCol), col("cluster_root"),
+        when(col("_old_side").isNotNull, col("_old_side"))           // sticky
+          .when(col("_has_train") === 1 && col("_has_test") === 1,
+            lit("quarantined"))                                      // bridge
+          .when(col("_has_train") === 1, lit("train"))               // adopt
+          .when(col("_has_test") === 1, lit("test"))                 // adopt
+          .when(graft.Exact.hashOrder(col("cluster_root"), 100) < testPct,
+            lit("test"))                                             // fresh
+          .otherwise(lit("train")).as("side"),
+        col("_old_side").isNull.as("is_new"))
+  }
+
   /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
     * More Effective Language Sampling"): spread a total token budget
     * over languages as EVENLY as possible subject to a per-language

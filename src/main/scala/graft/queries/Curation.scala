@@ -1195,6 +1195,82 @@ object Curation {
             bands = 8, threshold = 0.5,
             shingleHasher = graft.functions.TextFunctions.md5ShingleHashes),
           testPct = 10)
+      }),
+
+    // ---- q212: INCREMENTAL STICKY split — q211 under the production
+    // append-only contract: snapshot 1 (doc_id % 3 ≠ 0) is split and
+    // PUBLISHED; snapshot 2 adds the % 3 = 0 docs. Published sides
+    // must not move (a test→train flip retroactively contaminates
+    // every eval run on the old split); new docs adopt their
+    // component's existing side; all-new components get the fresh
+    // hash-of-root side; docs BRIDGING both old sides quarantine —
+    // any side would put them in near-dup reach of the other, and
+    // re-siding old members is forbidden. The oracle replays BOTH
+    // closures (old snapshot's and the union's — per-pair similarity
+    // is corpus-independent, so old-snapshot pairs are the union's
+    // verified pairs with both endpoints old) plus the component side
+    // census. ----
+    QuerySpec(
+      "q212_leakage_safe_split_incremental",
+      Some(s"""
+        WITH RECURSIVE ${MinhashOracle.signaturesCte(32, 8)},
+        ${MinhashOracle.verifiedSelfPairsCte(0.5)},
+        edges_old AS (
+          SELECT id_a AS u, id_b AS v FROM verified
+          WHERE id_a % 3 <> 0 AND id_b % 3 <> 0
+          UNION ALL SELECT id_b, id_a FROM verified
+          WHERE id_a % 3 <> 0 AND id_b % 3 <> 0
+        ), reach_old AS (
+          SELECT doc_id AS id, doc_id AS r FROM documents WHERE doc_id % 3 <> 0
+          UNION
+          SELECT reach_old.id, e.v FROM reach_old
+          JOIN edges_old e ON e.u = reach_old.r
+        ), assigned AS (
+          SELECT id AS doc_id,
+                 CASE WHEN ${graft.Exact.hashOrderSql("MIN(r)", 100)} < 10
+                      THEN 'test' ELSE 'train' END AS side
+          FROM reach_old GROUP BY id
+        ), edges AS (
+          SELECT id_a AS u, id_b AS v FROM verified
+          UNION ALL SELECT id_b, id_a FROM verified
+        ), reach AS (
+          SELECT doc_id AS id, doc_id AS r FROM documents
+          UNION
+          SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+        ), roots AS (
+          SELECT id AS doc_id, MIN(r) AS cluster_root FROM reach GROUP BY 1
+        ), census AS (
+          SELECT r.cluster_root,
+                 MAX(CASE WHEN a.side = 'train' THEN 1 ELSE 0 END) AS has_train,
+                 MAX(CASE WHEN a.side = 'test' THEN 1 ELSE 0 END) AS has_test
+          FROM roots r LEFT JOIN assigned a USING (doc_id) GROUP BY 1
+        )
+        SELECT r.doc_id, r.cluster_root,
+               CASE WHEN a.side IS NOT NULL THEN a.side
+                    WHEN c.has_train = 1 AND c.has_test = 1 THEN 'quarantined'
+                    WHEN c.has_train = 1 THEN 'train'
+                    WHEN c.has_test = 1 THEN 'test'
+                    WHEN ${graft.Exact.hashOrderSql("r.cluster_root", 100)} < 10
+                      THEN 'test'
+                    ELSE 'train' END AS side,
+               a.side IS NULL AS is_new
+        FROM roots r
+        JOIN census c USING (cluster_root)
+        LEFT JOIN assigned a USING (doc_id)"""),
+      (s, dir) => {
+        val docs = graft.operators.Fanout.forKernel(
+          Tables.load(s, dir, "documents"))
+        def pairs(d: org.apache.spark.sql.DataFrame) =
+          graft.operators.Dedup.minhashCandidatePairs(
+            d, "doc_id", "text", shingleSize = 3, numHashes = 32,
+            bands = 8, threshold = 0.5,
+            shingleHasher = graft.functions.TextFunctions.md5ShingleHashes)
+        val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)
+        val assigned = graft.operators.CorpusPrep.leakageSafeSplit(
+          oldDocs, "doc_id", pairs(oldDocs), testPct = 10)
+          .select(col("doc_id"), col("side"))
+        graft.operators.CorpusPrep.leakageSafeSplitIncremental(
+          assigned, docs, "doc_id", pairs(docs), testPct = 10)
       })
   )
 }

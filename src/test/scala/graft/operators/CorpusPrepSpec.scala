@@ -393,4 +393,45 @@ class CorpusPrepSpec extends SparkSpec {
     // both sides populated at testPct=30 over 33 roots
     assert(out.values.map(_._2).toSet == Set("train", "test"))
   }
+
+  test("leakageSafeSplitIncremental: sticky, adopt, fresh, and quarantine cases") {
+    // old snapshot: clusters {1,2} and {5,6} plus singletons 8, 9
+    val oldDocs = Seq(1L, 2L, 5L, 6L, 8L, 9L).toDF("doc_id")
+    val oldPairs = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val assigned0 = CorpusPrep.leakageSafeSplit(oldDocs, "doc_id", oldPairs, testPct = 30)
+    val sides0 = assigned0.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // force a bridge between DIFFERENT old sides: pick two old roots with
+    // opposite sides from the planted set (hashOrder(1)%100=61 train,
+    // hashOrder(5)%100=5 test at testPct=30; assert rather than assume)
+    assert(sides0(1L) != sides0(5L), s"planted roots must differ: $sides0")
+    // new snapshot adds: 3 (joins {1,2}), 7 (bridges {1,2} and {5,6}),
+    // 100/101 (new pair), 102 (new singleton)
+    val union = (Seq(1L, 2L, 5L, 6L, 8L, 9L) ++ Seq(3L, 7L, 100L, 101L, 102L)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (5L, 6L), (2L, 3L), (2L, 7L), (6L, 7L), (100L, 101L))
+      .toDF("id_a", "id_b")
+    val out = CorpusPrep.leakageSafeSplitIncremental(
+        assigned0.select(col("doc_id"), col("side")), union, "doc_id", pairs,
+        testPct = 30)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getBoolean(3))))
+      .toMap
+    assert(out.size == 11)
+    // STICKY: every old doc keeps its side verbatim, is_new = false,
+    // even though 1,2,5,6,7 are now ONE merged component
+    for (id <- Seq(1L, 2L, 5L, 6L, 8L, 9L)) {
+      assert(out(id)._2 == sides0(id), s"old doc $id moved: ${out(id)} vs ${sides0(id)}")
+      assert(!out(id)._3)
+    }
+    assert(Seq(3L, 7L, 100L, 101L, 102L).forall(out(_)._3))
+    // BRIDGE: 7 connects both old sides -> quarantined; 3 joined the
+    // merged component too, which now touches both sides -> quarantined
+    assert(out(7L)._2 == "quarantined", s"bridge: ${out(7L)}")
+    assert(out(3L)._2 == "quarantined", s"member of bridged component: ${out(3L)}")
+    // FRESH: {100,101} all-new component -> hash of root 100 decides both
+    assert(out(100L)._2 == out(101L)._2)
+    assert(Set("train", "test").contains(out(100L)._2))
+    val want100 = if (((100L % 1000000007L) * 2654435761L) % 100 < 30) "test" else "train"
+    assert(out(100L)._2 == want100)
+    assert(out(102L)._1 == 102L && Set("train", "test").contains(out(102L)._2))
+  }
 }
