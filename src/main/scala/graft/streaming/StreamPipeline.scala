@@ -316,6 +316,127 @@ object StreamPipeline {
       survivors.select(col("dhash").as("h")), batchId)
   }
 
+  /** Streaming ingest twin of [[graft.operators.CorpusPrep
+    * .leakageSafeSplitIncremental]] — sticky train/test assignment AT
+    * INGEST: each micro-batch of new documents gets its side the
+    * moment it lands, against the accumulated assignment state, so
+    * the published split is always current (the nightly batch form
+    * stays the corpus-global reference). Same append-only contract:
+    * landed sides never move; a new doc adopts its near-dup
+    * component's side; all-new components take the hash-of-root side;
+    * a doc whose component touches BOTH landed sides quarantines —
+    * and quarantined state POISONS both flags, so later near-dups of
+    * a quarantined doc quarantine too (they are transitively in reach
+    * of both sides), matching what the batch closure would decide.
+    *
+    * State at rest (indexBase, parquet batch=N dirs under the
+    * [[IdempotentSink]] marker discipline): one row per landed doc —
+    * (doc_id, side, hs, bands) — so the per-batch candidate join is a
+    * band-key equi-join against stored keys (no index re-hashing),
+    * exactly the [[dedupStreamWithIndex]] shape. Components span
+    * batch ∪ TOUCHED index nodes (two batch docs sharing an index
+    * neighbor must merge even without a direct batch-batch pair — the
+    * batch closure's behavior). At scale the index probe takes the
+    * same bloom gate as [[graft.operators.Dedup.dedupIncremental]];
+    * per-batch work is batch-sized plus touched index rows.
+    *
+    * Stream == batch caveat (shared with [[dedupStreamWithIndex]]):
+    * the fresh-component hash side uses the component root visible at
+    * arrival; identity with the one-shot batch split holds when first
+    * arrivals carry component-minimum ids (the planted-spec
+    * convention) — the leakage-safety and stickiness invariants hold
+    * under ANY arrival order. */
+  def splitStreamWithIndex(docs: DataFrame, idCol: String, textCol: String,
+      outBase: String, indexBase: String, testPct: Int = 10,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", s"$outBase/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        splitIndexBatch(batch, batchId, idCol, textCol, outBase, indexBase,
+          testPct, shingleSize, numHashes, bands, threshold)
+      }
+      .start()
+
+  /** One micro-batch of [[splitStreamWithIndex]] — named for direct
+    * replay/identity testing (the [[dedupIndexBatch]] discipline). */
+  def splitIndexBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String,
+      outBase: String, indexBase: String, testPct: Int = 10,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): Unit = {
+    import graft.functions.{TextFunctions => T}
+    val spark = batch.sparkSession
+    val committed = IdempotentSink.committedDirs(spark, indexBase)
+    val index =
+      if (committed.nonEmpty) spark.read.parquet(committed: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, side STRING, hs ARRAY<BIGINT>, bands ARRAY<BIGINT>"))
+    // batch shapes: hashed shingles once, signature+bands riding them
+    val bsig = batch.select(col(idCol).cast("long").as("doc_id"),
+        T.shingleHashes(col(textCol), shingleSize).as("hs"))
+      .withColumn("bands", T.bandHashes(
+        T.minhashSignature(col("hs"), numHashes), numHashes, bands))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bband = bsig.select(col("doc_id"), col("hs"), posexplode(col("bands")))
+      .select(col("doc_id"), col("hs"), col("pos").as("b"), col("col").as("k"))
+    // batch-batch verified pairs (canonical a < b)
+    val bb = bband.select(col("b"), col("k"), col("doc_id").as("id_a"), col("hs").as("hs_a"))
+      .join(bband.select(col("b"), col("k"), col("doc_id").as("id_b"), col("hs").as("hs_b")),
+        Seq("b", "k"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("hs_a"), col("hs_b")).distinct()
+      .filter(T.jaccard(col("hs_a"), col("hs_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    // batch-index verified pairs
+    val iband = index.select(col("doc_id").as("i_id"), col("hs").as("i_hs"),
+        posexplode(col("bands")))
+      .select(col("i_id"), col("i_hs"), col("pos").as("b"), col("col").as("k"))
+    val bi = bband.join(iband, Seq("b", "k"))
+      .select(col("doc_id"), col("i_id"), col("hs"), col("i_hs")).distinct()
+      .filter(T.jaccard(col("hs"), col("i_hs")) >= threshold)
+      .select(col("doc_id"), col("i_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // components over batch ∪ touched index nodes; census from landed
+    // sides ('quarantined' poisons both flags)
+    val nodes = bsig.select(col("doc_id"))
+      .union(bi.select(col("i_id").as("doc_id"))).distinct()
+    val edges = bb.union(bi.select(col("doc_id").as("id_a"), col("i_id").as("id_b")))
+    val cc = graft.operators.Dedup.connectedComponents(nodes, "doc_id", edges)
+      .select(col("doc_id"), col("keep_id").as("cluster_root"))
+    val census = cc
+      .join(index.select(col("doc_id"), col("side").as("_ls")), Seq("doc_id"), "left")
+      .groupBy(col("cluster_root"))
+      .agg(
+        max(when(col("_ls").isin("train", "quarantined"), 1).otherwise(0))
+          .as("_ht"),
+        max(when(col("_ls").isin("test", "quarantined"), 1).otherwise(0))
+          .as("_hs"))
+    val sided = cc
+      .join(bsig.select(col("doc_id")), Seq("doc_id")) // batch docs only
+      .join(census, Seq("cluster_root"))
+      .select(col("doc_id"), col("cluster_root"),
+        when(col("_ht") === 1 && col("_hs") === 1, lit("quarantined"))
+          .when(col("_ht") === 1, lit("train"))
+          .when(col("_hs") === 1, lit("test"))
+          .when(graft.Exact.hashOrder(col("cluster_root"), 100) < testPct,
+            lit("test"))
+          .otherwise(lit("train")).as("side"))
+    // assignments commit BEFORE the index (the dedupIndexBatch crash
+    // contract: a replay that finds the out marker skips both writes)
+    IdempotentSink.writeBatch(outBase)(sided, batchId)
+    IdempotentSink.writeBatch(indexBase)(
+      sided.select(col("doc_id"), col("side"))
+        .join(bsig, Seq("doc_id"))
+        .select(col("doc_id"), col("side"), col("hs"), col("bands")),
+      batchId)
+    bi.unpersist(false)
+    bsig.unpersist(false)
+  }
+
   /** Streaming MinHash-LSH near-dup candidates — the incremental twin
     * of `Dedup.minhashCandidatePairs`'s banded join. Signatures and
     * band hashes are the SAME stateless per-row expressions as batch;

@@ -365,6 +365,90 @@ class StreamPipelineSpec extends SparkSpec {
       s"gamma's replayed hash must suppress doc 5: $survivors")
   }
 
+  test("splitIndexBatch: adopt/fresh sides at ingest equal the batch incremental split; replay skips") {
+    import graft.operators.{CorpusPrep, Dedup}
+    val out = java.nio.file.Files.createTempDirectory("graft-split-out").toString + "/out"
+    val idx = java.nio.file.Files.createTempDirectory("graft-split-idx").toString + "/index"
+    def toks(f: Int) = (0 until 40).map(i => s"f${f}w$i")
+    def text(ts: Seq[String]) = ts.mkString(" ")
+    def variant(f: Int, pos: Int) = text(toks(f).updated(pos, s"f${f}x$pos"))
+    // batch 0: family A pair (10, 11), singletons 20 (famB), 31 (famC)
+    val b0 = Seq(
+      (10L, text(toks(1))), (11L, variant(1, 0)),
+      (20L, text(toks(2))), (31L, text(toks(3)))).toDF("doc_id", "text")
+    // batch 1: 40 joins famA, 41 joins famC, fresh pair (50, 51), fresh singleton 60
+    val b1 = Seq(
+      (40L, variant(1, 2)), (41L, variant(3, 0)),
+      (50L, text(toks(5))), (51L, variant(5, 0)),
+      (60L, text(toks(6)))).toDF("doc_id", "text")
+    StreamPipeline.splitIndexBatch(b0, 0L, "doc_id", "text", out, idx, testPct = 30)
+    StreamPipeline.splitIndexBatch(b1, 1L, "doc_id", "text", out, idx, testPct = 30)
+    def landed = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("side")).toMap
+    val got = landed
+    assert(got.size == 9, s"one assignment per doc: $got")
+    // batch-0 sides are the fresh hash-of-root sides (roots 10, 20, 31)
+    def hside(root: Long) = if ((root % 1000000007L) * 2654435761L % 100 < 30) "test" else "train"
+    assert(got(10L) == hside(10L) && got(11L) == hside(10L), s"famA: $got")
+    assert(got(20L) == hside(20L) && got(31L) == hside(31L), s"singletons: $got")
+    // adopt: 40 joins famA's side, 41 joins famC's side
+    assert(got(40L) == got(10L), s"40 must adopt famA's side: $got")
+    assert(got(41L) == got(31L), s"41 must adopt famC's side: $got")
+    // fresh: {50,51} share the hash side of root 50; 60 is its own root
+    assert(got(50L) == hside(50L) && got(51L) == hside(50L) && got(60L) == hside(60L), got.toString)
+    // identity with the one-shot batch incremental split (first arrivals
+    // carry component-minimum ids, the documented convention)
+    val union = b0.unionByName(b1)
+    val assigned0 = spark.read.parquet(s"$idx/batch=0")
+      .select(col("doc_id"), col("side"))
+    val ref = CorpusPrep.leakageSafeSplitIncremental(
+        assigned0, union, "doc_id",
+        Dedup.minhashCandidatePairs(union, "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5),
+        testPct = 30)
+      .filter(col("is_new"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("side")).toMap
+    assert(ref == got.view.filterKeys(k => Set(40L, 41L, 50L, 51L, 60L).contains(k)).toMap,
+      s"stream batch-1 sides must equal the batch incremental split: ref=$ref got=$got")
+    // replay of batch 1 is marker-skipped: nothing duplicates
+    StreamPipeline.splitIndexBatch(b1, 1L, "doc_id", "text", out, idx, testPct = 30)
+    assert(landed.size == 9, s"replay must not duplicate assignments: ${landed.size}")
+  }
+
+  test("splitIndexBatch: a doc bridging both landed sides quarantines, and poisons its successors") {
+    import graft.functions.{TextFunctions => T}
+    val out = java.nio.file.Files.createTempDirectory("graft-splitq-out").toString + "/out"
+    val idx = java.nio.file.Files.createTempDirectory("graft-splitq-idx").toString + "/index"
+    def toks = (0 until 40).map(i => s"q7w$i")
+    val z = toks.mkString(" ")
+    val a = toks.updated(5, "qx5").mkString(" ")   // ≈ z, landed train
+    val b = toks.updated(30, "qx30").mkString(" ") // ≈ z, landed test
+    // plant the landed state DIRECTLY (the real-world shape: a and b
+    // landed in different epochs before their connector arrived — their
+    // mutual similarity was never observed at assignment time)
+    val planted = Seq((100L, a, "train"), (200L, b, "test")).toDF("doc_id", "text", "side")
+      .select(col("doc_id"), col("side"),
+        T.shingleHashes(col("text"), 3).as("hs"))
+      .withColumn("bands", T.bandHashes(
+        T.minhashSignature(col("hs"), 32), 32, 8))
+      .select("doc_id", "side", "hs", "bands")
+    graft.streaming.IdempotentSink.writeBatch(idx)(planted, 0L)
+    // z bridges both sides -> quarantined
+    StreamPipeline.splitIndexBatch(
+      Seq((300L, z)).toDF("doc_id", "text"), 1L, "doc_id", "text", out, idx)
+    val g1 = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("side")).toMap
+    assert(g1 == Map(300L -> "quarantined"), s"bridge must quarantine: $g1")
+    // a later near-dup of the quarantined doc is transitively in reach
+    // of both sides -> quarantined too (state poisoning)
+    StreamPipeline.splitIndexBatch(
+      Seq((400L, toks.updated(1, "qy1").mkString(" "))).toDF("doc_id", "text"),
+      2L, "doc_id", "text", out, idx)
+    val g2 = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("side")).toMap
+    assert(g2(400L) == "quarantined", s"successor of a quarantined doc: $g2")
+  }
+
   test("streaming image dedup: near-dup payloads drop within and across batches; replay skips") {
     import graft.operators.Multimodal
     val out = java.nio.file.Files.createTempDirectory("graft-img-out").toString + "/out"
