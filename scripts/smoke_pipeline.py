@@ -71,7 +71,12 @@ def main():
     def canon(path):
         cols = [d[0] for d in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{path}')").fetchall()]
-        sel = ", ".join(sorted(cols))
+        # NULL-preserving row hash (r16 advice): concat_ws SKIPS NULLs,
+        # so rows differing only in WHICH column is NULL would hash
+        # identical; coalesce each column to a sentinel that cannot
+        # appear in real values so NULL position survives the concat.
+        sel = ", ".join(
+            f"coalesce(CAST({c} AS VARCHAR), chr(9216))" for c in sorted(cols))
         return con.execute(
             f"SELECT count(*), count(DISTINCT md5(concat_ws('|', {sel}))) , "
             f"md5(string_agg(md5(concat_ws('|', {sel})), '' ORDER BY "

@@ -512,7 +512,10 @@ object CorpusPrep {
     * (q212 replays BOTH closures — the old snapshot's and the
     * union's).
     *
-    * @param assigned prior assignment (idCol, side) — q211 output shape
+    * @param assigned prior assignment (idCol, side) — q211 output shape,
+    *                  or THIS operator's own output (side may include
+    *                  'quarantined'; it stays sticky and poisons its
+    *                  component's census, see below)
     * @param docs     the UNION corpus (old + new docs)
     * @param pairs    verified near-dup pairs over the union corpus
     * @return (idCol, cluster_root, side, is_new) one row per union doc;
@@ -525,10 +528,20 @@ object CorpusPrep {
     val cc = Dedup.connectedComponents(docs, idCol, pairs)
       .select(col(idCol), col("keep_id").as("cluster_root"))
       .join(old, Seq(idCol), "left")
+    // 'quarantined' poisons BOTH flags: a quarantined doc is
+    // transitively in near-dup reach of both sides, so any later
+    // near-dup of it is too — it must quarantine, not adopt a fresh
+    // side. Without this, CHAINED use (this operator's own output fed
+    // back as `assigned` for the next snapshot — the natural
+    // incremental loop, and exactly what the streaming twin
+    // [[graft.streaming.StreamPipeline.splitIndexBatch]] does) would
+    // leak through quarantined bridges (r16 advice).
     val census = cc.groupBy(col("cluster_root"))
       .agg(
-        max(when(col("_old_side") === "train", 1).otherwise(0)).as("_has_train"),
-        max(when(col("_old_side") === "test", 1).otherwise(0)).as("_has_test"))
+        max(when(col("_old_side").isin("train", "quarantined"), 1)
+          .otherwise(0)).as("_has_train"),
+        max(when(col("_old_side").isin("test", "quarantined"), 1)
+          .otherwise(0)).as("_has_test"))
     cc.join(census, Seq("cluster_root"))
       .select(col(idCol), col("cluster_root"),
         when(col("_old_side").isNotNull, col("_old_side"))           // sticky

@@ -1054,6 +1054,12 @@ object Curation {
                  list_transform(embedding,
                    x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS v
           FROM embeddings
+        ), dims AS (
+          -- dimension DERIVED from the data (r16 advice: a hardcoded 65
+          -- bound silently truncated/NULL-padded centroids if the
+          -- embedding width ever changed; the Scala trainer derives
+          -- lengths from the vectors, so the oracle must too)
+          SELECT UNNEST(range(1, (SELECT MAX(len(v)) FROM qz) + 1)) AS i
         ), samp AS (
           SELECT vec_id, v,
                  ROW_NUMBER() OVER (ORDER BY
@@ -1074,7 +1080,7 @@ object Curation {
           SELECT list_id, list(cv ORDER BY i) AS centv FROM (
             SELECT a.list_id, i,
                    CAST(SUM(a.v[i] + 4096) AS BIGINT) // COUNT(*) - 4096 AS cv
-            FROM assign1 a, UNNEST(range(1, 65)) AS ti(i)
+            FROM assign1 a, dims
             GROUP BY a.list_id, i) t
           GROUP BY list_id
         ), assign2 AS (
@@ -1089,7 +1095,7 @@ object Curation {
           SELECT list_id, list(cv ORDER BY i) AS centv FROM (
             SELECT a.list_id, i,
                    CAST(SUM(a.v[i] + 4096) AS BIGINT) // COUNT(*) - 4096 AS cv
-            FROM assign2 a, UNNEST(range(1, 65)) AS ti(i)
+            FROM assign2 a, dims
             GROUP BY a.list_id, i) t
           GROUP BY list_id
         ), assigned AS (
@@ -1240,9 +1246,14 @@ object Curation {
         ), roots AS (
           SELECT id AS doc_id, MIN(r) AS cluster_root FROM reach GROUP BY 1
         ), census AS (
+          -- 'quarantined' poisons both flags (chained-use contract; the
+          -- assigned CTE here is a fresh q211 split so it never holds
+          -- one, keeping this oracle's result unchanged)
           SELECT r.cluster_root,
-                 MAX(CASE WHEN a.side = 'train' THEN 1 ELSE 0 END) AS has_train,
-                 MAX(CASE WHEN a.side = 'test' THEN 1 ELSE 0 END) AS has_test
+                 MAX(CASE WHEN a.side IN ('train', 'quarantined')
+                     THEN 1 ELSE 0 END) AS has_train,
+                 MAX(CASE WHEN a.side IN ('test', 'quarantined')
+                     THEN 1 ELSE 0 END) AS has_test
           FROM roots r LEFT JOIN assigned a USING (doc_id) GROUP BY 1
         )
         SELECT r.doc_id, r.cluster_root,

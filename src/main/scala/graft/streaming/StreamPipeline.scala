@@ -375,9 +375,22 @@ object StreamPipeline {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, side STRING, hs ARRAY<BIGINT>, bands ARRAY<BIGINT>"))
+    // Per-doc stickiness (r16 advice): a doc_id re-delivered in a LATER
+    // batch (different batchId, so the idempotency marker cannot catch
+    // it — e.g. the upstream source replays a range) must keep its
+    // landed side verbatim, exactly as the batch operator's sticky
+    // branch does — not be re-sided from the current census and
+    // appended again (duplicate, possibly CONFLICTING (doc_id, side)
+    // rows). Anti-join the batch against landed doc_ids BEFORE any
+    // hashing: the dropped doc still participates in this batch's
+    // components through its own index row (bands + side are at rest),
+    // so new docs near it adopt/quarantine identically.
     // batch shapes: hashed shingles once, signature+bands riding them
     val bsig = batch.select(col(idCol).cast("long").as("doc_id"),
-        T.shingleHashes(col(textCol), shingleSize).as("hs"))
+        col(textCol).as("_text"))
+      .join(index.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        T.shingleHashes(col("_text"), shingleSize).as("hs"))
       .withColumn("bands", T.bandHashes(
         T.minhashSignature(col("hs"), numHashes), numHashes, bands))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -434,4 +434,22 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out(100L)._2 == want100)
     assert(out(102L)._1 == 102L && Set("train", "test").contains(out(102L)._2))
   }
+
+  test("leakageSafeSplitIncremental: chained use — quarantine poisons its component's census") {
+    // An earlier epoch quarantined doc 3 (it bridged both sides); its
+    // bridge neighbors were since dropped from the corpus (retention),
+    // so the next snapshot's union is {3, 4} with the one observed
+    // pair (3,4). Doc 4 is transitively in near-dup reach of BOTH old
+    // sides through 3 — it must quarantine, not take a fresh hash
+    // side (r16 advice; the streaming twin splitIndexBatch already
+    // poisoned this way, so this also restores stream==batch parity
+    // on chained state).
+    val assigned = Seq((3L, "quarantined")).toDF("doc_id", "side")
+    val docs = Seq(3L, 4L).toDF("doc_id")
+    val pairs = Seq((3L, 4L)).toDF("id_a", "id_b")
+    val out = CorpusPrep.leakageSafeSplitIncremental(assigned, docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(out(3L) == (("quarantined", false)), s"sticky quarantine: $out")
+    assert(out(4L) == (("quarantined", true)), s"poisoned successor: $out")
+  }
 }

@@ -415,6 +415,36 @@ class StreamPipelineSpec extends SparkSpec {
     assert(landed.size == 9, s"replay must not duplicate assignments: ${landed.size}")
   }
 
+  test("splitIndexBatch: a doc_id re-delivered in a LATER batch keeps its landed side, no duplicates") {
+    // The idempotency marker only catches same-batchId replays; an
+    // upstream source replaying a range delivers old docs under a NEW
+    // batch id. Stickiness (r16 advice): the landed side is kept
+    // verbatim — no re-siding from the current census, no duplicate
+    // (doc_id, side) rows in out, no duplicate index rows.
+    val out = java.nio.file.Files.createTempDirectory("graft-redeliver-out").toString + "/out"
+    val idx = java.nio.file.Files.createTempDirectory("graft-redeliver-idx").toString + "/index"
+    def toks(f: Int) = (0 until 40).map(i => s"r${f}w$i")
+    val b0 = Seq((10L, toks(1).mkString(" ")), (20L, toks(2).mkString(" ")))
+      .toDF("doc_id", "text")
+    StreamPipeline.splitIndexBatch(b0, 0L, "doc_id", "text", out, idx, testPct = 30)
+    // batch 1 re-delivers doc 10 under a fresh batch id, plus a new doc
+    val b1 = Seq((10L, toks(1).mkString(" ")), (30L, toks(3).mkString(" ")))
+      .toDF("doc_id", "text")
+    StreamPipeline.splitIndexBatch(b1, 1L, "doc_id", "text", out, idx, testPct = 30)
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("side")))
+    assert(rows.length == 3, s"exactly one assignment row per doc: ${rows.toSeq}")
+    // a near-dup of the re-delivered doc still adopts its landed side
+    // (the dropped re-delivery participates via its at-rest index row)
+    val b2 = Seq((40L, toks(1).updated(0, "rx0").mkString(" "))).toDF("doc_id", "text")
+    StreamPipeline.splitIndexBatch(b2, 2L, "doc_id", "text", out, idx, testPct = 30)
+    val g = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("side")).toMap
+    assert(g(40L) == g(10L), s"near-dup of re-delivered doc adopts landed side: $g")
+    val idxIds = spark.read.parquet(idx).select("doc_id").as[Long].collect().toSeq.sorted
+    assert(idxIds == Seq(10L, 20L, 30L, 40L), s"one index row per landed doc: $idxIds")
+  }
+
   test("splitIndexBatch: a doc bridging both landed sides quarantines, and poisons its successors") {
     import graft.functions.{TextFunctions => T}
     val out = java.nio.file.Files.createTempDirectory("graft-splitq-out").toString + "/out"
