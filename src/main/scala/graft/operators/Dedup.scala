@@ -136,7 +136,8 @@ object Dedup {
     * drops in identically (same discipline as [[decontaminateNgrams]]). */
   def dedupIncremental(incoming: DataFrame, idCol: String, textCol: String,
       indexHashes: DataFrame, indexHashCol: String,
-      expectedItems: Long = 1000000L, numBits: Long = 1L << 23): DataFrame = {
+      expectedItems: Long = 1000000L, numBits: Long = 1L << 23,
+      precomputedBloom: Option[Array[Byte]] = None): DataFrame = {
     import org.apache.spark.sql.graft.shim
     val idx = indexHashes.select(col(indexHashCol).as("_ih")).distinct()
     // within-batch keepers via ONE min_by aggregate, not a window over
@@ -150,20 +151,34 @@ object Dedup {
     val batchKept = batchHashed.groupBy(col("content_hash"))
       .agg(min_by(struct(batchHashed.columns.map(col): _*), col(idCol)).as("_r"))
       .select(col("_r.*"))
-    val bloomBytes = idx.select(shim.column(
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          shim.expression(xxhash64(col("_ih"))),
-          shim.expression(lit(expectedItems)), shim.expression(lit(numBits)))
-          .toAggregateExpression()).as("_bf"))
-      .head().getAs[Array[Byte]]("_bf")
+    // `precomputedBloom` (streaming twins): the filter is the fold of
+    // at-rest per-batch sidecars ([[graft.streaming.IndexState]]) —
+    // built from the SAME xxhash64(hash) elements — so the index is
+    // never scanned to build it (the r16 weak item: a per-batch
+    // BloomFilterAggregate over the whole index made micro-batch cost
+    // linear in landed corpus).
+    val bloomBytes = precomputedBloom.getOrElse {
+      idx.select(shim.column(
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            shim.expression(xxhash64(col("_ih"))),
+            shim.expression(lit(expectedItems)), shim.expression(lit(numBits)))
+            .toAggregateExpression()).as("_bf"))
+        .head().getAs[Array[Byte]]("_bf")
+    }
     if (bloomBytes == null) return batchKept // empty index: batch dedup only
     def mightContain(h: org.apache.spark.sql.Column) = shim.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         shim.expression(lit(bloomBytes)), shim.expression(xxhash64(h))))
+    // zero-positive fast path: when NO batch hash is bloom-positive —
+    // the overwhelmingly common fresh-crawl batch — the index is
+    // provably disjoint and the anti-join (whose right side would scan
+    // the index) is skipped entirely. The check is one bounded job
+    // over the batch (limit-1 after the filter), never over the index.
+    val positives = batchKept.filter(mightContain(col("content_hash")))
+    if (positives.isEmpty) return batchKept
     batchKept.filter(!mightContain(col("content_hash")))
       .unionByName(
-        batchKept.filter(mightContain(col("content_hash")))
-          .join(idx, col("content_hash") === col("_ih"), "left_anti"))
+        positives.join(idx, col("content_hash") === col("_ih"), "left_anti"))
   }
 
   /** Candidate (id_a < id_b) pairs from a banded signature frame via
@@ -196,7 +211,8 @@ object Dedup {
   def dedupIncrementalHamming(incoming: DataFrame, idCol: String,
       hashCol: String, indexHashes: DataFrame, indexHashCol: String,
       maxHamming: Int, expectedItems: Long = 1000000L,
-      numBits: Long = 1L << 23): DataFrame = {
+      numBits: Long = 1L << 23,
+      precomputedBloom: Option[Array[Byte]] = None): DataFrame = {
     import org.apache.spark.sql.graft.shim
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
@@ -208,16 +224,21 @@ object Dedup {
     val batchKept = incoming.select(col(idCol), col(hashCol))
       .join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
     val idx = indexHashes.select(col(indexHashCol).cast("long").as("_ih")).distinct()
-    if (idx.isEmpty) return batchKept
-    // (b) index chunk table + bloom over its (chunk, cv) keys
-    val idx4 = idx.select(col("_ih"), posexplode(array(chunkCols(col("_ih")): _*)))
-      .select(col("_ih"), col("pos").as("_c"), col("col").as("_cv"))
-    val bloomBytes = idx4.select(shim.column(
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          shim.expression(xxhash64(col("_c"), col("_cv"))),
-          shim.expression(lit(expectedItems)), shim.expression(lit(numBits)))
-          .toAggregateExpression()).as("_bf"))
-      .head().getAs[Array[Byte]]("_bf")
+    // (b) bloom over the index's pigeonhole (chunk, value) keys — from
+    // the at-rest sidecar fold when the caller maintains one
+    // ([[graft.streaming.IndexState.dhashElems]], same elements), else
+    // aggregated from the index here (batch/one-shot callers).
+    val bloomBytes = precomputedBloom.getOrElse {
+      if (idx.isEmpty) return batchKept
+      idx.select(col("_ih"), posexplode(array(chunkCols(col("_ih")): _*)))
+        .select(shim.column(
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            shim.expression(xxhash64(col("pos"), col("col"))),
+            shim.expression(lit(expectedItems)), shim.expression(lit(numBits)))
+            .toAggregateExpression()).as("_bf"))
+        .head().getAs[Array[Byte]]("_bf")
+    }
+    if (bloomBytes == null) return batchKept
     def mightContain(c: org.apache.spark.sql.Column, cv: org.apache.spark.sql.Column) =
       shim.column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         shim.expression(lit(bloomBytes)), shim.expression(xxhash64(c, cv))))
@@ -225,6 +246,13 @@ object Dedup {
         posexplode(array(chunkCols(col(hashCol)): _*)))
       .select(col(idCol), col(hashCol), col("pos").as("_c"), col("col").as("_cv"))
       .filter(mightContain(col("_c"), col("_cv")))
+    // zero-candidate fast path: a batch none of whose signatures has a
+    // single bloom-positive chunk is provably > maxHamming from every
+    // indexed signature — skip the index chunk join (and its index
+    // scan) entirely; the check is one bounded job over the batch.
+    if (banded.isEmpty) return batchKept
+    val idx4 = idx.select(col("_ih"), posexplode(array(chunkCols(col("_ih")): _*)))
+      .select(col("_ih"), col("pos").as("_c"), col("col").as("_cv"))
     val hits = banded.join(idx4, Seq("_c", "_cv"))
       .filter(bit_count(col(hashCol).bitwiseXOR(col("_ih"))) <= maxHamming)
       .select(col(idCol)).distinct()
@@ -1185,5 +1213,64 @@ object Dedup {
         count(lit(1)).as("n_chunks"))
       .filter(col("span_len") >= minLen)
       .select(col(idCol), col("span_start"), col("span_len"), col("n_chunks"))
+  }
+
+  /** CROSS-DOCUMENT exact-substring dedup at EVERY token alignment —
+    * the Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better") ExactSubstr pass: report, per document, the
+    * maximal token spans whose every `window`-token substring occurs
+    * verbatim in ≥ `minDocs` distinct documents. This closes the two
+    * alignment gaps the other substring passes leave: [[chunkScrub]]'s
+    * fixed grid misses a duplicate straddling a grid line (a 50-token
+    * copy split 30/20 across two chunks bans neither), and
+    * [[substringDups]]' content-defined chunks crop up to one partial
+    * chunk at each end and miss repeats shorter than ~2 expected chunk
+    * lengths. Here the fingerprint grid is every position's
+    * `window`-token md5 hash (the paper's suffix-array join at a fixed
+    * match length, expressed relationally), so ANY cross-doc repeat of
+    * ≥ window tokens is caught exactly, at any offset. Output:
+    * (idCol, span_start, span_len, n_windows), token coordinates,
+    * 1-based; span_len = tokens covered by the flagged run.
+    *
+    * Scale shape: the postings frame is corpus-TOKEN-grain — one row
+    * per window position, the inherent cost of all-alignment substring
+    * dedup (the paper pays it as a suffix-array sort; one hash
+    * exchange here). The cross-doc test is COUNT(DISTINCT doc) keyed
+    * on the window hash — Spark's two-phase distinct rewrite keys the
+    * heavy exchange on (hash, doc), so a corpus-universal boilerplate
+    * window (df = |corpus|) still spreads across reducers; the flagged
+    * set rejoins as a semi join (map-combined build side, AQE
+    * skew-split on the probe). Span assembly is one doc-partitioned
+    * window (never global). No pair set is ever emitted — the output
+    * is doc-grain spans, so there is no quadratic regime at any df,
+    * unlike containment's Σ C(df,2). md5-prefix hash family →
+    * DuckDB-replayable end to end (q213). */
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 50, minDocs: Int = 2): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    require(window >= 1 && minDocs >= 2)
+    val wins = Fanout.forKernel(df)
+      .select(col(idCol), T.tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= window)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("_t")) - window + 1),
+          i => T.md5Hash64(concat_ws(" ", slice(col("_t"), i, lit(window)))))))
+      .select(col(idCol), (col("pos") + 1).as("_p"), col("col").as("_h"))
+    val dupH = wins.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_h"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_p"))
+    wins.join(dupH, Seq("_h"), "left_semi")
+      // flagged positions are strictly increasing per doc, so p - rank
+      // is constant exactly along each maximal consecutive run
+      .withColumn("_run", col("_p") - row_number().over(byDoc))
+      .groupBy(col(idCol), col("_run"))
+      .agg(
+        min(col("_p")).cast("long").as("span_start"),
+        (max(col("_p")) - min(col("_p")) + window).cast("long").as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_len"), col("n_windows"))
   }
 }

@@ -1282,6 +1282,51 @@ object Curation {
           .select(col("doc_id"), col("side"))
         graft.operators.CorpusPrep.leakageSafeSplitIncremental(
           assigned, docs, "doc_id", pairs(docs), testPct = 10)
-      })
+      }),
+
+    // ---- q213: cross-doc EXACT-SUBSTRING spans at every token
+    // alignment (Lee et al. 2022 ExactSubstr; round 17) — the
+    // dedup-family gap the r16 verdict named: q197's fixed chunk grid
+    // misses a duplicate straddling a grid line, and q132's CDC chunks
+    // crop partial-chunk ends. Fingerprint = each position's 16-token
+    // md5 window; a position is flagged when its window occurs in ≥ 2
+    // distinct docs; maximal consecutive runs report as (doc, start,
+    // len, n_windows). The oracle replays tokenization, every window
+    // hash, the distinct-doc census, and the run assembly. ----
+    QuerySpec(
+      "q213_exact_substr_spans",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, CASE WHEN nrm = '' THEN [] ELSE string_split(nrm, ' ') END AS t
+          FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm
+                FROM documents)
+        ), wins AS (
+          SELECT doc_id, p,
+                 CAST(CASE WHEN hu >= 9223372036854775808
+                           THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS h
+          FROM (
+            SELECT doc_id, i AS p,
+                   list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                     list_transform(range(1, 17),
+                       k -> CAST(strpos('0123456789abcdef', m[k]) - 1 AS HUGEINT))),
+                     (acc, d) -> acc * 16 + d) AS hu
+            FROM (
+              SELECT doc_id, i, md5(array_to_string(t[i:i+15], ' ')) AS m
+              FROM toks, UNNEST(range(1, len(t) - 16 + 2)) AS ti(i)))
+        ), duph AS (
+          SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1)
+          WHERE nd >= 2
+        ), flagged AS (
+          SELECT doc_id, p,
+                 p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS run
+          FROM wins WHERE h IN (SELECT h FROM duph)
+        )
+        SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+               CAST(MAX(p) - MIN(p) + 16 AS BIGINT) AS span_len,
+               COUNT(*) AS n_windows
+        FROM flagged GROUP BY doc_id, run"""),
+      (s, dir) => graft.operators.Dedup.exactSubstrSpans(
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents")),
+        "doc_id", "text", window = 16, minDocs = 2))
   )
 }

@@ -1,0 +1,88 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-batch cost of the streaming index twins as the landed corpus
+  * grows (the r16 weak item's "done" criterion: probe time FLAT in
+  * batch count). Drives N micro-batches of FRESH documents — the
+  * common production case, and the one where state cost dominates —
+  * through the foreachBatch bodies directly, and prints ONE JSON line
+  * with per-batch wall times plus a head/tail summary.
+  *
+  * Modes:
+  *  - `dedup`  — [[graft.streaming.StreamPipeline.dedupIndexBatch]]
+  *    (sidecar-folded bloom, zero-positive fast path, generation
+  *    compaction);
+  *  - `split`  — [[graft.streaming.StreamPipeline.splitIndexBatch]]
+  *    (same, both probe domains);
+  *  - `legacy` — the r16 shape, inlined here as the measured baseline:
+  *    full committed-index read + per-batch BloomFilterAggregate
+  *    rebuild, flat batch=N layout with no sidecars or compaction.
+  *
+  * Usage: runMain graft.run.StreamStateBench [mode] [nBatches] [docsPerBatch]
+  */
+object StreamStateBench {
+  def main(args: Array[String]): Unit = {
+    val mode = if (args.length > 0) args(0) else "dedup"
+    val nBatches = if (args.length > 1) args(1).toInt else 50
+    val perBatch = if (args.length > 2) args(2).toInt else 2000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files.createTempDirectory("graft-ssb").toString
+    val out = s"$root/out"
+    val idx = s"$root/index"
+    // fresh, near-dup-free docs: every token carries its doc id, so no
+    // batch ever matches the index — the pure probe-cost path
+    def freshDocs(b: Int): DataFrame = {
+      val base = b.toLong * perBatch
+      val toks = (0 until 24).map(j =>
+        concat(lit(s"w${j}x"), (col("id") + lit(base)).cast("string")))
+      spark.range(perBatch).select((col("id") + lit(base)).as("doc_id"),
+        concat_ws(" ", toks: _*).as("text"))
+    }
+    val rows = (0 until nBatches).map { b =>
+      val docs = freshDocs(b)
+      val t0 = System.nanoTime()
+      mode match {
+        case "dedup" =>
+          graft.streaming.StreamPipeline.dedupIndexBatch(
+            docs, b.toLong, "doc_id", "text", out, idx)
+        case "split" =>
+          graft.streaming.StreamPipeline.splitIndexBatch(
+            docs, b.toLong, "doc_id", "text", out, idx)
+        case "legacy" =>
+          val index = graft.streaming.IndexState.read(spark, idx, "h STRING")
+          val survivors = graft.operators.Dedup.dedupIncremental(
+            docs, "doc_id", "text", index, "h")
+          graft.streaming.IdempotentSink.writeBatch(out)(survivors, b.toLong)
+          graft.streaming.IdempotentSink.writeBatch(idx)(
+            survivors.select(col("content_hash").as("h")), b.toLong)
+        case other => sys.error(s"unknown mode $other")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val dirs = graft.streaming.IndexState.committedData(spark, idx).size
+      (b, sec, dirs)
+    }
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    // head skips the first two batches (JIT/codegen warmup)
+    val head = mean(rows.slice(2, 7).map(_._2))
+    val tail = mean(rows.takeRight(5).map(_._2))
+    val batchesJson = rows.map { case (b, s, d) =>
+      f"""{"b":$b,"sec":$s%.4f,"dirs":$d}"""
+    }.mkString("[", ",", "]")
+    println(
+      f"""{"metric":"stream_state","mode":"$mode","n_batches":$nBatches,""" +
+      f""""docs_per_batch":$perBatch,"head_mean_sec":$head%.4f,""" +
+      f""""tail_mean_sec":$tail%.4f,"tail_over_head":${tail / head}%.3f,""" +
+      s""""batches":$batchesJson}""")
+    spark.stop()
+  }
+}

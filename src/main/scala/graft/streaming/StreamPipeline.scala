@@ -225,42 +225,53 @@ object StreamPipeline {
     * duplicate is dropped because the earlier batch's hash is already
     * in the index. */
   def dedupStreamWithIndex(docs: DataFrame, idCol: String, textCol: String,
-      outBase: String, indexBase: String)
+      outBase: String, indexBase: String, maxIndexDirs: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", s"$outBase/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dedupIndexBatch(batch, batchId, idCol, textCol, outBase, indexBase)
+        dedupIndexBatch(batch, batchId, idCol, textCol, outBase, indexBase,
+          maxIndexDirs)
       }
       .start()
 
+  // geometry of the at-rest index sidecars (constant per index so every
+  // batch's filter merges; matches dedupIncremental's defaults)
+  private[streaming] val IndexBloomItems = 1000000L
+  private[streaming] val IndexBloomBits = 1L << 23
+
   /** One micro-batch of [[dedupStreamWithIndex]] — named so replay
     * scenarios (crash mid-write → foreachBatch redelivery) are directly
-    * testable. */
+    * testable.
+    *
+    * State cost per batch is FLAT in stream age (r16 weak item): the
+    * bloom gate folds from the at-rest `_bloom` sidecars instead of
+    * re-aggregating the whole index ([[IndexState.currentBloom]]); a
+    * batch with zero bloom-positives — the common fresh-crawl case —
+    * never scans the index at all (the [[graft.operators.Dedup
+    * .dedupIncremental]] fast path); and the `batch=N` dirs compact
+    * into one generation dir under [[IndexState.shouldCompact]]'s
+    * geometric/fan-in policy, so the read side lists a bounded dir
+    * set forever. Reads still go through committed (_SUCCESS-marked)
+    * dirs only — a torn batch=N left by a crash mid index-write must
+    * stay invisible to the replay ([[IndexState.read]] preserves
+    * exactly the r14 torn-batch contract). */
   def dedupIndexBatch(batch: DataFrame, batchId: Long,
       idCol: String, textCol: String,
-      outBase: String, indexBase: String): Unit = {
+      outBase: String, indexBase: String, maxIndexDirs: Int = 64): Unit = {
     val spark = batch.sparkSession
-    // Read ONLY committed (_SUCCESS-marked) index batches. A bare read
-    // of indexBase would also pick up a torn batch=N left by a crash
-    // mid index-write: the replay would see its own hashes as "already
-    // indexed", shrink the survivor set, and overwrite the torn dir
-    // with the reduced hash set — losing hashes for docs already
-    // committed to outBase (and deleting files the lazy survivors plan
-    // is still reading). Listing the committed dirs explicitly makes
-    // replay read exactly the pre-crash state.
-    val committed = IdempotentSink.committedDirs(spark, indexBase)
-    val index =
-      if (committed.nonEmpty)
-        spark.read.parquet(committed: _*).select(col("h"))
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL("h STRING"))
+    val index = IndexState.read(spark, indexBase, "h STRING")
+    val bloom = IndexState.currentBloom(spark, indexBase,
+      IndexState.dedupElems, IndexBloomItems, IndexBloomBits)
     val survivors = graft.operators.Dedup
-      .dedupIncremental(batch, idCol, textCol, index, "h")
+      .dedupIncremental(batch, idCol, textCol, index, "h",
+        IndexBloomItems, IndexBloomBits, precomputedBloom = bloom)
     IdempotentSink.writeBatch(outBase)(survivors, batchId)
-    IdempotentSink.writeBatch(indexBase)(
-      survivors.select(col("content_hash").as("h")), batchId)
+    IndexState.append(survivors.select(col("content_hash").as("h")),
+      batchId, indexBase, IndexState.dedupElems, IndexBloomItems, IndexBloomBits)
+    if (IndexState.shouldCompact(spark, indexBase, maxIndexDirs))
+      IndexState.compact(spark, indexBase, IndexState.dedupElems,
+        IndexBloomItems, IndexBloomBits)
   }
 
   /** Streaming IMAGE ingest dedup against an at-rest signature index —
@@ -284,36 +295,43 @@ object StreamPipeline {
   def dhashStreamDedup(images: DataFrame, idCol: String,
       outBase: String, indexBase: String, maxHamming: Int = 3,
       hasher: (DataFrame, String) => DataFrame =
-        graft.operators.Multimodal.dHashImages)
+        graft.operators.Multimodal.dHashImages,
+      maxIndexDirs: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     images.writeStream
       .option("checkpointLocation", s"$outBase/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dhashIndexBatch(batch, batchId, idCol, outBase, indexBase, maxHamming,
-          hasher)
+          hasher, maxIndexDirs)
       }
       .start()
 
   /** One micro-batch of [[dhashStreamDedup]] — named so replay and
-    * crash-between-writes scenarios are directly testable. */
+    * crash-between-writes scenarios are directly testable. Same flat
+    * state discipline as [[dedupIndexBatch]]: sidecar-folded bloom
+    * (elements = the pigeonhole chunk keys), zero-candidate fast path
+    * inside [[graft.operators.Dedup.dedupIncrementalHamming]], and
+    * generation compaction of the signature index. */
   def dhashIndexBatch(batch: DataFrame, batchId: Long, idCol: String,
       outBase: String, indexBase: String, maxHamming: Int,
       hasher: (DataFrame, String) => DataFrame =
-        graft.operators.Multimodal.dHashImages): Unit = {
+        graft.operators.Multimodal.dHashImages,
+      maxIndexDirs: Int = 64): Unit = {
     val spark = batch.sparkSession
-    // committed dirs only — same torn-batch rationale as dedupIndexBatch
-    val committed = IdempotentSink.committedDirs(spark, indexBase)
-    val index =
-      if (committed.nonEmpty) spark.read.parquet(committed: _*).select(col("h"))
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL("h BIGINT"))
+    val index = IndexState.read(spark, indexBase, "h BIGINT")
+    val bloom = IndexState.currentBloom(spark, indexBase,
+      IndexState.dhashElems(maxHamming), IndexBloomItems, IndexBloomBits)
     val sigs = hasher(batch, idCol)
     val survivors = graft.operators.Dedup.dedupIncrementalHamming(
-      sigs, idCol, "dhash", index, "h", maxHamming)
+      sigs, idCol, "dhash", index, "h", maxHamming,
+      IndexBloomItems, IndexBloomBits, precomputedBloom = bloom)
     IdempotentSink.writeBatch(outBase)(survivors, batchId)
-    IdempotentSink.writeBatch(indexBase)(
-      survivors.select(col("dhash").as("h")), batchId)
+    IndexState.append(survivors.select(col("dhash").as("h")),
+      batchId, indexBase, IndexState.dhashElems(maxHamming),
+      IndexBloomItems, IndexBloomBits)
+    if (IndexState.shouldCompact(spark, indexBase, maxIndexDirs))
+      IndexState.compact(spark, indexBase, IndexState.dhashElems(maxHamming),
+        IndexBloomItems, IndexBloomBits)
   }
 
   /** Streaming ingest twin of [[graft.operators.CorpusPrep
@@ -336,9 +354,11 @@ object StreamPipeline {
     * exactly the [[dedupStreamWithIndex]] shape. Components span
     * batch ∪ TOUCHED index nodes (two batch docs sharing an index
     * neighbor must merge even without a direct batch-batch pair — the
-    * batch closure's behavior). At scale the index probe takes the
-    * same bloom gate as [[graft.operators.Dedup.dedupIncremental]];
-    * per-batch work is batch-sized plus touched index rows.
+    * batch closure's behavior). The index probe takes the same bloom
+    * gate as [[graft.operators.Dedup.dedupIncremental]], folded from
+    * the at-rest `_bloom` sidecars ([[IndexState]]); per-batch work is
+    * batch-sized plus touched index rows, and the index dirs compact
+    * into generations so the state read stays flat in stream age.
     *
     * Stream == batch caveat (shared with [[dedupStreamWithIndex]]):
     * the fresh-component hash side uses the component root visible at
@@ -349,32 +369,37 @@ object StreamPipeline {
   def splitStreamWithIndex(docs: DataFrame, idCol: String, textCol: String,
       outBase: String, indexBase: String, testPct: Int = 10,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5)
+      threshold: Double = 0.5, maxIndexDirs: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", s"$outBase/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         splitIndexBatch(batch, batchId, idCol, textCol, outBase, indexBase,
-          testPct, shingleSize, numHashes, bands, threshold)
+          testPct, shingleSize, numHashes, bands, threshold, maxIndexDirs)
       }
       .start()
 
   /** One micro-batch of [[splitStreamWithIndex]] — named for direct
-    * replay/identity testing (the [[dedupIndexBatch]] discipline). */
+    * replay/identity testing (the [[dedupIndexBatch]] discipline).
+    *
+    * Flat per-batch state cost (r16 weak item): the index's `_bloom`
+    * sidecar fold ([[IndexState]]) carries BOTH probe domains — landed
+    * doc ids (salted) for the stickiness check and (band, hash) keys
+    * for the candidate probe — so a batch with no positive on either
+    * never reads the index at all; positives fall back to the exact
+    * joins. The `batch=N` index dirs compact into one generation dir
+    * under [[IndexState.shouldCompact]]'s policy. */
   def splitIndexBatch(batch: DataFrame, batchId: Long,
       idCol: String, textCol: String,
       outBase: String, indexBase: String, testPct: Int = 10,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): Unit = {
+      threshold: Double = 0.5, maxIndexDirs: Int = 64): Unit = {
     import graft.functions.{TextFunctions => T}
     val spark = batch.sparkSession
-    val committed = IdempotentSink.committedDirs(spark, indexBase)
-    val index =
-      if (committed.nonEmpty) spark.read.parquet(committed: _*)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "doc_id BIGINT, side STRING, hs ARRAY<BIGINT>, bands ARRAY<BIGINT>"))
+    lazy val index = IndexState.read(spark, indexBase,
+      "doc_id BIGINT, side STRING, hs ARRAY<BIGINT>, bands ARRAY<BIGINT>")
+    val bloom = IndexState.currentBloom(spark, indexBase,
+      IndexState.splitElems, IndexBloomItems, IndexBloomBits)
     // Per-doc stickiness (r16 advice): a doc_id re-delivered in a LATER
     // batch (different batchId, so the idempotency marker cannot catch
     // it — e.g. the upstream source replays a range) must keep its
@@ -382,14 +407,26 @@ object StreamPipeline {
     // branch does — not be re-sided from the current census and
     // appended again (duplicate, possibly CONFLICTING (doc_id, side)
     // rows). Anti-join the batch against landed doc_ids BEFORE any
-    // hashing: the dropped doc still participates in this batch's
-    // components through its own index row (bands + side are at rest),
-    // so new docs near it adopt/quarantine identically.
+    // hashing — bloom-gated, so the common all-fresh batch proves
+    // disjointness map-side and never scans the index. The dropped doc
+    // still participates in this batch's components through its own
+    // index row (bands + side are at rest), so new docs near it
+    // adopt/quarantine identically.
+    val b0 = batch.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("_text"))
+    val fresh = bloom match {
+      case None => b0
+      case Some(bytes) =>
+        val probe = IndexState.mightContain(bytes,
+          xxhash64(lit(-1), col("doc_id")))
+        val maybeLanded = b0.filter(probe)
+        if (maybeLanded.isEmpty) b0
+        else b0.filter(!probe).unionByName(
+          maybeLanded.join(index.select(col("doc_id")), Seq("doc_id"),
+            "left_anti"))
+    }
     // batch shapes: hashed shingles once, signature+bands riding them
-    val bsig = batch.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("_text"))
-      .join(index.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"),
+    val bsig = fresh.select(col("doc_id"),
         T.shingleHashes(col("_text"), shingleSize).as("hs"))
       .withColumn("bands", T.bandHashes(
         T.minhashSignature(col("hs"), numHashes), numHashes, bands))
@@ -404,30 +441,52 @@ object StreamPipeline {
       .select(col("id_a"), col("id_b"), col("hs_a"), col("hs_b")).distinct()
       .filter(T.jaccard(col("hs_a"), col("hs_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
-    // batch-index verified pairs
-    val iband = index.select(col("doc_id").as("i_id"), col("hs").as("i_hs"),
-        posexplode(col("bands")))
-      .select(col("i_id"), col("i_hs"), col("pos").as("b"), col("col").as("k"))
-    val bi = bband.join(iband, Seq("b", "k"))
-      .select(col("doc_id"), col("i_id"), col("hs"), col("i_hs")).distinct()
-      .filter(T.jaccard(col("hs"), col("i_hs")) >= threshold)
-      .select(col("doc_id"), col("i_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // batch-index verified pairs — band keys bloom-gated: only keys the
+    // sidecar fold marks positive meet the stored index bands; a batch
+    // with zero positive keys (None here) skips the probe AND the
+    // census's side join below, proving the all-zero census without an
+    // index scan.
+    val biOpt: Option[DataFrame] = bloom.flatMap { bytes =>
+      val cand = bband.filter(IndexState.mightContain(bytes,
+        xxhash64(col("b"), col("k"))))
+      if (cand.isEmpty) None
+      else {
+        val iband = index.select(col("doc_id").as("i_id"), col("hs").as("i_hs"),
+            posexplode(col("bands")))
+          .select(col("i_id"), col("i_hs"), col("pos").as("b"), col("col").as("k"))
+        Some(cand.join(iband, Seq("b", "k"))
+          .select(col("doc_id"), col("i_id"), col("hs"), col("i_hs")).distinct()
+          .filter(T.jaccard(col("hs"), col("i_hs")) >= threshold)
+          .select(col("doc_id"), col("i_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+    }
     // components over batch ∪ touched index nodes; census from landed
     // sides ('quarantined' poisons both flags)
-    val nodes = bsig.select(col("doc_id"))
-      .union(bi.select(col("i_id").as("doc_id"))).distinct()
-    val edges = bb.union(bi.select(col("doc_id").as("id_a"), col("i_id").as("id_b")))
+    val nodes = biOpt match {
+      case Some(bi) => bsig.select(col("doc_id"))
+        .union(bi.select(col("i_id").as("doc_id"))).distinct()
+      case None => bsig.select(col("doc_id")).distinct()
+    }
+    val edges = biOpt match {
+      case Some(bi) =>
+        bb.union(bi.select(col("doc_id").as("id_a"), col("i_id").as("id_b")))
+      case None => bb
+    }
     val cc = graft.operators.Dedup.connectedComponents(nodes, "doc_id", edges)
       .select(col("doc_id"), col("keep_id").as("cluster_root"))
-    val census = cc
-      .join(index.select(col("doc_id"), col("side").as("_ls")), Seq("doc_id"), "left")
-      .groupBy(col("cluster_root"))
-      .agg(
-        max(when(col("_ls").isin("train", "quarantined"), 1).otherwise(0))
-          .as("_ht"),
-        max(when(col("_ls").isin("test", "quarantined"), 1).otherwise(0))
-          .as("_hs"))
+    val census = biOpt match {
+      case Some(_) => cc
+        .join(index.select(col("doc_id"), col("side").as("_ls")), Seq("doc_id"), "left")
+        .groupBy(col("cluster_root"))
+        .agg(
+          max(when(col("_ls").isin("train", "quarantined"), 1).otherwise(0))
+            .as("_ht"),
+          max(when(col("_ls").isin("test", "quarantined"), 1).otherwise(0))
+            .as("_hs"))
+      case None => cc.select(col("cluster_root")).distinct()
+        .withColumn("_ht", lit(0)).withColumn("_hs", lit(0))
+    }
     val sided = cc
       .join(bsig.select(col("doc_id")), Seq("doc_id")) // batch docs only
       .join(census, Seq("cluster_root"))
@@ -441,12 +500,16 @@ object StreamPipeline {
     // assignments commit BEFORE the index (the dedupIndexBatch crash
     // contract: a replay that finds the out marker skips both writes)
     IdempotentSink.writeBatch(outBase)(sided, batchId)
-    IdempotentSink.writeBatch(indexBase)(
+    IndexState.append(
       sided.select(col("doc_id"), col("side"))
         .join(bsig, Seq("doc_id"))
         .select(col("doc_id"), col("side"), col("hs"), col("bands")),
-      batchId)
-    bi.unpersist(false)
+      batchId, indexBase, IndexState.splitElems,
+      IndexBloomItems, IndexBloomBits)
+    if (IndexState.shouldCompact(spark, indexBase, maxIndexDirs))
+      IndexState.compact(spark, indexBase, IndexState.splitElems,
+        IndexBloomItems, IndexBloomBits)
+    biOpt.foreach(_.unpersist(false))
     bsig.unpersist(false)
   }
 
@@ -777,7 +840,7 @@ object StreamPipeline {
     * destination present and no-ops. A fold that can neither rename nor
     * find the destination is a real fault and fails loudly — silence
     * here is exactly the data loss this protocol exists to prevent. */
-  private def foldBatchDir(fs: org.apache.hadoop.fs.FileSystem,
+  private[streaming] def foldBatchDir(fs: org.apache.hadoop.fs.FileSystem,
       fromGen: String, toGen: String, batchId: Long): Unit = {
     val src = new org.apache.hadoop.fs.Path(s"$fromGen/batch=$batchId")
     val dst = new org.apache.hadoop.fs.Path(s"$toGen/batch=$batchId")
@@ -829,7 +892,7 @@ object StreamPipeline {
     * half-built pointer is impossible (rename is atomic) and a
     * half-built GENERATION is invisible (its pointer is only written
     * after the generation's data + tombstones are fully committed). */
-  private def resolveGen(spark: org.apache.spark.sql.SparkSession,
+  private[streaming] def resolveGen(spark: org.apache.spark.sql.SparkSession,
       base: String): String = {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -896,13 +959,32 @@ object StreamPipeline {
     * micro-batch forever; after compaction the read side re-SUMs ONE
     * data dir (plus tombstones) regardless of stream age. */
   def compactRollup(spark: org.apache.spark.sql.SparkSession,
-      stateBase: String, keys: Seq[String], attempts: Int = 3): Unit = {
+      stateBase: String, keys: Seq[String], attempts: Int = 3): Unit =
+    compactState(spark, stateBase, attempts)(
+      _ => currentRollup(spark, stateBase, keys).get)((_, _, _) => ())
+
+  /** The generation-rollover SKELETON shared by [[compactRollup]]
+    * (merge = re-SUM of the additive partials) and
+    * [[IndexState.compact]] (merge = plain union of append-only rows,
+    * plus a merged bloom sidecar via `postWrite`): snapshot → merged
+    * write → tombstones → writer-race check → pointer swap → straggler
+    * sweep, exactly the crash/concurrency protocol documented above.
+    * `merge` receives the snapshot's committed dirs; `postWrite`
+    * receives (fs, the merged batch dir, the snapshot dirs) after the
+    * merged data commit and before the tombstones — anything it writes
+    * into the merged dir rides every later fold/rename atomically. */
+  private[streaming] def compactState(
+      spark: org.apache.spark.sql.SparkSession,
+      stateBase: String, attempts: Int)(
+      merge: Seq[String] => DataFrame)(
+      postWrite: (org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path, Seq[String]) => Unit): Unit = {
     require(attempts > 0, s"compaction of $stateBase lost the race to a " +
       "concurrent writer on every attempt; quiesce the stream and re-run")
     val gen = resolveGen(spark, stateBase)
     val committed = IdempotentSink.committedDirs(spark, gen)
     if (committed.size <= 1) return
-    val merged = currentRollup(spark, stateBase, keys).get
+    val merged = merge(committed)
     val ids = committed.map(_.replaceAll(".*batch=", "").toLong)
     val conf = spark.sparkContext.hadoopConfiguration
     val basePath = new org.apache.hadoop.fs.Path(stateBase)
@@ -918,6 +1000,9 @@ object StreamPipeline {
     val genN = if (onDisk.isEmpty) 1L else onDisk.max + 1L
     val newGen = s"gen-$genN"
     IdempotentSink.writeBatch(s"$stateBase/$newGen")(merged, ids.max)
+    postWrite(fs,
+      new org.apache.hadoop.fs.Path(s"$stateBase/$newGen/batch=${ids.max}"),
+      committed)
     for (id <- ids if id != ids.max) {
       val d = new org.apache.hadoop.fs.Path(s"$stateBase/$newGen/batch=$id")
       fs.mkdirs(d)
@@ -930,7 +1015,7 @@ object StreamPipeline {
       .map(_.replaceAll(".*batch=", "").toLong)
     if (now.toSet != ids.toSet) {
       fs.delete(new org.apache.hadoop.fs.Path(s"$stateBase/$newGen"), true)
-      compactRollup(spark, stateBase, keys, attempts - 1)
+      compactState(spark, stateBase, attempts - 1)(merge)(postWrite)
       return
     }
     val tmp = new org.apache.hadoop.fs.Path(s"$stateBase/CURRENT-$genN.tmp")

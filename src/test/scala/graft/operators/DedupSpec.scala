@@ -330,6 +330,56 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == (("z", 3L, 2L)))
   }
 
+  test("exactSubstrSpans catches the boundary-straddling duplicate chunkScrub misses") {
+    // The r16 verdict's planted case: a 16-token copy placed at
+    // DIFFERENT offsets in two docs. chunkScrub's fixed 8-token grid
+    // splits the copy differently in each doc (offsets 5 and 9 → grid
+    // phases 5 and 1), so no grid chunk is shared and NOTHING is
+    // scrubbed; the all-alignment window join flags the exact span in
+    // both docs.
+    val shared = (0 until 16).map(i => s"dup$i")
+    val docA = ((0 until 5).map(i => s"a$i") ++ shared ++
+      (0 until 7).map(i => s"atail$i")).mkString(" ")
+    val docB = ((0 until 9).map(i => s"b$i") ++ shared ++
+      (0 until 3).map(i => s"btail$i")).mkString(" ")
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    // q197's pass at its 8-token grid: zero chunks banned
+    val scrub = Dedup.chunkScrub(docs, "doc_id", "text", chunkTokens = 8)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    assert(scrub(1L) == 0L && scrub(2L) == 0L,
+      s"fixture must defeat the grid pass: $scrub")
+    // ... and the per-position window join reports the exact 16-token
+    // span at each doc's own offset (1-based token coordinates)
+    val spans = Dedup.exactSubstrSpans(docs, "doc_id", "text", window = 16)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(spans(1L) == ((6L, 16L, 1L)), s"doc A span: $spans")
+    assert(spans(2L) == ((10L, 16L, 1L)), s"doc B span: $spans")
+  }
+
+  test("exactSubstrSpans: runs merge, within-doc repeats don't self-flag, partition-invariant") {
+    // 20 shared tokens at window 16 → 5 flagged positions merging into
+    // one span of 20 tokens; a doc repeating ITS OWN phrase is not
+    // cross-doc and stays clean at minDocs=2
+    val shared = (0 until 20).map(i => s"s$i")
+    val docs = Seq(
+      (1L, (shared ++ Seq("x1", "x2")).mkString(" ")),
+      (2L, (Seq("y1") ++ shared).mkString(" ")),
+      (3L, ((0 until 16).map(i => s"own$i") ++ (0 until 16).map(i => s"own$i"))
+        .mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrSpans(docs, "doc_id", "text", window = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 1L, 20L, 5L), (2L, 2L, 20L, 5L)),
+      s"merged spans only, no self-flag: $out")
+    val re = Dedup.exactSubstrSpans(docs.repartition(13), "doc_id", "text",
+        window = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(re == out, "partitioning must not change spans")
+  }
+
   test("chunk scrub: minDocs above every df is the identity scrub") {
     val tiny = Seq((1L, "a b c d"), (2L, "a b x y")).toDF("doc_id", "text")
     val out = Dedup.chunkScrub(tiny, "doc_id", "text",

@@ -1,0 +1,152 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The at-rest index state layer (r16 weak item): bloom sidecars fold
+  * to the same filter the per-batch aggregate would build, missing
+  * sidecars heal from their own dir, generation compaction preserves
+  * the state and the replay-skip contract, and the streaming twins'
+  * outputs are invariant under any compaction schedule. */
+class IndexStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-ixs-$tag").toString
+
+  test("bloom sidecars: aggregate bytes, sketch-merge fold, probe; empty geometry merges") {
+    val a = IndexState.buildBloom(
+      (1L to 100L).toDF("_e"), 1000L, 1L << 16)
+    val b = IndexState.buildBloom(
+      (200L to 300L).toDF("_e"), 1000L, 1L << 16)
+    val empty = IndexState.buildBloom(
+      spark.emptyDataset[Long].toDF("_e"), 1000L, 1L << 16)
+    val folded = IndexState.mergeBlooms(Seq(a, empty, b)).get
+    val probed = (1L to 400L).toDF("v")
+      .select(col("v"), IndexState.mightContain(folded, col("v")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // no false negatives, ever
+    assert(((1L to 100L) ++ (200L to 300L)).forall(probed(_)),
+      "every inserted element must probe positive after the fold")
+    // the gap is mostly negative (fpp is tiny at this geometry)
+    val fp = (101L to 199L).count(probed(_))
+    assert(fp < 10, s"false-positive flood in the gap: $fp of 99")
+  }
+
+  test("dedup index: compaction preserves state, replay-skip, and the cross-batch drop") {
+    val out = tmp("cmp-out") + "/out"
+    val idx = tmp("cmp-idx") + "/index"
+    def batchOf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // maxIndexDirs = 2: compact after (nearly) every batch — the most
+    // hostile schedule for the replay/identity contract
+    StreamPipeline.dedupIndexBatch(
+      batchOf((1L, "alpha body"), (2L, "beta body")), 0L, "doc_id", "text",
+      out, idx, maxIndexDirs = 2)
+    StreamPipeline.dedupIndexBatch(
+      batchOf((3L, "gamma body"), (4L, "alpha body")), 1L, "doc_id", "text",
+      out, idx, maxIndexDirs = 2)
+    StreamPipeline.dedupIndexBatch(
+      batchOf((5L, "delta body")), 2L, "doc_id", "text",
+      out, idx, maxIndexDirs = 2)
+    def survivors() = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(survivors() == Set(1L, 2L, 3L, 5L), s"got ${survivors()}")
+    // state compacted: the live generation lists ONE data dir
+    assert(IndexState.committedData(spark, idx).size == 1,
+      s"expected one compacted dir: ${IndexState.committedData(spark, idx)}")
+    assert(IndexState.read(spark, idx, "h STRING").distinct().count() == 4)
+    // replay of a pre-compaction batch id skips on the tombstone marker
+    StreamPipeline.dedupIndexBatch(
+      batchOf((3L, "gamma body"), (4L, "alpha body")), 1L, "doc_id", "text",
+      out, idx, maxIndexDirs = 2)
+    assert(survivors() == Set(1L, 2L, 3L, 5L), "replay must not change survivors")
+    assert(IndexState.read(spark, idx, "h STRING").distinct().count() == 4)
+    // a duplicate of batch-0 content still drops through the compacted
+    // index (the sidecar fold + anti-join see the merged state)
+    StreamPipeline.dedupIndexBatch(
+      batchOf((6L, "ALPHA body"), (7L, "epsilon body")), 3L, "doc_id", "text",
+      out, idx, maxIndexDirs = 2)
+    assert(survivors() == Set(1L, 2L, 3L, 5L, 7L), s"got ${survivors()}")
+  }
+
+  test("a missing sidecar heals from its own dir; the gate still drops cross-batch dups") {
+    val out = tmp("heal-out") + "/out"
+    val idx = tmp("heal-idx") + "/index"
+    def batchOf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    StreamPipeline.dedupIndexBatch(
+      batchOf((1L, "alpha body")), 0L, "doc_id", "text", out, idx,
+      maxIndexDirs = Int.MaxValue)
+    // crash window: the data committed but the sidecar write was lost
+    val bloomFile = new java.io.File(s"$idx/batch=0/_bloom")
+    assert(bloomFile.exists(), "fixture expects a sidecar to delete")
+    assert(bloomFile.delete())
+    // next batch heals it on read and the duplicate still drops
+    StreamPipeline.dedupIndexBatch(
+      batchOf((2L, "alpha body"), (3L, "beta body")), 1L, "doc_id", "text",
+      out, idx, maxIndexDirs = Int.MaxValue)
+    assert(bloomFile.exists(), "sidecar must be healed in place")
+    val survivors = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L), s"got $survivors")
+  }
+
+  test("shouldCompact: geometric trigger and fan-in cap") {
+    val base = tmp("pol") + "/state"
+    val elems = (idx: org.apache.spark.sql.DataFrame) =>
+      idx.select(xxhash64(col("h").cast("string")).as("_e"))
+    assert(!IndexState.shouldCompact(spark, base), "empty state never compacts")
+    IndexState.append((1L to 100L).toDF("h"), 0L, base, elems, 1000L, 1L << 16)
+    assert(!IndexState.shouldCompact(spark, base), "one dir never compacts")
+    IndexState.append((101L to 200L).toDF("h"), 1L, base, elems, 1000L, 1L << 16)
+    // two similar-sized dirs: the small mass matches the largest
+    assert(IndexState.shouldCompact(spark, base), "equal dirs must compact")
+    IndexState.compact(spark, base, elems, 1000L, 1L << 16)
+    assert(!IndexState.shouldCompact(spark, base), "freshly compacted")
+    assert(IndexState.read(spark, base, "h BIGINT").distinct().count() == 200,
+      "compaction must preserve every row")
+    // a tiny tail after a big compacted dir: geometric trigger holds off
+    IndexState.append(Seq(201L).toDF("h"), 2L, base, elems, 1000L, 1L << 16)
+    assert(!IndexState.shouldCompact(spark, base),
+      "a tiny dir after a big one must NOT trigger (write amplification)")
+    // ... but the fan-in cap fires regardless of sizes
+    assert(IndexState.shouldCompact(spark, base, maxDirs = 2))
+  }
+
+  test("split twin: outputs invariant under a hostile compaction schedule; poisoning survives") {
+    import graft.functions.{TextFunctions => T}
+    def toks = (0 until 40).map(i => s"ixw$i")
+    val z = toks.mkString(" ")
+    val a = toks.updated(5, "ixa5").mkString(" ")
+    val b = toks.updated(30, "ixb30").mkString(" ")
+    def run(maxDirs: Int): (Map[Long, String], Long) = {
+      val out = tmp(s"spl-$maxDirs") + "/out"
+      val idx = tmp(s"spli-$maxDirs") + "/index"
+      val planted = Seq((100L, a, "train"), (200L, b, "test"))
+        .toDF("doc_id", "text", "side")
+        .select(col("doc_id"), col("side"),
+          T.shingleHashes(col("text"), 3).as("hs"))
+        .withColumn("bands", T.bandHashes(T.minhashSignature(col("hs"), 32), 32, 8))
+        .select("doc_id", "side", "hs", "bands")
+      IdempotentSink.writeBatch(idx)(planted, 0L)
+      StreamPipeline.splitIndexBatch(
+        Seq((300L, z)).toDF("doc_id", "text"), 1L, "doc_id", "text", out, idx,
+        maxIndexDirs = maxDirs)
+      StreamPipeline.splitIndexBatch(
+        Seq((400L, toks.updated(1, "ixy1").mkString(" ")),
+            (500L, (0 until 40).map(i => s"fresh$i").mkString(" ")))
+          .toDF("doc_id", "text"), 2L, "doc_id", "text", out, idx,
+        maxIndexDirs = maxDirs)
+      val got = spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("side")).toMap
+      (got, IndexState.read(spark, idx,
+        "doc_id BIGINT, side STRING, hs ARRAY<BIGINT>, bands ARRAY<BIGINT>")
+        .select("doc_id").distinct().count())
+    }
+    val (eager, nEager) = run(maxDirs = 2)       // compact after every batch
+    val (lazyRun, nLazy) = run(maxDirs = 10000)  // geometric schedule only
+    assert(eager == lazyRun,
+      s"assignments must not depend on the compaction schedule: $eager vs $lazyRun")
+    assert(eager(300L) == "quarantined" && eager(400L) == "quarantined",
+      s"bridge + poisoned successor: $eager")
+    assert(Set("train", "test").contains(eager(500L)), s"fresh doc: $eager")
+    assert(nEager == 5 && nLazy == 5, s"index rows: $nEager/$nLazy")
+  }
+}

@@ -327,7 +327,7 @@ class StreamPipelineSpec extends SparkSpec {
       assert(survivors == Set(1L, 3L, 5L, 7L),
         s"first arrival of each content must win: $survivors")
       // the index holds exactly the survivors' hashes — restart-shared state
-      assert(spark.read.parquet(idx).select("h").distinct().count() == 4)
+      assert(IndexState.read(spark, idx, "h STRING").select("h").distinct().count() == 4)
     } finally q.stop()
   }
 
@@ -354,7 +354,7 @@ class StreamPipelineSpec extends SparkSpec {
     // its marker; the index write must heal from pre-crash state only)
     StreamPipeline.dedupIndexBatch(
       batchOf((3L, "gamma body"), (4L, "alpha body")), 1L, "doc_id", "text", out, idx)
-    val hashes = spark.read.parquet(idx).select("h").distinct().count()
+    val hashes = IndexState.read(spark, idx, "h STRING").select("h").distinct().count()
     assert(hashes == 3, s"alpha, beta, gamma hashes must all be indexed: $hashes")
     // a later duplicate of batch-1's survivor must still drop
     StreamPipeline.dedupIndexBatch(
@@ -441,7 +441,9 @@ class StreamPipelineSpec extends SparkSpec {
     val g = spark.read.parquet(out).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("side")).toMap
     assert(g(40L) == g(10L), s"near-dup of re-delivered doc adopts landed side: $g")
-    val idxIds = spark.read.parquet(idx).select("doc_id").as[Long].collect().toSeq.sorted
+    val idxIds = IndexState.read(spark, idx,
+      "doc_id BIGINT, side STRING, hs ARRAY<BIGINT>, bands ARRAY<BIGINT>")
+      .select("doc_id").as[Long].collect().toSeq.sorted
     assert(idxIds == Seq(10L, 20L, 30L, 40L), s"one index row per landed doc: $idxIds")
   }
 
@@ -497,7 +499,7 @@ class StreamPipelineSpec extends SparkSpec {
     // at-least-once redelivery of batch 1 is a no-op on the markers
     StreamPipeline.dhashIndexBatch(imagesOf(2L, 10L, 11L), 1L, "doc_id", out, idx, 3)
     assert(survivors() == Set(0L, 10L), "replay must not change survivors")
-    assert(spark.read.parquet(idx).select("h").count() == 2,
+    assert(IndexState.read(spark, idx, "h BIGINT").select("h").count() == 2,
       "index holds exactly the survivors' signatures")
     // a later duplicate of a batch-0 survivor still drops (shared state)
     StreamPipeline.dhashIndexBatch(imagesOf(3L, 20L), 2L, "doc_id", out, idx, 3)
