@@ -5,7 +5,9 @@ fresh JVM (reps inside, min+median recorded), merged into ONE artifact
 with the corpus sizes so SCALING.md's growth-exponent table is
 reproducible.
 
-Usage: bench_growth.py <out.json> [reps=3]
+Usage: bench_growth.py <out.json> [reps=3] [comma,separated,queries]
+(r17: the query list is overridable — verdict item 3 extends the suite
+to the ANN and split families q173/q210/q211/q212 plus the new q213.)
 """
 import json
 import os
@@ -30,10 +32,11 @@ QUERIES = [
 def main():
     out_path = sys.argv[1]
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    queries = sys.argv[3].split(",") if len(sys.argv) > 3 else QUERIES
     merged = {}
     for scale, sf_dir, env in SCALES:
         merged[scale] = {"sf_dir": sf_dir}
-        for name in QUERIES:
+        for name in queries:
             os.environ.update(env)
             print(f"[growth] {scale} {name}...", flush=True)
             r = run_one(name, sf_dir, reps)
