@@ -174,8 +174,13 @@ object Dedup {
     // provably disjoint and the anti-join (whose right side would scan
     // the index) is skipped entirely. The check is one bounded job
     // over the batch (limit-1 after the filter), never over the index.
+    // STREAMING callers only (precomputedBloom set): a batch caller
+    // already paid a full index scan to AGGREGATE its bloom, so the
+    // skippable anti-join is second-order for it while the probe is a
+    // guaranteed extra job — the r17 q130 1.35× constant (VERDICT r17
+    // wrong#4); batch callers go straight to the split plan.
     val positives = batchKept.filter(mightContain(col("content_hash")))
-    if (positives.isEmpty) return batchKept
+    if (precomputedBloom.isDefined && positives.isEmpty) return batchKept
     batchKept.filter(!mightContain(col("content_hash")))
       .unionByName(
         positives.join(idx, col("content_hash") === col("_ih"), "left_anti"))

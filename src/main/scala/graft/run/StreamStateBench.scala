@@ -5,10 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Per-batch cost of the streaming index twins as the landed corpus
   * grows (the r16 weak item's "done" criterion: probe time FLAT in
-  * batch count). Drives N micro-batches of FRESH documents — the
-  * common production case, and the one where state cost dominates —
-  * through the foreachBatch bodies directly, and prints ONE JSON line
-  * with per-batch wall times plus a head/tail summary.
+  * batch count). Drives N micro-batches through the foreachBatch
+  * bodies directly, and prints ONE JSON line with per-batch wall times
+  * plus a head/tail summary.
+  *
+  * Batches are FRESH documents by default — the common production
+  * case, and the zero-positive fast path's best case. `dupPct` > 0
+  * makes that share of each batch replicate content from the PREVIOUS
+  * batch's fresh docs, so the bloom-positive branch (the one remaining
+  * corpus-proportional term, paid per duplicate-bearing batch) is
+  * measured instead of argued (VERDICT r17 item 5): every batch then
+  * has real positives, the fast path never fires, and the anti-join
+  * against the committed index runs every batch.
   *
   * Modes:
   *  - `dedup`  — [[graft.streaming.StreamPipeline.dedupIndexBatch]]
@@ -20,13 +28,19 @@ import org.apache.spark.sql.functions._
   *    full committed-index read + per-batch BloomFilterAggregate
   *    rebuild, flat batch=N layout with no sidecars or compaction.
   *
-  * Usage: runMain graft.run.StreamStateBench [mode] [nBatches] [docsPerBatch]
+  * Usage: runMain graft.run.StreamStateBench [mode] [nBatches] [docsPerBatch] [dupPct]
   */
 object StreamStateBench {
   def main(args: Array[String]): Unit = {
     val mode = if (args.length > 0) args(0) else "dedup"
     val nBatches = if (args.length > 1) args(1).toInt else 50
     val perBatch = if (args.length > 2) args(2).toInt else 2000
+    val dupPct = if (args.length > 3) args(3).toInt else 0
+    // head is batches 2..6, tail the last 5: fewer than 12 batches
+    // would mix warmup into the comparison or leave the head slice
+    // empty (mean of zero rows → NaN → invalid JSON; ADVICE r17)
+    require(nBatches >= 12, s"need nBatches >= 12 for a valid head/tail split, got $nBatches")
+    require(dupPct >= 0 && dupPct <= 50, s"dupPct must be 0..50, got $dupPct")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,17 +53,26 @@ object StreamStateBench {
     val root = java.nio.file.Files.createTempDirectory("graft-ssb").toString
     val out = s"$root/out"
     val idx = s"$root/index"
-    // fresh, near-dup-free docs: every token carries its doc id, so no
-    // batch ever matches the index — the pure probe-cost path
-    def freshDocs(b: Int): DataFrame = {
+    // every token carries a CONTENT id: position i >= nDup in batch b
+    // is fresh forever (content id = b*perBatch + i, unique); position
+    // i < nDup replicates the content of the previous batch's fresh
+    // position nDup + (i mod (perBatch - nDup)) — an exact duplicate
+    // of an INDEXED doc, so it is bloom-positive and must be dropped
+    // by the index anti-join. doc_ids stay globally unique.
+    def docsFor(b: Int): DataFrame = {
       val base = b.toLong * perBatch
-      val toks = (0 until 24).map(j =>
-        concat(lit(s"w${j}x"), (col("id") + lit(base)).cast("string")))
+      val nDup = perBatch * dupPct / 100
+      val cid =
+        if (b == 0 || nDup == 0) col("id") + lit(base)
+        else when(col("id") < nDup,
+            lit(base - perBatch + nDup) + pmod(col("id"), lit(perBatch - nDup)))
+          .otherwise(col("id") + lit(base))
+      val toks = (0 until 24).map(j => concat(lit(s"w${j}x"), cid.cast("string")))
       spark.range(perBatch).select((col("id") + lit(base)).as("doc_id"),
         concat_ws(" ", toks: _*).as("text"))
     }
     val rows = (0 until nBatches).map { b =>
-      val docs = freshDocs(b)
+      val docs = docsFor(b)
       val t0 = System.nanoTime()
       mode match {
         case "dedup" =>
@@ -80,7 +103,7 @@ object StreamStateBench {
     }.mkString("[", ",", "]")
     println(
       f"""{"metric":"stream_state","mode":"$mode","n_batches":$nBatches,""" +
-      f""""docs_per_batch":$perBatch,"head_mean_sec":$head%.4f,""" +
+      f""""docs_per_batch":$perBatch,"dup_pct":$dupPct,"head_mean_sec":$head%.4f,""" +
       f""""tail_mean_sec":$tail%.4f,"tail_over_head":${tail / head}%.3f,""" +
       s""""batches":$batchesJson}""")
     spark.stop()

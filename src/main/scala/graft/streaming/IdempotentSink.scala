@@ -15,16 +15,96 @@ import org.apache.spark.sql.DataFrame
   * discovered partition column (drop it, or keep it as lineage). */
 object IdempotentSink {
 
+  private val ManifestFile = "_COMPACTED"
+
   def writeBatch(outBase: String)(df: DataFrame, batchId: Long): Unit = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(s"$outBase/batch=$batchId")
     val fs = dir.getFileSystem(conf)
+    // a batch compaction already folded has no dir of its own — its
+    // rows live in the merged dir and its id in the generation's
+    // manifest; re-writing it would double-count on the next merge
+    if (isCompacted(fs, new org.apache.hadoop.fs.Path(outBase), batchId))
+      return
     val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
     if (!fs.exists(marker)) {
       // overwrite handles a torn previous attempt (dir without marker)
       df.write.mode("overwrite").parquet(dir.toString)
     }
   }
+
+  // ---- compacted-id manifest ----
+  //
+  // Replay suppression for batches a compaction folded away used to be
+  // one marker-only TOMBSTONE dir per compacted id — and because each
+  // compaction re-tombstoned every id the OLD generation listed
+  // (including its own tombstones), the dir count grew with total
+  // batches EVER, so the per-batch listStatus/exists walk over the
+  // generation was O(stream age) forever even after data compaction
+  // (ADVICE r17). The manifest replaces the dirs: ONE `_COMPACTED`
+  // file per generation holding the folded ids as sorted coalesced
+  // ranges ("lo-hi" lines). foreachBatch ids are contiguous, so the
+  // file is a single line for the stream's whole life, and every
+  // skip/fold check is one bounded file read instead of a dir walk.
+
+  /** Whether `batchId` was folded into this generation's merged dir by
+    * a compaction (its replay must skip; a fold of it must no-op). */
+  def isCompacted(fs: org.apache.hadoop.fs.FileSystem,
+      genDir: org.apache.hadoop.fs.Path, batchId: Long): Boolean =
+    compactedRanges(fs, genDir).exists { case (lo, hi) =>
+      batchId >= lo && batchId <= hi
+    }
+
+  /** The generation's compacted-id ranges (empty when no compaction
+    * has folded into it). */
+  def compactedRanges(fs: org.apache.hadoop.fs.FileSystem,
+      genDir: org.apache.hadoop.fs.Path): Seq[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(genDir, ManifestFile)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val text =
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        new String(buf, "UTF-8")
+      } finally in.close()
+    text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
+      line.split("-") match {
+        case Array(lo, hi) => (lo.toLong, hi.toLong)
+        case Array(lo)     => (lo.toLong, lo.toLong)
+        case _ => throw new IllegalStateException(
+          s"malformed compacted-id manifest line '$line' in $p")
+      }
+    }
+  }
+
+  /** Publish the generation's manifest (tmp-write + atomic rename; the
+    * tmp name is unique per writer so concurrent attempts never rename
+    * each other's half-written file). Written BEFORE the generation's
+    * pointer swap, so a crash leaves a dead half-built generation and
+    * the old state intact — the compactState crash contract. */
+  def writeCompactedRanges(fs: org.apache.hadoop.fs.FileSystem,
+      genDir: org.apache.hadoop.fs.Path, ranges: Seq[(Long, Long)]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(genDir,
+      ManifestFile + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val out = fs.create(tmp, true)
+    try out.write(
+      ranges.map { case (lo, hi) => s"$lo-$hi" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(genDir, ManifestFile)))
+      fs.delete(tmp, false)
+  }
+
+  /** Sorted, overlap/adjacency-coalesced ranges over `ranges ∪ ids` —
+    * contiguous foreachBatch ids collapse to one range. */
+  def coalesceRanges(ranges: Seq[(Long, Long)], ids: Seq[Long]): Seq[(Long, Long)] =
+    (ranges ++ ids.map(i => (i, i))).sorted
+      .foldLeft(List.empty[(Long, Long)]) {
+        case ((lo, hi) :: rest, (l, h)) if l <= hi + 1 =>
+          (lo, math.max(hi, h)) :: rest
+        case (acc, r) => r :: acc
+      }.reverse
 
   /** The COMMITTED batch directories under `base`: only those whose
     * `_SUCCESS` marker exists. This is the read-side half of the sink's

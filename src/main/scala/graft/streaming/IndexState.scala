@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * per-batch probe cost FLAT in stream age:
   *
   *  1. GENERATION COMPACTION — the `batch=N` dirs roll up under the
-  *     exact [[StreamPipeline.compactRollup]] pointer/tombstone/
+  *     exact [[StreamPipeline.compactRollup]] pointer/manifest/
   *     straggler protocol (crash-safe at every step, tolerant of a
   *     live writer), with merge = plain UNION: the state is
   *     append-only rows, not an aggregate, so compaction is a rewrite
@@ -96,9 +96,11 @@ object IndexState {
 
   // ---- committed-state readers ----
 
-  /** Committed DATA dirs of the live generation (marker-only tombstone
-    * dirs left by compaction carry no parquet files and are excluded —
-    * the [[StreamPipeline.currentRollup]] discipline). */
+  /** Committed DATA dirs of the live generation. Compacted-away ids
+    * have no dirs at all (they live in the generation's `_COMPACTED`
+    * range manifest), so this walk is bounded by the compaction fan-in
+    * cap forever; the parquet-presence filter stays as a defensive
+    * guard against marker-only dirs (the pre-manifest layout). */
   def committedData(spark: SparkSession, stateBase: String): Seq[String] = {
     val gen = StreamPipeline.resolveGen(spark, stateBase)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -123,19 +125,68 @@ object IndexState {
 
   /** The folded filter over every committed batch (None before the
     * first commit). Cost per call: dir-count × bounded bytes on the
-    * driver — NOT a scan of the index. Missing sidecars heal here. */
+    * driver — NOT a scan of the index. Missing sidecars heal here.
+    *
+    * SATURATION is checked on every fold (ADVICE r17): a filter sized
+    * for `expectedItems` silently degrades once the landed element
+    * count outgrows it — false-positive rate climbs toward 1, the
+    * zero-positive fast paths stop firing, and per-batch cost reverts
+    * to full index-scan joins with no correctness signal (FPs fall
+    * back to exact joins). When the folded filter's expected FP rate
+    * exceeds [[SaturationWarnFpp]] a WARN names the state dir and the
+    * fix (re-size via the twin's expectedItems/numBits parameters),
+    * so the degradation is visible instead of silent. */
   def currentBloom(spark: SparkSession, stateBase: String,
       elems: DataFrame => DataFrame,
       expectedItems: Long, numBits: Long): Option[Array[Byte]] = {
     val dirs = committedData(spark, stateBase)
     if (dirs.isEmpty) return None
     val conf = spark.sparkContext.hadoopConfiguration
-    mergeBlooms(dirs.map { d =>
+    def sidecars(): Seq[Array[Byte]] = dirs.map { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       val fs = p.getFileSystem(conf)
       readBloom(fs, p).getOrElse(healBloom(spark, fs, p, elems, expectedItems, numBits))
-    })
+    }
+    val merged =
+      try mergeBlooms(sidecars())
+      catch {
+        case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
+          // geometry migration: the caller re-sized expectedItems /
+          // numBits (the saturation fix) and at-rest sidecars still
+          // carry the old geometry — rebuild EVERY dir's sidecar at
+          // the passed geometry (bounded per dir, one-off) and re-fold
+          dirs.foreach { d =>
+            val p = new org.apache.hadoop.fs.Path(d)
+            val fs = p.getFileSystem(conf)
+            fs.delete(new org.apache.hadoop.fs.Path(p, BloomFile), false)
+            healBloom(spark, fs, p, elems, expectedItems, numBits)
+          }
+          mergeBlooms(sidecars())
+      }
+    merged.foreach { bytes =>
+      val fpp = saturation(bytes)
+      if (fpp > SaturationWarnFpp)
+        log.warn(f"index-state bloom for $stateBase is saturating: expected " +
+          f"FP rate $fpp%.3f > $SaturationWarnFpp%.2f — the zero-positive " +
+          "fast path will stop firing; re-size the filter via the stream " +
+          "twin's expectedItems/numBits parameters (next compaction " +
+          "rebuilds sidecars at the new geometry)")
+    }
+    merged
   }
+
+  /** Expected false-positive rate of a serialized filter given what has
+    * been inserted — the saturation metric [[currentBloom]] warns on,
+    * public so jobs can export it. */
+  def saturation(bloomBytes: Array[Byte]): Double =
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bloomBytes)).expectedFpp()
+
+  /** Folded-filter expected-FP threshold above which [[currentBloom]]
+    * logs the saturation warning. */
+  val SaturationWarnFpp = 0.10
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   // ---- writers ----
 
@@ -152,6 +203,14 @@ object IndexState {
     val gen = StreamPipeline.resolveGen(spark, stateBase)
     val dir = new org.apache.hadoop.fs.Path(s"$gen/batch=$batchId")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a replayed COMPACTED batch has no dir of its own — its rows live
+    // in the merged dir and its elements in the merged sidecar; the
+    // generation's range manifest is the skip signal
+    if (IdempotentSink.isCompacted(fs,
+        new org.apache.hadoop.fs.Path(gen), batchId)) {
+      StreamPipeline.foldIfSuperseded(spark, stateBase, gen, batchId)
+      return
+    }
     val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
     if (!fs.exists(marker)) {
       // data first (overwrite handles a torn previous attempt; Spark's
@@ -161,9 +220,8 @@ object IndexState {
       healBloom(spark, fs, dir, elems, expectedItems, numBits)
     } else if (readBloom(fs, dir).isEmpty &&
         fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet"))) {
-      // replay into the sidecar crash window: heal now. A marker-only
-      // TOMBSTONE dir (this id was compacted; its elements live in the
-      // merged dir's sidecar) has nothing to heal and stays bloom-less.
+      // replay into the sidecar crash window (or a corrupt sidecar
+      // readBloom just quarantined): heal now from this dir's rows.
       healBloom(spark, fs, dir, elems, expectedItems, numBits)
     }
     StreamPipeline.foldIfSuperseded(spark, stateBase, gen, batchId)
@@ -196,11 +254,27 @@ object IndexState {
 
   /** Compact the index state: every committed batch dir of the live
     * generation rewrites as ONE union dir (id = highest compacted
-    * batch) with ONE merged sidecar in a NEW generation; the other ids
-    * tombstone; the numbered pointer swaps; stragglers fold — the
-    * [[StreamPipeline.compactRollup]] protocol verbatim (shared
-    * skeleton), so the crash/concurrency analysis there applies
-    * unchanged. */
+    * batch) with ONE merged sidecar in a NEW generation; the folded
+    * ids land in the generation's range manifest; the numbered pointer
+    * swaps; stragglers fold — the [[StreamPipeline.compactRollup]]
+    * protocol verbatim (shared skeleton), so the crash/concurrency
+    * analysis there applies unchanged.
+    *
+    * The merged sidecar is REBUILT from the merged dir's own rows at
+    * the passed geometry, not OR-folded from the old sidecars: the
+    * data is already being read for the rewrite (the extra aggregate
+    * rides the same scan cost class), and a caller that re-sized
+    * expectedItems/numBits after a saturation warning gets the new
+    * geometry applied here — compaction is the migration point.
+    *
+    * Heal-cost note (the one heal NOT single-batch bounded): a crash
+    * in the window between the merged dir's data commit and its
+    * sidecar write leaves a pointer-less half-built generation —
+    * invisible, retried from scratch — but if the merged sidecar is
+    * ever lost AFTER the pointer swap (manual deletion, object-store
+    * corruption), the next reader rebuilds it from the merged dir's
+    * rows: bounded by the COMPACTED corpus, i.e. one compaction's own
+    * read cost, once — not per batch (IndexStateSpec pins the heal). */
   def compact(spark: SparkSession, stateBase: String,
       elems: DataFrame => DataFrame,
       expectedItems: Long, numBits: Long, attempts: Int = 3): Unit =
@@ -213,22 +287,10 @@ object IndexState {
         }
         spark.read.parquet(data: _*)
       })(
-      (fs, mergedDir, dirs) => {
-        // merged sidecar = OR-fold of the compacted dirs' sidecars
-        // (healing any torn one from its own rows — bounded per dir);
-        // written after the merged data commit, same heal contract.
-        val conf = spark.sparkContext.hadoopConfiguration
-        val bs = dirs.filter { d =>
-          val p = new org.apache.hadoop.fs.Path(d)
-          p.getFileSystem(conf).listStatus(p)
-            .exists(_.getPath.getName.endsWith(".parquet"))
-        }.map { d =>
-          val p = new org.apache.hadoop.fs.Path(d)
-          readBloom(fs, p).getOrElse(
-            healBloom(spark, fs, p, elems, expectedItems, numBits))
-        }
-        mergeBlooms(bs).foreach(writeBloom(fs, mergedDir, _))
-      })
+      (fs, mergedDir, _) =>
+        writeBloom(fs, mergedDir, buildBloom(
+          elems(spark.read.parquet(mergedDir.toString)),
+          expectedItems, numBits)))
 
   // ---- bloom plumbing ----
 
@@ -283,7 +345,12 @@ object IndexState {
 
   private def writeBloom(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(dir, BloomFile + ".tmp")
+    // tmp name unique PER WRITER: concurrent healers sharing one tmp
+    // path could rename each other's in-flight file and publish a torn
+    // sidecar (ADVICE r17) — with unique names each rename publishes
+    // only its own fully-written bytes
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      BloomFile + ".tmp-" + java.util.UUID.randomUUID().toString)
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     // atomic publish; a false rename means a concurrent healer already
@@ -292,18 +359,36 @@ object IndexState {
       fs.delete(tmp, false)
   }
 
+  /** Read a dir's sidecar, VALIDATING the bytes deserialize into a
+    * filter — a corrupt/truncated `_bloom` (torn rename on an
+    * object store, partial write) is quarantined (deleted) and treated
+    * as missing, so the caller's heal path rebuilds it from the dir's
+    * own rows instead of every subsequent batch throwing on the same
+    * poisoned file (ADVICE r17). */
   private def readBloom(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Option[Array[Byte]] = {
     val p = new org.apache.hadoop.fs.Path(dir, BloomFile)
     if (!fs.exists(p)) None
-    else {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val in = fs.open(p)
+    else
       try {
-        val buf = new Array[Byte](len)
-        in.readFully(0, buf)
+        // both the raw read (checksum mismatch on a torn local file)
+        // and the deserialization can surface the corruption — either
+        // way the sidecar is quarantined, never a permanent wedge
+        val len = fs.getFileStatus(p).getLen.toInt
+        val in = fs.open(p)
+        val buf =
+          try {
+            val b = new Array[Byte](len)
+            in.readFully(0, b)
+            b
+          } finally in.close()
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(buf))
         Some(buf)
-      } finally in.close()
-    }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          fs.delete(p, false)
+          None
+      }
   }
 }

@@ -225,20 +225,29 @@ object StreamPipeline {
     * duplicate is dropped because the earlier batch's hash is already
     * in the index. */
   def dedupStreamWithIndex(docs: DataFrame, idCol: String, textCol: String,
-      outBase: String, indexBase: String, maxIndexDirs: Int = 64)
+      outBase: String, indexBase: String, maxIndexDirs: Int = 64,
+      bloomItems: Long = IndexBloomItems, bloomBits: Long = IndexBloomBits)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", s"$outBase/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dedupIndexBatch(batch, batchId, idCol, textCol, outBase, indexBase,
-          maxIndexDirs)
+          maxIndexDirs, bloomItems, bloomBits)
       }
       .start()
 
-  // geometry of the at-rest index sidecars (constant per index so every
-  // batch's filter merges; matches dedupIncremental's defaults)
-  private[streaming] val IndexBloomItems = 1000000L
-  private[streaming] val IndexBloomBits = 1L << 23
+  // DEFAULT geometry of the at-rest index sidecars (constant per index
+  // so every batch's filter merges; matches dedupIncremental's
+  // defaults). Size `bloomItems` for the landed ELEMENT count over the
+  // stream's life, counting element multiplicity — one per doc for the
+  // dedup twin, maxHamming+1 per signature for the dhash twin, 1+bands
+  // per doc for the split twin — else the folded filter saturates, the
+  // zero-positive fast paths stop firing, and per-batch cost silently
+  // reverts to index-scan joins (correctness unaffected; the
+  // [[graft.streaming.IndexState.currentBloom]] saturation WARN is the
+  // signal, and a mid-stream re-size migrates at the next compaction).
+  val IndexBloomItems = 1000000L
+  val IndexBloomBits = 1L << 23
 
   /** One micro-batch of [[dedupStreamWithIndex]] — named so replay
     * scenarios (crash mid-write → foreachBatch redelivery) are directly
@@ -258,20 +267,22 @@ object StreamPipeline {
     * exactly the r14 torn-batch contract). */
   def dedupIndexBatch(batch: DataFrame, batchId: Long,
       idCol: String, textCol: String,
-      outBase: String, indexBase: String, maxIndexDirs: Int = 64): Unit = {
+      outBase: String, indexBase: String, maxIndexDirs: Int = 64,
+      bloomItems: Long = IndexBloomItems,
+      bloomBits: Long = IndexBloomBits): Unit = {
     val spark = batch.sparkSession
     val index = IndexState.read(spark, indexBase, "h STRING")
     val bloom = IndexState.currentBloom(spark, indexBase,
-      IndexState.dedupElems, IndexBloomItems, IndexBloomBits)
+      IndexState.dedupElems, bloomItems, bloomBits)
     val survivors = graft.operators.Dedup
       .dedupIncremental(batch, idCol, textCol, index, "h",
-        IndexBloomItems, IndexBloomBits, precomputedBloom = bloom)
+        bloomItems, bloomBits, precomputedBloom = bloom)
     IdempotentSink.writeBatch(outBase)(survivors, batchId)
     IndexState.append(survivors.select(col("content_hash").as("h")),
-      batchId, indexBase, IndexState.dedupElems, IndexBloomItems, IndexBloomBits)
+      batchId, indexBase, IndexState.dedupElems, bloomItems, bloomBits)
     if (IndexState.shouldCompact(spark, indexBase, maxIndexDirs))
       IndexState.compact(spark, indexBase, IndexState.dedupElems,
-        IndexBloomItems, IndexBloomBits)
+        bloomItems, bloomBits)
   }
 
   /** Streaming IMAGE ingest dedup against an at-rest signature index —
@@ -296,13 +307,14 @@ object StreamPipeline {
       outBase: String, indexBase: String, maxHamming: Int = 3,
       hasher: (DataFrame, String) => DataFrame =
         graft.operators.Multimodal.dHashImages,
-      maxIndexDirs: Int = 64)
+      maxIndexDirs: Int = 64,
+      bloomItems: Long = IndexBloomItems, bloomBits: Long = IndexBloomBits)
       : org.apache.spark.sql.streaming.StreamingQuery =
     images.writeStream
       .option("checkpointLocation", s"$outBase/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dhashIndexBatch(batch, batchId, idCol, outBase, indexBase, maxHamming,
-          hasher, maxIndexDirs)
+          hasher, maxIndexDirs, bloomItems, bloomBits)
       }
       .start()
 
@@ -316,22 +328,24 @@ object StreamPipeline {
       outBase: String, indexBase: String, maxHamming: Int,
       hasher: (DataFrame, String) => DataFrame =
         graft.operators.Multimodal.dHashImages,
-      maxIndexDirs: Int = 64): Unit = {
+      maxIndexDirs: Int = 64,
+      bloomItems: Long = IndexBloomItems,
+      bloomBits: Long = IndexBloomBits): Unit = {
     val spark = batch.sparkSession
     val index = IndexState.read(spark, indexBase, "h BIGINT")
     val bloom = IndexState.currentBloom(spark, indexBase,
-      IndexState.dhashElems(maxHamming), IndexBloomItems, IndexBloomBits)
+      IndexState.dhashElems(maxHamming), bloomItems, bloomBits)
     val sigs = hasher(batch, idCol)
     val survivors = graft.operators.Dedup.dedupIncrementalHamming(
       sigs, idCol, "dhash", index, "h", maxHamming,
-      IndexBloomItems, IndexBloomBits, precomputedBloom = bloom)
+      bloomItems, bloomBits, precomputedBloom = bloom)
     IdempotentSink.writeBatch(outBase)(survivors, batchId)
     IndexState.append(survivors.select(col("dhash").as("h")),
       batchId, indexBase, IndexState.dhashElems(maxHamming),
-      IndexBloomItems, IndexBloomBits)
+      bloomItems, bloomBits)
     if (IndexState.shouldCompact(spark, indexBase, maxIndexDirs))
       IndexState.compact(spark, indexBase, IndexState.dhashElems(maxHamming),
-        IndexBloomItems, IndexBloomBits)
+        bloomItems, bloomBits)
   }
 
   /** Streaming ingest twin of [[graft.operators.CorpusPrep
@@ -369,13 +383,15 @@ object StreamPipeline {
   def splitStreamWithIndex(docs: DataFrame, idCol: String, textCol: String,
       outBase: String, indexBase: String, testPct: Int = 10,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, maxIndexDirs: Int = 64)
+      threshold: Double = 0.5, maxIndexDirs: Int = 64,
+      bloomItems: Long = IndexBloomItems, bloomBits: Long = IndexBloomBits)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", s"$outBase/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         splitIndexBatch(batch, batchId, idCol, textCol, outBase, indexBase,
-          testPct, shingleSize, numHashes, bands, threshold, maxIndexDirs)
+          testPct, shingleSize, numHashes, bands, threshold, maxIndexDirs,
+          bloomItems, bloomBits)
       }
       .start()
 
@@ -393,13 +409,15 @@ object StreamPipeline {
       idCol: String, textCol: String,
       outBase: String, indexBase: String, testPct: Int = 10,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, maxIndexDirs: Int = 64): Unit = {
+      threshold: Double = 0.5, maxIndexDirs: Int = 64,
+      bloomItems: Long = IndexBloomItems,
+      bloomBits: Long = IndexBloomBits): Unit = {
     import graft.functions.{TextFunctions => T}
     val spark = batch.sparkSession
     lazy val index = IndexState.read(spark, indexBase,
       "doc_id BIGINT, side STRING, hs ARRAY<BIGINT>, bands ARRAY<BIGINT>")
     val bloom = IndexState.currentBloom(spark, indexBase,
-      IndexState.splitElems, IndexBloomItems, IndexBloomBits)
+      IndexState.splitElems, bloomItems, bloomBits)
     // Per-doc stickiness (r16 advice): a doc_id re-delivered in a LATER
     // batch (different batchId, so the idempotency marker cannot catch
     // it — e.g. the upstream source replays a range) must keep its
@@ -505,10 +523,10 @@ object StreamPipeline {
         .join(bsig, Seq("doc_id"))
         .select(col("doc_id"), col("side"), col("hs"), col("bands")),
       batchId, indexBase, IndexState.splitElems,
-      IndexBloomItems, IndexBloomBits)
+      bloomItems, bloomBits)
     if (IndexState.shouldCompact(spark, indexBase, maxIndexDirs))
       IndexState.compact(spark, indexBase, IndexState.splitElems,
-        IndexBloomItems, IndexBloomBits)
+        bloomItems, bloomBits)
     biOpt.foreach(_.unpersist(false))
     bsig.unpersist(false)
   }
@@ -817,8 +835,9 @@ object StreamPipeline {
     * into the live generation by atomic rename and re-check — looping
     * until the resolved generation is the one the batch lives in. A
     * batch whose id the new generation already accounts for (merged
-    * partial, tombstone, or the compactor's own straggler sweep) hits
-    * the exists-check and no-ops, so the fold can never double-count. */
+    * partial, manifest-covered, or folded by the compactor's own
+    * straggler sweep) hits the manifest/exists checks and no-ops, so
+    * the fold can never double-count. */
   private[streaming] def foldIfSuperseded(
       spark: org.apache.spark.sql.SparkSession, stateBase: String,
       committedGen: String, batchId: Long): Unit = {
@@ -844,6 +863,10 @@ object StreamPipeline {
       fromGen: String, toGen: String, batchId: Long): Unit = {
     val src = new org.apache.hadoop.fs.Path(s"$fromGen/batch=$batchId")
     val dst = new org.apache.hadoop.fs.Path(s"$toGen/batch=$batchId")
+    // an id the target generation's manifest covers is already inside
+    // its merged dir — renaming the old dir in would double-count
+    if (IdempotentSink.isCompacted(fs,
+        new org.apache.hadoop.fs.Path(toGen), batchId)) return
     if (!fs.exists(dst)) {
       val moved =
         try fs.rename(src, dst)
@@ -857,8 +880,9 @@ object StreamPipeline {
   /** Current value of the streamed rollup: re-aggregate every committed
     * partial of the CURRENT generation (see [[compactRollup]]).
     * Returns None when no batch has committed yet. Marker-only
-    * tombstone dirs left by compaction carry no files and contribute
-    * nothing to the read. */
+    * compacted-away batches have no dirs at all (their ids live in
+    * the generation's `_COMPACTED` manifest), so the read lists only
+    * real partials. */
   def currentRollup(spark: org.apache.spark.sql.SparkSession,
       stateBase: String, keys: Seq[String]): Option[DataFrame] = {
     val gen = resolveGen(spark, stateBase)
@@ -891,7 +915,7 @@ object StreamPipeline {
     * stale _SUCCESS markers then swallowed replays forever). A
     * half-built pointer is impossible (rename is atomic) and a
     * half-built GENERATION is invisible (its pointer is only written
-    * after the generation's data + tombstones are fully committed). */
+    * after the generation's data + manifest are fully committed). */
   private[streaming] def resolveGen(spark: org.apache.spark.sql.SparkSession,
       base: String): String = {
     val basePath = new org.apache.hadoop.fs.Path(base)
@@ -918,10 +942,13 @@ object StreamPipeline {
     *
     *  1. the merged partial is written to a NEW generation dir under
     *     the highest committed batch id;
-    *  2. every other compacted batch id gets a marker-only TOMBSTONE in
-    *     the new generation, so an at-least-once replay of a compacted
-    *     batch still skips — its rows are inside the merged partial,
-    *     and double-entry is the failure compaction must not introduce;
+    *  2. every compacted batch id is recorded in the new generation's
+    *     `_COMPACTED` range manifest ([[IdempotentSink.compactedRanges]]
+    *     — one file of coalesced id ranges, NOT one marker dir per id,
+    *     whose count grew with total batches ever), so an at-least-once
+    *     replay of a compacted batch still skips — its rows are inside
+    *     the merged partial, and double-entry is the failure compaction
+    *     must not introduce;
     *  3. a NEW numbered pointer file `CURRENT-<n>` is created
     *     (tmp-write + rename to a never-before-existing name — the
     *     pointer state never passes through a deleted window, see
@@ -936,9 +963,9 @@ object StreamPipeline {
     * renames the pointer at T_r; the post-swap sweep lists at T_s):
     *
     *  - T_c ≤ T_l: the batch is either in the snapshot (merged /
-    *    tombstoned) or the re-list differs from the snapshot and the
-    *    half-built generation is discarded and retried — a batch
-    *    missing from BOTH merge and tombstones never survives to a
+    *    manifest-covered) or the re-list differs from the snapshot
+    *    and the half-built generation is discarded and retried — a
+    *    batch missing from BOTH merge and manifest never survives to a
     *    swap;
     *  - T_l < T_c ≤ T_s: the post-rename STRAGGLER SWEEP re-lists the
     *    old generation and folds any committed batch id outside the
@@ -949,7 +976,7 @@ object StreamPipeline {
     *
     * Both folders go through the same exists-check + atomic-rename
     * ([[foldBatchDir]]), so a batch already accounted for in the new
-    * generation (merged, tombstoned, or folded by the other party)
+    * generation (merged, manifest-covered, or folded by the other party)
     * no-ops — fold can move a batch at most once. The r11 design relied
     * on checkpoint replay to recover the T_l < T_c case, which is wrong
     * in a healthy run: foreachBatch success commits the batch to the
@@ -957,7 +984,8 @@ object StreamPipeline {
     *
     * Needed because the partial-per-batch layout grows by one dir per
     * micro-batch forever; after compaction the read side re-SUMs ONE
-    * data dir (plus tombstones) regardless of stream age. */
+    * data dir regardless of stream age, and the replay-skip manifest
+    * is one bounded file. */
   def compactRollup(spark: org.apache.spark.sql.SparkSession,
       stateBase: String, keys: Seq[String], attempts: Int = 3): Unit =
     compactState(spark, stateBase, attempts)(
@@ -967,11 +995,11 @@ object StreamPipeline {
     * (merge = re-SUM of the additive partials) and
     * [[IndexState.compact]] (merge = plain union of append-only rows,
     * plus a merged bloom sidecar via `postWrite`): snapshot → merged
-    * write → tombstones → writer-race check → pointer swap → straggler
+    * write → manifest → writer-race check → pointer swap → straggler
     * sweep, exactly the crash/concurrency protocol documented above.
     * `merge` receives the snapshot's committed dirs; `postWrite`
     * receives (fs, the merged batch dir, the snapshot dirs) after the
-    * merged data commit and before the tombstones — anything it writes
+    * merged data commit and before the manifest — anything it writes
     * into the merged dir rides every later fold/rename atomically. */
   private[streaming] def compactState(
       spark: org.apache.spark.sql.SparkSession,
@@ -1003,13 +1031,19 @@ object StreamPipeline {
     postWrite(fs,
       new org.apache.hadoop.fs.Path(s"$stateBase/$newGen/batch=${ids.max}"),
       committed)
-    for (id <- ids if id != ids.max) {
-      val d = new org.apache.hadoop.fs.Path(s"$stateBase/$newGen/batch=$id")
-      fs.mkdirs(d)
-      fs.create(new org.apache.hadoop.fs.Path(d, "_SUCCESS"), true).close()
-    }
+    // replay suppression for the folded ids: ONE manifest of coalesced
+    // ranges, carrying the OLD generation's manifest forward — not one
+    // marker dir per id, whose count grew with total batches ever and
+    // made the per-batch generation walk O(stream age) (ADVICE r17).
+    // ids.max is covered by the merged dir's own _SUCCESS marker but is
+    // included anyway so contiguous id histories stay a single range.
+    IdempotentSink.writeCompactedRanges(fs,
+      new org.apache.hadoop.fs.Path(s"$stateBase/$newGen"),
+      IdempotentSink.coalesceRanges(
+        IdempotentSink.compactedRanges(fs, new org.apache.hadoop.fs.Path(gen)),
+        ids))
     // writer-race check: anything committed into the old generation
-    // since the snapshot is in neither the merge nor the tombstones —
+    // since the snapshot is in neither the merge nor the manifest —
     // discard this generation and retry on the fresh snapshot
     val now = IdempotentSink.committedDirs(spark, gen)
       .map(_.replaceAll(".*batch=", "").toLong)
@@ -1026,7 +1060,7 @@ object StreamPipeline {
       throw new java.io.IOException(s"pointer swap failed for $stateBase")
     // straggler sweep: a batch that committed into the old generation
     // after the re-list above is in neither the merge nor the
-    // tombstones — fold it into the new generation (atomic rename,
+    // manifest — fold it into the new generation (atomic rename,
     // no-op if the writer's own foldIfSuperseded got there first)
     val idSet = ids.toSet
     IdempotentSink.committedDirs(spark, gen)

@@ -28,6 +28,31 @@ class IdempotentSinkSpec extends SparkSpec {
     assert(all.filter(col("batch") === 1).count() == 5, "torn attempt repaired")
   }
 
+  test("compacted-id ranges: coalescing, manifest round-trip, writeBatch skip") {
+    // adjacency and overlap coalesce; gaps stay separate ranges
+    assert(IdempotentSink.coalesceRanges(Nil, Seq(0L, 1L, 2L)) == Seq((0L, 2L)))
+    assert(IdempotentSink.coalesceRanges(Seq((0L, 4L)), Seq(5L, 6L)) == Seq((0L, 6L)))
+    assert(IdempotentSink.coalesceRanges(Seq((0L, 2L)), Seq(7L, 8L, 4L)) ==
+      Seq((0L, 2L), (4L, 4L), (7L, 8L)))
+    assert(IdempotentSink.coalesceRanges(Seq((0L, 5L), (3L, 9L)), Nil) == Seq((0L, 9L)))
+    val base = java.nio.file.Files.createTempDirectory("graft-idem-man").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(base)
+    assert(IdempotentSink.compactedRanges(fs, p).isEmpty, "no manifest → empty")
+    IdempotentSink.writeCompactedRanges(fs, p, Seq((0L, 3L), (7L, 7L)))
+    assert(IdempotentSink.compactedRanges(fs, p) == Seq((0L, 3L), (7L, 7L)))
+    assert(IdempotentSink.isCompacted(fs, p, 2L) && IdempotentSink.isCompacted(fs, p, 7L))
+    assert(!IdempotentSink.isCompacted(fs, p, 5L))
+    // a replay of a manifest-covered id writes nothing
+    IdempotentSink.writeBatch(base)((1 to 5).toDF("v"), 2L)
+    assert(!new java.io.File(s"$base/batch=2").exists(),
+      "manifest-covered replay must not create a dir")
+    // an uncovered id still lands
+    IdempotentSink.writeBatch(base)((1 to 5).toDF("v"), 5L)
+    assert(new java.io.File(s"$base/batch=5/_SUCCESS").exists())
+  }
+
   test("wired as a real foreachBatch sink over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-idem-stream").toString

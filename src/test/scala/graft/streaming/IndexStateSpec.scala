@@ -110,6 +110,117 @@ class IndexStateSpec extends SparkSpec {
     assert(IndexState.shouldCompact(spark, base, maxDirs = 2))
   }
 
+  test("compaction writes a range manifest, not tombstone dirs: generation stays flat") {
+    val out = tmp("man-out") + "/out"
+    val idx = tmp("man-idx") + "/index"
+    def batchOf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // many batches under the most hostile schedule (compact ~every
+    // batch): with per-id tombstones the generation accumulated one
+    // marker dir per batch EVER (re-tombstoned each rollover — the
+    // ADVICE r17 O(stream age) metadata walk); with the manifest the
+    // generation holds only real data dirs, forever
+    (0 until 8).foreach { b =>
+      StreamPipeline.dedupIndexBatch(
+        batchOf((b * 10L, s"body number $b")), b.toLong, "doc_id", "text",
+        out, idx, maxIndexDirs = 2)
+    }
+    val gen = StreamPipeline.resolveGen(spark, idx)
+    val dirs = new java.io.File(gen).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(dirs.length <= 2,
+      s"generation must hold only live data dirs, got ${dirs.map(_.getName).toSeq}")
+    assert(dirs.forall(d => d.listFiles().exists(_.getName.endsWith(".parquet"))),
+      "no marker-only dirs may remain in the generation")
+    val fs = new org.apache.hadoop.fs.Path(gen)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // contiguous ids coalesce to ONE range no matter how many rollovers
+    val ranges = IdempotentSink.compactedRanges(fs,
+      new org.apache.hadoop.fs.Path(gen))
+    assert(ranges.size == 1 && ranges.head._1 == 0L,
+      s"contiguous history must stay one range, got $ranges")
+    // replay of an ancient compacted id skips via the manifest
+    val pre = spark.read.parquet(out).count()
+    val preIdx = IndexState.read(spark, idx, "h STRING").count()
+    StreamPipeline.dedupIndexBatch(
+      batchOf((0L, "body number 0")), 0L, "doc_id", "text", out, idx,
+      maxIndexDirs = 2)
+    assert(spark.read.parquet(out).count() == pre, "replay must skip output")
+    assert(IndexState.read(spark, idx, "h STRING").count() == preIdx,
+      "replay must not re-append index rows")
+  }
+
+  test("merged-dir sidecar loss after the pointer swap heals from the merged rows") {
+    val out = tmp("mheal-out") + "/out"
+    val idx = tmp("mheal-idx") + "/index"
+    def batchOf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    StreamPipeline.dedupIndexBatch(
+      batchOf((1L, "alpha body")), 0L, "doc_id", "text", out, idx, maxIndexDirs = 2)
+    StreamPipeline.dedupIndexBatch(
+      batchOf((2L, "beta body")), 1L, "doc_id", "text", out, idx, maxIndexDirs = 2)
+    // the state is compacted to one merged dir; lose ITS sidecar (the
+    // one heal NOT single-batch bounded — cost = the compacted corpus,
+    // once; reachable via object-store corruption or manual deletion)
+    assert(IndexState.committedData(spark, idx).size == 1,
+      "fixture expects a compacted state")
+    val gen = StreamPipeline.resolveGen(spark, idx)
+    val dataDirs = new java.io.File(gen).listFiles().filter(d =>
+      d.isDirectory && d.getName.startsWith("batch=") &&
+        d.listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(dataDirs.length == 1, s"got ${dataDirs.map(_.getName).toSeq}")
+    val f = new java.io.File(dataDirs.head, "_bloom")
+    assert(f.exists(), s"fixture expects a merged sidecar at $f")
+    assert(f.delete())
+    // the next batch's fold heals it from the merged dir's own rows and
+    // the gate still drops duplicates of BOTH compacted batches
+    StreamPipeline.dedupIndexBatch(
+      batchOf((3L, "alpha body"), (4L, "beta body"), (5L, "gamma body")),
+      2L, "doc_id", "text", out, idx, maxIndexDirs = Int.MaxValue)
+    assert(f.exists(), "merged sidecar must be healed in place")
+    val survivors = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 5L), s"got $survivors")
+  }
+
+  test("a corrupt sidecar is quarantined and healed, not a permanent wedge") {
+    val out = tmp("cor-out") + "/out"
+    val idx = tmp("cor-idx") + "/index"
+    def batchOf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    StreamPipeline.dedupIndexBatch(
+      batchOf((1L, "alpha body")), 0L, "doc_id", "text", out, idx,
+      maxIndexDirs = Int.MaxValue)
+    // torn write: garbage bytes where the serialized filter belongs —
+    // pre-fix, BloomFilter.readFrom threw on EVERY subsequent batch
+    val bloomFile = new java.io.File(s"$idx/batch=0/_bloom")
+    assert(bloomFile.exists())
+    java.nio.file.Files.write(bloomFile.toPath,
+      Array[Byte](1, 2, 3, 4, 5, 6, 7))
+    StreamPipeline.dedupIndexBatch(
+      batchOf((2L, "alpha body"), (3L, "beta body")), 1L, "doc_id", "text",
+      out, idx, maxIndexDirs = Int.MaxValue)
+    val survivors = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L), s"got $survivors")
+    // healed: the sidecar parses again
+    assert(IndexState.saturation(
+      java.nio.file.Files.readAllBytes(bloomFile.toPath)) >= 0.0)
+  }
+
+  test("geometry re-size mid-stream: incompatible sidecars migrate on the next fold") {
+    val base = tmp("geo") + "/state"
+    val elems = (idx: org.apache.spark.sql.DataFrame) =>
+      idx.select(xxhash64(col("h").cast("string")).as("_e"))
+    IndexState.append((1L to 50L).toDF("h"), 0L, base, elems, 1000L, 1L << 16)
+    IndexState.append((51L to 100L).toDF("h"), 1L, base, elems, 1000L, 1L << 16)
+    // the caller re-sizes after a saturation warning; at-rest sidecars
+    // still carry the old geometry. Force the mixed-geometry state a
+    // live stream would hit: one dir already healed at the NEW geometry
+    assert(new java.io.File(s"$base/batch=0/_bloom").delete())
+    val folded = IndexState.currentBloom(spark, base, elems, 4000L, 1L << 18)
+    assert(folded.isDefined, "migration must produce a folded filter, not throw")
+    val probed = (1L to 100L).toDF("v")
+      .select(IndexState.mightContain(folded.get, xxhash64(col("v").cast("string"))).as("hit"))
+      .collect().forall(_.getBoolean(0))
+    assert(probed, "no false negatives across the migrated fold")
+  }
+
   test("split twin: outputs invariant under a hostile compaction schedule; poisoning survives") {
     import graft.functions.{TextFunctions => T}
     def toks = (0 until 40).map(i => s"ixw$i")
