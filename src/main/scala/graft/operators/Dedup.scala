@@ -1278,4 +1278,71 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select(col(idCol), col("span_start"), col("span_len"), col("n_windows"))
   }
+
+  /** The SCRUB half of [[exactSubstrSpans]] — Lee et al. 2022's actual
+    * dedup action, not just the report: CUT every cross-document
+    * exact-substring span from all but one copy. Per duplicated
+    * `window`-token fingerprint the KEEPER is the minimum doc id
+    * holding it (keep-one-copy — the paper removes all but the first
+    * occurrence in suffix-array order; min-id is the deterministic
+    * relational analogue); every flagged position outside its keeper
+    * doc merges into maximal runs exactly as in [[exactSubstrSpans]],
+    * and the covered tokens are dropped. This closes the curation gap
+    * the r17 verdict named: [[chunkScrub]]'s fixed grid misses a
+    * duplicate straddling a grid line, so boundary-straddling
+    * boilerplate still shipped in the curated export
+    * ([[graft.pipeline.CurationChain]]'s substr variant wires this in;
+    * DedupSpec plants exactly that miss).
+    *
+    * Output one row per input document, TOKEN space (the normalized
+    * [[graft.functions.TextFunctions.tokens]] grain the fingerprints
+    * are computed over): (idCol, text_scrubbed, n_tokens, n_removed).
+    * Documents shorter than `window` tokens pass through verbatim
+    * (normalized); within-keeper repeats are q198's docChunkDedup job.
+    *
+    * Scale shape: identical to [[exactSubstrSpans]] — token-grain
+    * postings, two-phase distinct census (plus a min(doc) riding the
+    * same aggregate), semi-shaped join back, doc-partitioned run
+    * window; NO pair emission at any df. The reconstruction joins the
+    * doc-grain span list (bounded per doc) back to the token arrays
+    * and drops covered tokens with an array HOF riding the scan — the
+    * text is scanned twice (fingerprints, reconstruction), never
+    * shuffled at token grain with its payload. md5-prefix hash family
+    * → DuckDB-replayable end to end (q214). */
+  def exactSubstrScrub(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 50, minDocs: Int = 2): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    require(window >= 1 && minDocs >= 2)
+    val toks = Fanout.forKernel(df)
+      .select(col(idCol), T.tokens(col(textCol)).as("_t"))
+    val wins = toks.filter(size(col("_t")) >= window)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("_t")) - window + 1),
+          i => T.md5Hash64(concat_ws(" ", slice(col("_t"), i, lit(window)))))))
+      .select(col(idCol), (col("pos") + 1).as("_p"), col("col").as("_h"))
+    val dupH = wins.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_nd"), min(col(idCol)).as("_keep"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_h"), col("_keep"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_p"))
+    val spans = wins.join(dupH, Seq("_h"))
+      .filter(col(idCol) =!= col("_keep"))
+      .select(col(idCol), col("_p"))
+      .withColumn("_run", col("_p") - row_number().over(byDoc))
+      .groupBy(col(idCol), col("_run"))
+      .agg(min(col("_p")).as("_s"), (max(col("_p")) + window - 1).as("_e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("_s"), col("_e"))).as("_spans"))
+    toks.join(spans, Seq(idCol), "left")
+      .withColumn("_kept", when(col("_spans").isNull, col("_t"))
+        .otherwise(filter(col("_t"), (_, i) =>
+          !exists(col("_spans"), s =>
+            (i + 1) >= s.getField("_s") && (i + 1) <= s.getField("_e")))))
+      .select(
+        col(idCol),
+        array_join(col("_kept"), " ").as("text_scrubbed"),
+        size(col("_t")).cast("long").as("n_tokens"),
+        (size(col("_t")) - size(col("_kept"))).cast("long").as("n_removed"))
+  }
 }

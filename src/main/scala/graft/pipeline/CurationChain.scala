@@ -41,6 +41,20 @@ object CurationChain {
         graft.functions.TextFunctions.md5ShingleHashes,
       ngram: Int = 3, maxDfShare: Int = 15, minContainmentFp: Long = 13108L,
       chunkTokens: Int = 10, minDocs: Int = 2): DataFrame = {
+    val finalKept = prunedKeepers(docs, idCol, textCol, shingleSize,
+      numHashes, bands, threshold, shingleHasher, ngram, maxDfShare,
+      minContainmentFp)
+    graft.operators.Dedup.chunkScrub(docs.join(finalKept, idCol),
+      idCol, textCol, chunkTokens = chunkTokens, minDocs = minDocs)
+  }
+
+  /** Stages 1+2 shared by both scrub variants: near-dedup keeper
+    * election, then containment pruning over the deduped corpus. */
+  private def prunedKeepers(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int, threshold: Double,
+      shingleHasher: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column,
+      ngram: Int, maxDfShare: Int, minContainmentFp: Long): DataFrame = {
     val D = graft.operators.Dedup
     val kept = D.minhashLsh(docs, idCol, textCol,
         shingleSize, numHashes, bands, threshold,
@@ -51,9 +65,32 @@ object CurationChain {
         ngram = ngram, maxDfShare = maxDfShare,
         minContainmentFp = minContainmentFp)
       .select(col("inner_id").as(idCol)).distinct()
-    val finalKept = kept.join(contained, Seq(idCol), "left_anti")
-    D.chunkScrub(docs.join(finalKept, idCol), idCol, textCol,
-      chunkTokens = chunkTokens, minDocs = minDocs)
+    kept.join(contained, Seq(idCol), "left_anti")
+  }
+
+  /** [[curate]] with the ALL-ALIGNMENT scrub stage: near-dedup and
+    * containment pruning as above, then
+    * [[graft.operators.Dedup.exactSubstrScrub]] (q214) instead of the
+    * fixed-grid [[graft.operators.Dedup.chunkScrub]] (q197) — the
+    * keep-one-copy cut of every cross-document `window`-token repeat,
+    * at ANY token offset. Closes the export gap the r17 verdict named:
+    * a duplicate straddling the chunk grid passes chunkScrub and
+    * shipped in the q203 export; here it is cut from every doc but the
+    * keeper (CurationChainSpec plants exactly that corpus). Output is
+    * token-space: (idCol, text_scrubbed, n_tokens, n_removed). */
+  def curateSubstr(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5,
+      shingleHasher: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+        graft.functions.TextFunctions.md5ShingleHashes,
+      ngram: Int = 3, maxDfShare: Int = 15, minContainmentFp: Long = 13108L,
+      window: Int = 16, minDocs: Int = 2): DataFrame = {
+    val finalKept = prunedKeepers(docs, idCol, textCol, shingleSize,
+      numHashes, bands, threshold, shingleHasher, ngram, maxDfShare,
+      minContainmentFp)
+    graft.operators.Dedup.exactSubstrScrub(docs.join(finalKept, idCol),
+      idCol, textCol, window = window, minDocs = minDocs)
   }
 
   /** Streaming-twin batch half: containment + scrub over the committed
@@ -79,12 +116,16 @@ object CurationChain {
 
   /** One-row stats artifact over a LANDED curated export (read back
     * from parquet so the chain is never re-evaluated): input size,
-    * export size, and chunk-level scrub totals — the numbers a corpus
-    * release note carries. */
-  def stats(nInput: Long, curated: DataFrame): DataFrame =
+    * export size, and scrub totals — the numbers a corpus release note
+    * carries. Works over either scrub grain (the column names stay
+    * fixed for consumers; units are chunks for [[curate]], tokens for
+    * [[curateSubstr]]). */
+  def stats(nInput: Long, curated: DataFrame): DataFrame = {
+    val unit = if (curated.columns.contains("n_chunks")) "n_chunks" else "n_tokens"
     curated.agg(
       lit(nInput).as("n_input"),
       count(lit(1)).as("n_exported"),
-      sum(col("n_chunks")).as("chunks_total"),
+      sum(col(unit)).as("chunks_total"),
       sum(col("n_removed")).as("chunks_removed"))
+  }
 }

@@ -1327,6 +1327,70 @@ object Curation {
         FROM flagged GROUP BY doc_id, run"""),
       (s, dir) => graft.operators.Dedup.exactSubstrSpans(
         graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents")),
+        "doc_id", "text", window = 16, minDocs = 2)),
+
+    // ---- q214: exact-substring SCRUB (round 18) — the consumer-facing
+    // action for q213's spans (the r17 verdict: the spans report
+    // existed but nothing removed them, so boundary-straddling
+    // duplicates still shipped in the curated export). Keep-one-copy
+    // on the window-hash census: the MIN doc id holding a duplicated
+    // 16-token window keeps its copy, every other doc's flagged runs
+    // are cut at token grain. The oracle replays tokenization, the
+    // window hashes, the keeper census, run assembly, and the
+    // token-level reconstruction. ----
+    QuerySpec(
+      "q214_exact_substr_scrub",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, CASE WHEN nrm = '' THEN [] ELSE string_split(nrm, ' ') END AS t
+          FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm
+                FROM documents)
+        ), wins AS (
+          SELECT doc_id, p,
+                 CAST(CASE WHEN hu >= 9223372036854775808
+                           THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS h
+          FROM (
+            SELECT doc_id, i AS p,
+                   list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                     list_transform(range(1, 17),
+                       k -> CAST(strpos('0123456789abcdef', m[k]) - 1 AS HUGEINT))),
+                     (acc, d) -> acc * 16 + d) AS hu
+            FROM (
+              SELECT doc_id, i, md5(array_to_string(t[i:i+15], ' ')) AS m
+              FROM toks, UNNEST(range(1, len(t) - 16 + 2)) AS ti(i)))
+        ), census AS (
+          SELECT h, MIN(doc_id) AS keep
+          FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        ), flagged AS (
+          SELECT w.doc_id, w.p,
+                 w.p - ROW_NUMBER() OVER (PARTITION BY w.doc_id ORDER BY w.p) AS run
+          FROM wins w JOIN census c USING (h) WHERE w.doc_id <> c.keep
+        ), spans AS (
+          SELECT doc_id, MIN(p) AS s, MAX(p) + 16 - 1 AS e
+          FROM flagged GROUP BY doc_id, run
+        ), removed AS (
+          SELECT DISTINCT doc_id, i
+          FROM spans, UNNEST(range(s, e + 1)) AS ti(i)
+        ), tokrows AS (
+          SELECT doc_id, i, t[i] AS tok
+          FROM toks, UNNEST(range(1, len(t) + 1)) AS ti(i)
+        ), keptagg AS (
+          SELECT tr.doc_id,
+                 string_agg(tr.tok, ' ' ORDER BY tr.i)
+                   FILTER (WHERE r.i IS NULL) AS txt,
+                 COUNT(*) AS n_toks,
+                 COUNT(r.i) AS n_rm
+          FROM tokrows tr
+          LEFT JOIN removed r ON r.doc_id = tr.doc_id AND r.i = tr.i
+          GROUP BY tr.doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(k.txt, '') AS text_scrubbed,
+               COALESCE(k.n_toks, 0) AS n_tokens,
+               COALESCE(k.n_rm, 0) AS n_removed
+        FROM toks t LEFT JOIN keptagg k USING (doc_id)"""),
+      (s, dir) => graft.operators.Dedup.exactSubstrScrub(
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents")),
         "doc_id", "text", window = 16, minDocs = 2))
   )
 }

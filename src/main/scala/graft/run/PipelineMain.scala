@@ -22,6 +22,12 @@ import org.apache.spark.sql.SparkSession
   *                 job: near-dedup → containment → span scrub
   *                 ([[graft.pipeline.CurationChain]]).
   *
+  *   PipelineMain curate-substr <corpusDir> <outDir>
+  *     the same chain with the all-alignment exact-substring scrub
+  *     ([[graft.operators.Dedup.exactSubstrScrub]], q214) as the final
+  *     stage — keep-one-copy removal of boundary-straddling repeats
+  *     the fixed chunk grid misses.
+  *
   *   PipelineMain curate-landed <landedBase> <outDir>
   *     landedBase — committed batch=N dirs written by the streaming
   *                  ingest ([[graft.streaming.StreamPipeline.dedupStreamWithIndex]]);
@@ -61,6 +67,12 @@ object PipelineMain {
           graft.Tables.load(spark, corpusDir, "documents"))
         runCurate(spark, docs.count(),
           CurationChain.curate(docs, "doc_id", "text"), outDir)
+      case Some("curate-substr") =>
+        val Array(_, corpusDir, outDir) = args.take(3)
+        val docs = graft.operators.Fanout.forKernel(
+          graft.Tables.load(spark, corpusDir, "documents"))
+        runCurate(spark, docs.count(),
+          CurationChain.curateSubstr(docs, "doc_id", "text"), outDir)
       case Some("curate-landed") =>
         val Array(_, landedBase, outDir) = args.take(3)
         val nInput = graft.streaming.IdempotentSink

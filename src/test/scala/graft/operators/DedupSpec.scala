@@ -358,6 +358,39 @@ class DedupSpec extends SparkSpec {
     assert(spans(2L) == ((10L, 16L, 1L)), s"doc B span: $spans")
   }
 
+  test("exactSubstrScrub cuts the straddling duplicate from every doc but the keeper") {
+    // Same planted corpus as the spans test: chunkScrub's 8-token grid
+    // removes NOTHING (asserted there), so the grid-based curation
+    // export ships the 16-token copy twice. The scrub's keep-one-copy
+    // census (keeper = min doc id per window hash) keeps doc 1's copy
+    // verbatim and cuts doc 2's at its own offset.
+    val shared = (0 until 16).map(i => s"dup$i")
+    val aToks = (0 until 5).map(i => s"a$i") ++ shared ++
+      (0 until 7).map(i => s"atail$i")
+    val bToks = (0 until 9).map(i => s"b$i") ++ shared ++
+      (0 until 3).map(i => s"btail$i")
+    val docs = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrScrub(docs, "doc_id", "text", window = 16)
+      .select("doc_id", "text_scrubbed", "n_tokens", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out(1L) == ((aToks.mkString(" "), 28L, 0L)), s"keeper: ${out(1L)}")
+    assert(out(2L) == ((
+      ((0 until 9).map(i => s"b$i") ++ (0 until 3).map(i => s"btail$i"))
+        .mkString(" "), 28L, 16L)), s"non-keeper: ${out(2L)}")
+    // three-way: the min doc keeps, BOTH others are cut; a doc shorter
+    // than the window passes through untouched; partition-invariant
+    val docs3 = Seq(
+      (5L, (Seq("c1") ++ shared).mkString(" ")),
+      (3L, aToks.mkString(" ")),
+      (9L, bToks.mkString(" ")),
+      (7L, "tiny doc")).toDF("doc_id", "text").repartition(7)
+    val out3 = Dedup.exactSubstrScrub(docs3, "doc_id", "text", window = 16)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    assert(out3 == Map(3L -> 0L, 5L -> 16L, 9L -> 16L, 7L -> 0L), s"got $out3")
+  }
+
   test("exactSubstrSpans: runs merge, within-doc repeats don't self-flag, partition-invariant") {
     // 20 shared tokens at window 16 → 5 flagged positions merging into
     // one span of 20 tokens; a doc repeating ITS OWN phrase is not

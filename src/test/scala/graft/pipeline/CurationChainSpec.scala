@@ -33,6 +33,48 @@ class CurationChainSpec extends SparkSpec {
     assert(r.getAs[Long]("n_input") == docs.count())
   }
 
+  test("curateSubstr removes the boundary-straddling duplicate the chunk-grid export ships") {
+    // The r17 verdict's gap, end to end: two docs share a 16-token run
+    // at offsets 5 and 9 — OFF the 10-token chunk grid, so q203's
+    // chunkScrub stage bans nothing and the copy ships twice in the
+    // curated export. The docs are otherwise disjoint (jaccard far
+    // below 0.5, no containment), so both survive stages 1+2 of BOTH
+    // chains; only the scrub stage differs.
+    val shared = (0 until 16).map(i => s"dup$i")
+    val dA = ((0 until 5).map(i => s"ar$i") ++ shared ++
+      (0 until 14).map(i => s"at$i")).mkString(" ")
+    val dB = ((0 until 9).map(i => s"br$i") ++ shared ++
+      (0 until 10).map(i => s"bt$i")).mkString(" ")
+    val fillers = (0 until 4).map(k =>
+      (10L + k, (0 until 30).map(i => s"fill${k}x$i").mkString(" ")))
+    val docs = (Seq((1L, dA), (2L, dB)) ++ fillers).toDF("doc_id", "text")
+    val grid = CurationChain.curate(docs, "doc_id", "text")
+      .select("doc_id", "text_scrubbed", "n_removed")
+      .as[(Long, String, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(grid.keySet == Set(1L, 2L, 10L, 11L, 12L, 13L),
+      s"all docs must survive stages 1+2: ${grid.keySet}")
+    assert(grid(1L)._2 == 0L && grid(2L)._2 == 0L &&
+      grid(1L)._1.contains("dup5") && grid(2L)._1.contains("dup5"),
+      s"fixture must defeat the grid scrub (copy ships twice): $grid")
+    val substr = CurationChain.curateSubstr(docs, "doc_id", "text")
+      .select("doc_id", "text_scrubbed", "n_tokens", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(substr.keySet == grid.keySet, "same survivors, different scrub")
+    assert(substr(1L)._3 == 0L && substr(1L)._1.contains("dup5"),
+      s"keeper keeps its copy: ${substr(1L)}")
+    assert(substr(2L)._3 == 16L && !substr(2L)._1.contains("dup"),
+      s"non-keeper is cut: ${substr(2L)}")
+    // the job wrapper + stats artifact work over the token-grain schema
+    val out = java.nio.file.Files.createTempDirectory("graft-substr").toString
+    graft.run.PipelineMain.runCurate(spark, docs.count(),
+      CurationChain.curateSubstr(docs, "doc_id", "text"), out)
+    val stats = spark.read.json(s"$out/stats").collect().head
+    assert(stats.getAs[Long]("chunks_removed") == 16L, s"stats: $stats")
+    assert(stats.getAs[Long]("n_exported") == 6L)
+  }
+
   test("streaming ingest + nightly curate-landed converges to the batch chain") {
     // duplicates are EXACT and first arrivals carry the minimum id, so
     // the online exact-dedup stage elects the same keepers the batch
