@@ -48,6 +48,21 @@ object StreamStateBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffle-state reclamation matching Bench.scala: 50 batches of
+      // multi-join plans in one JVM leak shuffle files until the
+      // ContextCleaner GCs their RDDs (hourly by default — never
+      // within a run); without this the late batches measure
+      // accumulated-state pressure, not the operator
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      // split-size floor matching Bench.scala: a freshly compacted
+      // index is ONE ~tens-of-MB dir — at the default 128 MiB
+      // maxPartitionBytes it scans on a single core and every
+      // post-compaction batch serializes its index reads (measured as
+      // a 2x per-batch level shift at each compaction point). At
+      // production scale the default is right (the compacted index is
+      // thousands of 128 MiB splits); this sizes splits to the bench.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", s"${4 * 1024 * 1024}"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val root = java.nio.file.Files.createTempDirectory("graft-ssb").toString

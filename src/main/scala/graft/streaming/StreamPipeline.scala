@@ -278,7 +278,11 @@ object StreamPipeline {
       .dedupIncremental(batch, idCol, textCol, index, "h",
         bloomItems, bloomBits, precomputedBloom = bloom)
     IdempotentSink.writeBatch(outBase)(survivors, batchId)
-    IndexState.append(survivors.select(col("content_hash").as("h")),
+    // index rows from the COMMITTED output, not the live plan — the
+    // survivors DAG would otherwise evaluate twice per batch
+    IndexState.append(
+      spark.read.parquet(s"$outBase/batch=$batchId")
+        .select(col("content_hash").as("h")),
       batchId, indexBase, IndexState.dedupElems, bloomItems, bloomBits)
     if (IndexState.shouldCompact(spark, indexBase, maxIndexDirs))
       IndexState.compact(spark, indexBase, IndexState.dedupElems,
@@ -340,7 +344,12 @@ object StreamPipeline {
       sigs, idCol, "dhash", index, "h", maxHamming,
       bloomItems, bloomBits, precomputedBloom = bloom)
     IdempotentSink.writeBatch(outBase)(survivors, batchId)
-    IndexState.append(survivors.select(col("dhash").as("h")),
+    // index rows from the COMMITTED output, not the live plan — the
+    // survivors DAG (decode + hash + banded join) would otherwise
+    // evaluate twice per batch
+    IndexState.append(
+      spark.read.parquet(s"$outBase/batch=$batchId")
+        .select(col("dhash").as("h")),
       batchId, indexBase, IndexState.dhashElems(maxHamming),
       bloomItems, bloomBits)
     if (IndexState.shouldCompact(spark, indexBase, maxIndexDirs))
@@ -469,14 +478,47 @@ object StreamPipeline {
         xxhash64(col("b"), col("k"))))
       if (cand.isEmpty) None
       else {
-        val iband = index.select(col("doc_id").as("i_id"), col("hs").as("i_hs"),
-            posexplode(col("bands")))
-          .select(col("i_id"), col("i_hs"), col("pos").as("b"), col("col").as("k"))
-        Some(cand.join(iband, Seq("b", "k"))
-          .select(col("doc_id"), col("i_id"), col("hs"), col("i_hs")).distinct()
+        // IDS-ONLY through the explode + band join + pair distinct
+        // (r18): the previous form carried BOTH 32-long minhash
+        // signatures through the index-side band explode and a
+        // pair-grain distinct, so every duplicate-bearing batch
+        // shuffled landed-corpus × signature-width bytes — measured
+        // tail/head 3.0 over 50 batches at a steady 30% dup rate
+        // (StreamStateBench split dup30). Narrow rows ride the heavy
+        // exchanges; the signatures re-attach afterwards, batch side
+        // from the persisted bsig, index side semi-filtered to the
+        // DISTINCT touched docs (duplicate-pressure-sized, not
+        // corpus-sized).
+        val iband = index.select(col("doc_id").as("i_id"), posexplode(col("bands")))
+          .select(col("i_id"), col("pos").as("b"), col("col").as("k"))
+        // broadcast the BATCH-BOUNDED side (cand ⊆ bband, ≤ batch ×
+        // bands rows by construction) so the corpus-sized exploded
+        // index STREAMS through a map-side hash join — without the
+        // hint the planner shuffles all of iband on (b, k) every
+        // duplicate-bearing batch, a corpus-linear exchange
+        val candPairs = iband
+          .join(broadcast(cand.select(col("doc_id"), col("b"), col("k"))),
+            Seq("b", "k"))
+          .select(col("doc_id"), col("i_id")).distinct()
+        val ihs = index.select(col("doc_id").as("i_id"), col("hs").as("i_hs"))
+          .join(candPairs.select(col("i_id")).distinct(), Seq("i_id"), "left_semi")
+        val verified = candPairs
+          .join(bsig.select(col("doc_id"), col("hs")), Seq("doc_id"))
+          .join(ihs, Seq("i_id"))
           .filter(T.jaccard(col("hs"), col("i_hs")) >= threshold)
           .select(col("doc_id"), col("i_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // a bloom FALSE POSITIVE on a band key sends the batch down
+        // this branch, but the exact joins then disprove every
+        // candidate — downgrade to the cheap all-fresh census instead
+        // of dragging the landed-side outer join through an empty pair
+        // set (the isEmpty action warms the persist, so a true-positive
+        // batch pays one no-op job, not recomputation). Equivalent by
+        // construction: with no verified pair, nodes = batch only and
+        // every landed-side lookup would be null anyway (landed ids
+        // were anti-joined out of `fresh` above).
+        if (verified.isEmpty) { verified.unpersist(false); None }
+        else Some(verified)
       }
     }
     // components over batch ∪ touched index nodes; census from landed
@@ -495,7 +537,13 @@ object StreamPipeline {
       .select(col("doc_id"), col("keep_id").as("cluster_root"))
     val census = biOpt match {
       case Some(_) => cc
-        .join(index.select(col("doc_id"), col("side").as("_ls")), Seq("doc_id"), "left")
+        // semi-filter the landed-side lookup to the touched nodes
+        // BEFORE the outer join: `nodes` is batch-plus-neighborhood
+        // sized, so the index side becomes a map-side filtered scan
+        // instead of a corpus-sized shuffle partner (r18, same
+        // measurement as above)
+        .join(index.select(col("doc_id"), col("side").as("_ls"))
+          .join(nodes, Seq("doc_id"), "left_semi"), Seq("doc_id"), "left")
         .groupBy(col("cluster_root"))
         .agg(
           max(when(col("_ls").isin("train", "quarantined"), 1).otherwise(0))
@@ -516,10 +564,15 @@ object StreamPipeline {
             lit("test"))
           .otherwise(lit("train")).as("side"))
     // assignments commit BEFORE the index (the dedupIndexBatch crash
-    // contract: a replay that finds the out marker skips both writes)
+    // contract: a replay that finds the out marker skips both writes).
+    // The index rows derive from the COMMITTED output parquet, not the
+    // live plan: `sided`'s DAG (components + census) would otherwise
+    // evaluate twice per batch — once for the output write, once for
+    // the index append (measured as ~2x the per-batch cost).
     IdempotentSink.writeBatch(outBase)(sided, batchId)
     IndexState.append(
-      sided.select(col("doc_id"), col("side"))
+      spark.read.parquet(s"$outBase/batch=$batchId")
+        .select(col("doc_id"), col("side"))
         .join(bsig, Seq("doc_id"))
         .select(col("doc_id"), col("side"), col("hs"), col("bands")),
       batchId, indexBase, IndexState.splitElems,
