@@ -48,14 +48,24 @@ def run_one(name, sf_dir, reps):
 
 def main():
     in_catalog, sf_dir, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
-    top_n = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    selector = sys.argv[4] if len(sys.argv) > 4 else "10"
     reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
     with open(in_catalog) as f:
         base = json.loads(f.readline())
     spread = base["spread"]
-    heaviest = sorted(
-        ((v["median"], k) for k, v in spread.items() if v.get("median", -1) > 0),
-        reverse=True)[:top_n]
+    if selector.isdigit():
+        heaviest = sorted(
+            ((v["median"], k) for k, v in spread.items()
+             if v.get("median", -1) > 0),
+            reverse=True)[:int(selector)]
+    else:
+        # explicit comma-separated query list (r18 verdict item 3: the
+        # variance-exposed heavies, not an N-by-median cut)
+        names = [n for n in selector.split(",") if n]
+        missing = [n for n in names if n not in spread]
+        if missing:
+            sys.exit(f"queries not in {in_catalog}: {missing}")
+        heaviest = [(spread[n]["median"], n) for n in names]
     merged = {}
     for med, name in heaviest:
         print(f"[dedicated] {name} (in-catalog median {med:.2f} s)...",

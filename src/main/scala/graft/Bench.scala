@@ -68,6 +68,33 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+    // HOST-REGIME SENTINEL (VERDICT r18 item 2): a pinned calibration
+    // probe — fixed-size in-memory generate + hash-agg + sort, zero
+    // I/O, zero data dependence — run at window start and end. Three
+    // rounds running, round-over-round adjudication needed a judge
+    // re-run to separate uniform host drift (this box has ~1.3x fast/
+    // slow regimes) from a real regression; the sentinel stamps the
+    // regime INTO the artifact so bench_compare.py can normalize
+    // per-query ratios by the sentinel ratio instead. min-of-3 after a
+    // warm rep: load spikes only ever add time, so the min estimates
+    // the window's quiet cost.
+    def sentinelOnce(): Double = {
+      import org.apache.spark.sql.functions.{avg, max, sum}
+      val t0 = System.nanoTime()
+      spark.range(0, 16L * 1000 * 1000, 1, cpus.toInt)
+        .selectExpr("id % 9973 AS k", "id AS v")
+        .groupBy("k").agg(sum("v").as("s"), avg("v").as("a"), max("v").as("m"))
+        .orderBy("k")
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sentinel(): Double = { sentinelOnce(); (1 to 3).map(_ => sentinelOnce()).min }
+    var sentinelStart = -1.0
+    var sentinelEnd = -1.0
+    def sentinelJson: String = {
+      def r3(x: Double) = math.round(x * 1000) / 1000.0
+      s"""{"start":${r3(sentinelStart)},"end":${r3(sentinelEnd)}}"""
+    }
     // SPARK_GRAFT_ONLY: comma-separated name prefixes — bench just those
     // queries (local iteration aid; driver leaves it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
@@ -105,7 +132,7 @@ object Bench {
         s"\"" + k + "\":" + s"""{"median":$m,"min":$mn,"max":$mx,"n":${samples(k).size}}"""
       }.mkString("{", ",", "}")
       val total = stats.filter(_._2 >= 0).map(_._2).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$pass,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sentinel":$sentinelJson,"reps":$pass,"sf":"$sfDir"}"""
     }
     // Compact twin of summaryLine: total + counts only, NO per-query maps.
     // r7 post-mortem: the full summary for 129 queries is ~8 KB on one
@@ -167,6 +194,9 @@ object Bench {
       System.out.flush()
       teardown()
     }
+    sentinelStart = sentinel()
+    println(s"""{"bench_sentinel":{"when":"start","sec":$sentinelStart}}""")
+    System.out.flush()
     // pass 1: every query gets one sample regardless of budget —
     // partial data beats no data
     for ((name, fn) <- named) sample(name, fn, 1)
@@ -182,6 +212,9 @@ object Bench {
       for ((name, fn) <- order if spent < budgetSec) sample(name, fn, pass)
       println(summaryLine(pass)); println(minLine(pass)); println(compactLine(pass)); System.out.flush()
     }
+    sentinelEnd = sentinel()
+    println(s"""{"bench_sentinel":{"when":"end","sec":$sentinelEnd}}""")
+    System.out.flush()
     // Final re-print AFTER logging is forced off and the session is
     // stopped: executor/shutdown WARNs can otherwise interleave into the
     // captured tail after the summary (the r6 artifact ended on

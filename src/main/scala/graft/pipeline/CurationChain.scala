@@ -117,15 +117,19 @@ object CurationChain {
   /** One-row stats artifact over a LANDED curated export (read back
     * from parquet so the chain is never re-evaluated): input size,
     * export size, and scrub totals — the numbers a corpus release note
-    * carries. Works over either scrub grain (the column names stay
-    * fixed for consumers; units are chunks for [[curate]], tokens for
-    * [[curateSubstr]]). */
+    * carries. Works over either scrub grain; the `grain` column names
+    * the unit explicitly (ADVICE r18: chunk-named totals holding token
+    * counts forced out-of-band knowledge of which chain wrote the
+    * artifact) — 'chunks' for [[curate]], 'tokens' for
+    * [[curateSubstr]]. The total column names stay fixed so existing
+    * consumers keep parsing. */
   def stats(nInput: Long, curated: DataFrame): DataFrame = {
     val unit = if (curated.columns.contains("n_chunks")) "n_chunks" else "n_tokens"
     curated.agg(
       lit(nInput).as("n_input"),
       count(lit(1)).as("n_exported"),
       sum(col(unit)).as("chunks_total"),
-      sum(col("n_removed")).as("chunks_removed"))
+      sum(col("n_removed")).as("chunks_removed"),
+      lit(if (unit == "n_chunks") "chunks" else "tokens").as("grain"))
   }
 }

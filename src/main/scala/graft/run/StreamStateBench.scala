@@ -28,7 +28,14 @@ import org.apache.spark.sql.functions._
   *    full committed-index read + per-batch BloomFilterAggregate
   *    rebuild, flat batch=N layout with no sidecars or compaction.
   *
-  * Usage: runMain graft.run.StreamStateBench [mode] [nBatches] [docsPerBatch] [dupPct]
+  * Optional [bloomItems] [bloomBits] override the index-sidecar bloom
+  * geometry — an UNDERSIZED pair demos the saturation WARN + the
+  * per-batch `fpp` climb (VERDICT r18 items 4/6); the per-batch rows
+  * carry `fpp` (the folded filter's expected FP rate via
+  * [[graft.streaming.IndexState.lastSaturation]]) so the metric is an
+  * exported number, not just a grep-able WARN.
+  *
+  * Usage: runMain graft.run.StreamStateBench [mode] [nBatches] [docsPerBatch] [dupPct] [bloomItems] [bloomBits]
   */
 object StreamStateBench {
   def main(args: Array[String]): Unit = {
@@ -36,10 +43,11 @@ object StreamStateBench {
     val nBatches = if (args.length > 1) args(1).toInt else 50
     val perBatch = if (args.length > 2) args(2).toInt else 2000
     val dupPct = if (args.length > 3) args(3).toInt else 0
-    // head is batches 2..6, tail the last 5: fewer than 12 batches
-    // would mix warmup into the comparison or leave the head slice
-    // empty (mean of zero rows → NaN → invalid JSON; ADVICE r17)
-    require(nBatches >= 12, s"need nBatches >= 12 for a valid head/tail split, got $nBatches")
+    val bloomItems = if (args.length > 4) args(4).toLong
+      else graft.streaming.StreamPipeline.IndexBloomItems
+    val bloomBits = if (args.length > 5) args(5).toLong
+      else graft.streaming.StreamPipeline.IndexBloomBits
+    require(nBatches >= 1, s"need nBatches >= 1, got $nBatches")
     require(dupPct >= 0 && dupPct <= 50, s"dupPct must be 0..50, got $dupPct")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -92,10 +100,12 @@ object StreamStateBench {
       mode match {
         case "dedup" =>
           graft.streaming.StreamPipeline.dedupIndexBatch(
-            docs, b.toLong, "doc_id", "text", out, idx)
+            docs, b.toLong, "doc_id", "text", out, idx,
+            bloomItems = bloomItems, bloomBits = bloomBits)
         case "split" =>
           graft.streaming.StreamPipeline.splitIndexBatch(
-            docs, b.toLong, "doc_id", "text", out, idx)
+            docs, b.toLong, "doc_id", "text", out, idx,
+            bloomItems = bloomItems, bloomBits = bloomBits)
         case "legacy" =>
           val index = graft.streaming.IndexState.read(spark, idx, "h STRING")
           val survivors = graft.operators.Dedup.dedupIncremental(
@@ -107,19 +117,42 @@ object StreamStateBench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val dirs = graft.streaming.IndexState.committedData(spark, idx).size
-      (b, sec, dirs)
+      // exported saturation metric (VERDICT r18 item 6): the expected FP
+      // rate of the batch's folded filter — -1 before the first fold
+      val fpp = graft.streaming.IndexState.lastSaturation(idx).getOrElse(-1.0)
+      (b, sec, dirs, fpp)
     }
-    def mean(xs: Seq[Double]) = xs.sum / xs.size
-    // head skips the first two batches (JIT/codegen warmup)
-    val head = mean(rows.slice(2, 7).map(_._2))
-    val tail = mean(rows.takeRight(5).map(_._2))
-    val batchesJson = rows.map { case (b, s, d) =>
-      f"""{"b":$b,"sec":$s%.4f,"dirs":$d}"""
+    def mean(xs: Seq[Double]): Double =
+      if (xs.isEmpty) Double.NaN else xs.sum / xs.size
+    def orNull(x: Double): String = if (x.isNaN) "null" else f"$x%.4f"
+    // ADAPTIVE slices (ADVICE r18: a 5-batch smoke run must degrade,
+    // not hard-fail): head skips up to two warmup batches and takes up
+    // to 5; tail is the last up-to-5 after the head; mid is the up-to-5
+    // around the midpoint (the plateau comparator — tail corpus is
+    // ~1.6x mid corpus at 50 batches, the r18 verdict's ratio). Slices
+    // too short to be meaningful emit null summaries.
+    val secs = rows.map(_._2)
+    val head = if (nBatches >= 12) mean(secs.slice(2, 7))
+      else if (nBatches >= 3) mean(secs.slice(1, math.min(6, nBatches - 1)))
+      else Double.NaN
+    val tail = if (nBatches >= 12) mean(secs.takeRight(5))
+      else if (nBatches >= 3) mean(secs.takeRight(1)) else Double.NaN
+    val mid = if (nBatches >= 20)
+      mean(secs.slice(nBatches / 2 - 2, nBatches / 2 + 3)) else Double.NaN
+    val ratio = tail / head
+    val plateau = tail / mid
+    val batchesJson = rows.map { case (b, s, d, f) =>
+      f"""{"b":$b,"sec":$s%.4f,"dirs":$d,"fpp":$f%.4f}"""
     }.mkString("[", ",", "]")
     println(
       f"""{"metric":"stream_state","mode":"$mode","n_batches":$nBatches,""" +
-      f""""docs_per_batch":$perBatch,"dup_pct":$dupPct,"head_mean_sec":$head%.4f,""" +
-      f""""tail_mean_sec":$tail%.4f,"tail_over_head":${tail / head}%.3f,""" +
+      f""""docs_per_batch":$perBatch,"dup_pct":$dupPct,""" +
+      s""""bloom_items":$bloomItems,"bloom_bits":$bloomBits,""" +
+      s""""head_mean_sec":${orNull(head)},""" +
+      s""""tail_mean_sec":${orNull(tail)},""" +
+      s""""mid_mean_sec":${orNull(mid)},""" +
+      s""""tail_over_head":${orNull(ratio)},""" +
+      s""""tail_over_mid":${orNull(plateau)},""" +
       s""""batches":$batchesJson}""")
     spark.stop()
   }

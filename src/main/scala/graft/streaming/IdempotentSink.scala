@@ -56,7 +56,18 @@ object IdempotentSink {
     }
 
   /** The generation's compacted-id ranges (empty when no compaction
-    * has folded into it). */
+    * has folded into it).
+    *
+    * INTEGRITY (ADVICE r18): the manifest cannot be rebuilt from data —
+    * a truncated-but-parseable file silently un-covers compacted ids
+    * and a replay then double-writes rows that already live in the
+    * merged dir. v1 manifests therefore lead with a header line
+    * `v1 <rangeCount> <crc32-hex of the body>`; any count or checksum
+    * mismatch (and any malformed body line) FAILS STOP — corruption is
+    * loud, never a silent un-cover. A header-less file is the pre-r19
+    * layout, accepted with a WARN (it predates the sentinel, so
+    * truncation of it is undetectable by construction; the next
+    * compaction rewrites it as v1). */
   def compactedRanges(fs: org.apache.hadoop.fs.FileSystem,
       genDir: org.apache.hadoop.fs.Path): Seq[(Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(genDir, ManifestFile)
@@ -69,7 +80,32 @@ object IdempotentSink {
         in.readFully(0, buf)
         new String(buf, "UTF-8")
       } finally in.close()
-    text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
+    val lines = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    val body = lines.headOption match {
+      case Some(h) if h.startsWith("v1 ") =>
+        val rest = lines.tail
+        h.split(" ") match {
+          case Array(_, count, crcHex) =>
+            if (rest.size != count.toInt || crc32Hex(rest) != crcHex)
+              throw new IllegalStateException(
+                s"compacted-id manifest $p fails its integrity sentinel " +
+                  s"(header '$h', body lines ${rest.size}, crc " +
+                  s"${crc32Hex(rest)}) — the file is corrupt/truncated; " +
+                  "skipping it would silently un-cover compacted batch " +
+                  "ids and double-count their rows on replay. Restore " +
+                  "the manifest from a backup of the generation dir.")
+          case _ => throw new IllegalStateException(
+            s"malformed compacted-id manifest header '$h' in $p")
+        }
+        rest
+      case Some(_) =>
+        log.warn(s"compacted-id manifest $p has no v1 integrity header " +
+          "(pre-r19 layout) — truncation of it is undetectable; the next " +
+          "compaction rewrites it with a sentinel")
+        lines
+      case None => Nil
+    }
+    body.map { line =>
       line.split("-") match {
         case Array(lo, hi) => (lo.toLong, hi.toLong)
         case Array(lo)     => (lo.toLong, lo.toLong)
@@ -78,6 +114,14 @@ object IdempotentSink {
       }
     }
   }
+
+  private def crc32Hex(bodyLines: Seq[String]): String = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(bodyLines.mkString("\n").getBytes("UTF-8"))
+    java.lang.Long.toHexString(crc.getValue)
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Publish the generation's manifest (tmp-write + atomic rename; the
     * tmp name is unique per writer so concurrent attempts never rename
@@ -88,9 +132,11 @@ object IdempotentSink {
       genDir: org.apache.hadoop.fs.Path, ranges: Seq[(Long, Long)]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(genDir,
       ManifestFile + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val body = ranges.map { case (lo, hi) => s"$lo-$hi" }
     val out = fs.create(tmp, true)
     try out.write(
-      ranges.map { case (lo, hi) => s"$lo-$hi" }.mkString("\n").getBytes("UTF-8"))
+      (s"v1 ${body.size} ${crc32Hex(body)}" +: body).mkString("\n")
+        .getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(genDir, ManifestFile)))
       fs.delete(tmp, false)

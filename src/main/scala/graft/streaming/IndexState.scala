@@ -84,6 +84,90 @@ object IndexState {
       .unionAll(idx.select(posexplode(col("bands")))
         .select(xxhash64(col("pos"), col("col")).as("_e")))
 
+  // ---- at-rest postings (the band-key lookup side of the split index) ----
+  //
+  // r18's measured residual: the split twin's positive branch paid a
+  // corpus-linear `posexplode(bands)` over the WHOLE index plus a
+  // corpus-wide decode of the 32-long `hs` arrays on every
+  // duplicate-bearing (or bloom-FP-bearing) batch — per-batch cost grew
+  // with the landed corpus (BENCH_stream_state_r18.json split_dup30
+  // plateau 1.46). The fix: compaction writes the merged dir's postings
+  // PRE-EXPLODED into a `_postings` sidecar DATASET inside the merged
+  // dir — narrow rows (b, k, doc_id) partitioned by
+  // bucket = pmod(xxhash64(b, k), PostingsBuckets) — so a probe reads
+  // only the candidate keys' bucket partitions and never explodes or
+  // re-derives anything corpus-sized. The underscore prefix hides the
+  // sidecar from every plain reader of the merged dir (Spark's file
+  // index skips `_*` paths), it rides folds/renames atomically with the
+  // dir, and a dir WITHOUT the sidecar (uncompacted batch dirs — small
+  // by definition — or a pre-r19 merged dir) degrades to the old inline
+  // explode of just that dir, so the layout change needs NO migration.
+
+  /** Bucket fan of the postings sidecar. 64 keeps per-bucket files
+    * big enough to scan well at bench scale; at production scale the
+    * bucket dirs are further split into many files by the writer's
+    * parallelism, and partition pruning still cuts probe I/O by
+    * (touched buckets / 64). */
+  val PostingsBuckets = 64
+
+  private val PostingsDir = "_postings"
+
+  /** The postings rows of a docs frame: one narrow (b, k, doc_id,
+    * bucket) row per band position. The SAME derivation serves the
+    * at-rest sidecar write and the inline-explode fallback, so the two
+    * paths cannot disagree. */
+  def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(col("bands")))
+      .select(col("pos").cast("int").as("b"), col("col").as("k"),
+        col("doc_id"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("b"), col("k")), lit(PostingsBuckets)).cast("int"))
+
+  /** Write a dir's `_postings` sidecar from its own committed rows —
+    * one shuffle to line partitions up with bucket dirs, so each
+    * `bucket=N` dir lands as a handful of files, not writers × 64. */
+  def writePostings(spark: SparkSession, dir: String): Unit =
+    postingsOf(spark.read.parquet(dir))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/$PostingsDir")
+
+  /** The committed index's postings, PRUNED to the candidate buckets:
+    * dirs carrying a `_postings` sidecar contribute a partition-pruned
+    * scan (`bucket IN (...)` never touches the other 63/64ths of a
+    * compacted corpus); dirs without one (uncompacted batch dirs,
+    * pre-r19 merged dirs) contribute an inline explode of their own
+    * rows — batch-sized for batch dirs, and self-healing at the next
+    * compaction for legacy merged dirs. `buckets` comes from the
+    * batch's own bloom-positive band keys, so it is batch-bounded
+    * (≤ PostingsBuckets values). */
+  def prunedPostings(spark: SparkSession, stateBase: String,
+      buckets: Seq[Int]): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirs = committedData(spark, stateBase)
+    val (withSidecar, without) = dirs.partition { d =>
+      val p = new org.apache.hadoop.fs.Path(d, PostingsDir)
+      p.getFileSystem(conf).exists(p)
+    }
+    val bucketFilter = col("bucket").isin(buckets: _*)
+    val parts = Seq(
+      if (withSidecar.nonEmpty)
+        Some(spark.read.parquet(withSidecar.map(_ + "/" + PostingsDir): _*)
+          .filter(bucketFilter)
+          .select(col("b"), col("k"), col("doc_id")))
+      else None,
+      if (without.nonEmpty)
+        Some(postingsOf(spark.read.parquet(without: _*))
+          .filter(bucketFilter)
+          .select(col("b"), col("k"), col("doc_id")))
+      else None).flatten
+    parts.reduceOption(_ unionAll _).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "b INT, k BIGINT, doc_id BIGINT")))
+  }
+
   /** The probe side of a folded sidecar: true iff `elem` (the same
     * 64-bit expression a derivation above produced) might be in the
     * committed index. */
@@ -165,6 +249,7 @@ object IndexState {
       }
     merged.foreach { bytes =>
       val fpp = saturation(bytes)
+      lastFold.put(stateBase, fpp)
       if (fpp > SaturationWarnFpp)
         log.warn(f"index-state bloom for $stateBase is saturating: expected " +
           f"FP rate $fpp%.3f > $SaturationWarnFpp%.2f — the zero-positive " +
@@ -185,6 +270,17 @@ object IndexState {
   /** Folded-filter expected-FP threshold above which [[currentBloom]]
     * logs the saturation warning. */
   val SaturationWarnFpp = 0.10
+
+  /** The saturation (expected FP rate) of the most recent
+    * [[currentBloom]] fold for `stateBase` in THIS JVM — a metrics
+    * register (VERDICT r18 item 6) so an operator/bench can export the
+    * number per batch and alert BEFORE the zero-positive fast path dies,
+    * instead of grepping for the WARN after it already has. */
+  def lastSaturation(stateBase: String): Option[Double] =
+    Option(lastFold.get(stateBase))
+
+  private val lastFold =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -216,7 +312,12 @@ object IndexState {
       // data first (overwrite handles a torn previous attempt; Spark's
       // job commit lands the marker), THEN the sidecar — a crash
       // between the two heals on next read from this one dir's rows.
-      df.write.mode("overwrite").parquet(dir.toString)
+      // ONE file per batch dir: a micro-batch is bounded by contract,
+      // and the default 32-shuffle-partition plan otherwise lands ~32
+      // KB-sized files per batch — measured r19 as the dominant
+      // compaction cost (hundreds of tiny-file tasks per merge read)
+      // and a constant per-batch listing tax.
+      df.repartition(1).write.mode("overwrite").parquet(dir.toString)
       healBloom(spark, fs, dir, elems, expectedItems, numBits)
     } else if (readBloom(fs, dir).isEmpty &&
         fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet"))) {
@@ -244,11 +345,24 @@ object IndexState {
     else if (dirs.size >= maxDirs) true
     else {
       val conf = spark.sparkContext.hadoopConfiguration
+      // DATA bytes only: the constant-size `_bloom` sidecar (and the
+      // merged dir's `_postings`) would otherwise swamp the comparison
+      // at small batch sizes — a 1-row dir reads as "equal" to a
+      // 200-row dir once both carry an 8 KB bloom, and the trigger
+      // fires on every tiny tail batch (write amplification)
       val sizes = dirs.map { d =>
         val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(conf).getContentSummary(p).getLength
+        p.getFileSystem(conf).listStatus(p)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
       }
-      sizes.sum - sizes.max >= sizes.max
+      // 0.9 factor: two batches of the same logical size can differ by
+      // a few encoded bytes (dictionary/uuid wobble), and the exact
+      // `small >= max` boundary then flips on noise. ≥ 0.9×max still
+      // grows the compacted mass ≥ 1.9× per rewrite — a row is
+      // rewritten O(log_1.9 batches) times, the same amplification
+      // class.
+      (sizes.sum - sizes.max) * 10 >= sizes.max * 9
     }
   }
 
@@ -274,23 +388,49 @@ object IndexState {
     * ever lost AFTER the pointer swap (manual deletion, object-store
     * corruption), the next reader rebuilds it from the merged dir's
     * rows: bounded by the COMPACTED corpus, i.e. one compaction's own
-    * read cost, once — not per batch (IndexStateSpec pins the heal). */
+    * read cost, once — not per batch (IndexStateSpec pins the heal).
+    *
+    * `shape` re-shapes the merged frame before the write — (frame,
+    * total input bytes) → frame — so a caller can size the output
+    * files and impose a sort order the probe side prunes on (the
+    * split twin range-partitions by doc_id: parquet page/row-group
+    * min/max stats then skip the wide `hs` decode outside a probe's
+    * doc-id bounds). Default: one file per ~32 MiB of input, which
+    * also ends the many-tiny-files merge the per-batch appends used
+    * to compound. `extraMergedWrite` runs against the merged dir
+    * after the bloom sidecar (before the manifest/pointer swap, so a
+    * crash discards the half-built generation — the compactState
+    * contract); the split twin writes its `_postings` sidecar there. */
   def compact(spark: SparkSession, stateBase: String,
       elems: DataFrame => DataFrame,
-      expectedItems: Long, numBits: Long, attempts: Int = 3): Unit =
+      expectedItems: Long, numBits: Long, attempts: Int = 3,
+      shape: (DataFrame, Long) => DataFrame =
+        (df, bytes) => df.repartition(sizedFileCount(bytes)),
+      extraMergedWrite: (SparkSession, String) => Unit = (_, _) => ()): Unit =
     StreamPipeline.compactState(spark, stateBase, attempts)(
       dirs => {
+        val conf = spark.sparkContext.hadoopConfiguration
         val data = dirs.filter { d =>
           val p = new org.apache.hadoop.fs.Path(d)
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          p.getFileSystem(conf)
             .listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
         }
-        spark.read.parquet(data: _*)
+        val bytes = data.map { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(conf).getContentSummary(p).getLength
+        }.sum
+        shape(spark.read.parquet(data: _*), bytes)
       })(
-      (fs, mergedDir, _) =>
+      (fs, mergedDir, _) => {
         writeBloom(fs, mergedDir, buildBloom(
           elems(spark.read.parquet(mergedDir.toString)),
-          expectedItems, numBits)))
+          expectedItems, numBits))
+        extraMergedWrite(spark, mergedDir.toString)
+      })
+
+  /** File count for a merged write: one per ~32 MiB of input data. */
+  def sizedFileCount(bytes: Long): Int =
+    math.max(1L, bytes / (32L * 1024 * 1024)).toInt
 
   // ---- bloom plumbing ----
 
@@ -369,19 +509,28 @@ object IndexState {
       dir: org.apache.hadoop.fs.Path): Option[Array[Byte]] = {
     val p = new org.apache.hadoop.fs.Path(dir, BloomFile)
     if (!fs.exists(p)) None
-    else
-      try {
-        // both the raw read (checksum mismatch on a torn local file)
-        // and the deserialization can surface the corruption — either
-        // way the sidecar is quarantined, never a permanent wedge
-        val len = fs.getFileStatus(p).getLen.toInt
-        val in = fs.open(p)
-        val buf =
+    else {
+      // only PROVEN corruption quarantines (ADVICE r18): a filesystem
+      // checksum mismatch on the raw read, or bytes that were FULLY
+      // read but fail to deserialize. A transient open/read failure
+      // (object-store hiccup) propagates so a retry can reuse the
+      // intact file — deleting on it would discard a good sidecar and,
+      // for the merged dir, force a full compacted-corpus rebuild.
+      val buf =
+        try {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val in = fs.open(p)
           try {
             val b = new Array[Byte](len)
             in.readFully(0, b)
             b
           } finally in.close()
+        } catch {
+          case _: org.apache.hadoop.fs.ChecksumException =>
+            fs.delete(p, false)
+            return None
+        }
+      try {
         org.apache.spark.util.sketch.BloomFilter
           .readFrom(new java.io.ByteArrayInputStream(buf))
         Some(buf)
@@ -390,5 +539,6 @@ object IndexState {
           fs.delete(p, false)
           None
       }
+    }
   }
 }

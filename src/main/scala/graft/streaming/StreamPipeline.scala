@@ -423,10 +423,22 @@ object StreamPipeline {
       bloomBits: Long = IndexBloomBits): Unit = {
     import graft.functions.{TextFunctions => T}
     val spark = batch.sparkSession
+    // per-phase wall clocks around the batch's ACTIONS (everything else
+    // is lazy, so these attribute true cost); printed per batch when
+    // SPARK_GRAFT_TWIN_PHASES is set — the measurement loop that found
+    // the r18/r19 corpus-linear terms, kept so the next residual is
+    // attributable without re-instrumenting
+    val phases = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      phases += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
     lazy val index = IndexState.read(spark, indexBase,
       "doc_id BIGINT, side STRING, hs ARRAY<BIGINT>, bands ARRAY<BIGINT>")
-    val bloom = IndexState.currentBloom(spark, indexBase,
-      IndexState.splitElems, bloomItems, bloomBits)
+    val bloom = timed("fold")(IndexState.currentBloom(spark, indexBase,
+      IndexState.splitElems, bloomItems, bloomBits))
     // Per-doc stickiness (r16 advice): a doc_id re-delivered in a LATER
     // batch (different batchId, so the idempotency marker cannot catch
     // it — e.g. the upstream source replays a range) must keep its
@@ -447,7 +459,7 @@ object StreamPipeline {
         val probe = IndexState.mightContain(bytes,
           xxhash64(lit(-1), col("doc_id")))
         val maybeLanded = b0.filter(probe)
-        if (maybeLanded.isEmpty) b0
+        if (timed("sticky")(maybeLanded.isEmpty)) b0
         else b0.filter(!probe).unionByName(
           maybeLanded.join(index.select(col("doc_id")), Seq("doc_id"),
             "left_anti"))
@@ -473,76 +485,125 @@ object StreamPipeline {
     // with zero positive keys (None here) skips the probe AND the
     // census's side join below, proving the all-zero census without an
     // index scan.
-    val biOpt: Option[DataFrame] = bloom.flatMap { bytes =>
+    // warms the bsig persist (bband and the index append both reuse it)
+    // and bounds the candidate side for the broadcast-size gate below
+    val batchRows = timed("bsigCount")(bsig.count())
+    val biOpt: Option[(DataFrame, Long, Long)] = bloom.flatMap { bytes =>
       val cand = bband.filter(IndexState.mightContain(bytes,
         xxhash64(col("b"), col("k"))))
-      if (cand.isEmpty) None
+      if (timed("candProbe")(cand.isEmpty)) None
       else {
-        // IDS-ONLY through the explode + band join + pair distinct
-        // (r18): the previous form carried BOTH 32-long minhash
-        // signatures through the index-side band explode and a
-        // pair-grain distinct, so every duplicate-bearing batch
-        // shuffled landed-corpus × signature-width bytes — measured
-        // tail/head 3.0 over 50 batches at a steady 30% dup rate
-        // (StreamStateBench split dup30). Narrow rows ride the heavy
-        // exchanges; the signatures re-attach afterwards, batch side
-        // from the persisted bsig, index side semi-filtered to the
-        // DISTINCT touched docs (duplicate-pressure-sized, not
-        // corpus-sized).
-        val iband = index.select(col("doc_id").as("i_id"), posexplode(col("bands")))
-          .select(col("i_id"), col("pos").as("b"), col("col").as("k"))
+        // IDS-ONLY through the band join + pair distinct (r18), and the
+        // index side PRUNED AT REST (r19): the landed corpus's band
+        // keys are read from the compacted dir's `_postings` sidecar —
+        // narrow (b, k, doc_id) rows partition-pruned to the candidate
+        // keys' buckets — plus inline explodes of only the small
+        // uncompacted batch dirs ([[IndexState.prunedPostings]]). The
+        // r18 form re-exploded the WHOLE index's bands arrays per
+        // duplicate-bearing batch (measured corpus-linear: plateau 1.46
+        // at 1.6x corpus, BENCH_stream_state_r18.json); this form's
+        // probe I/O is bounded by touched buckets + fan-in-capped
+        // recent dirs, flat in stream age.
+        val candNarrow = cand.select(col("doc_id"), col("b"), col("k"))
+        // candidate bucket set: batch-bounded by construction
+        // (≤ IndexState.PostingsBuckets distinct values — a driver
+        // collect of at most 64 ints)
+        val buckets = timed("buckets")(cand
+          .select(pmod(xxhash64(col("b"), col("k")),
+            lit(IndexState.PostingsBuckets)).cast("int").as("bucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq)
+        val iband = IndexState.prunedPostings(spark, indexBase, buckets)
+          .select(col("doc_id").as("i_id"), col("b"), col("k"))
         // broadcast the BATCH-BOUNDED side (cand ⊆ bband, ≤ batch ×
-        // bands rows by construction) so the corpus-sized exploded
-        // index STREAMS through a map-side hash join — without the
-        // hint the planner shuffles all of iband on (b, k) every
-        // duplicate-bearing batch, a corpus-linear exchange
-        val candPairs = iband
-          .join(broadcast(cand.select(col("doc_id"), col("b"), col("k"))),
-            Seq("b", "k"))
+        // bands rows by construction) so the pruned postings STREAM
+        // through a map-side hash join — without the hint the planner
+        // shuffles the postings on (b, k) every duplicate-bearing
+        // batch. GATED on the bound's estimated bytes vs the session
+        // broadcast threshold (ADVICE r18): an oversized micro-batch
+        // falls back to the shuffle join (slower, never an OOM-failed
+        // batch).
+        val candSide =
+          if (batchRows * bands * 32L <=
+              math.max(spark.sessionState.conf.autoBroadcastJoinThreshold,
+                10L * 1024 * 1024))
+            broadcast(candNarrow)
+          else candNarrow
+        val candPairs = iband.join(candSide, Seq("b", "k"))
           .select(col("doc_id"), col("i_id")).distinct()
-        val ihs = index.select(col("doc_id").as("i_id"), col("hs").as("i_hs"))
-          .join(candPairs.select(col("i_id")).distinct(), Seq("i_id"), "left_semi")
-        val verified = candPairs
-          .join(bsig.select(col("doc_id"), col("hs")), Seq("doc_id"))
-          .join(ihs, Seq("i_id"))
-          .filter(T.jaccard(col("hs"), col("i_hs")) >= threshold)
-          .select(col("doc_id"), col("i_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // a bloom FALSE POSITIVE on a band key sends the batch down
-        // this branch, but the exact joins then disprove every
-        // candidate — downgrade to the cheap all-fresh census instead
-        // of dragging the landed-side outer join through an empty pair
-        // set (the isEmpty action warms the persist, so a true-positive
-        // batch pays one no-op job, not recomputation). Equivalent by
-        // construction: with no verified pair, nodes = batch only and
-        // every landed-side lookup would be null anyway (landed ids
-        // were anti-joined out of `fresh` above).
-        if (verified.isEmpty) { verified.unpersist(false); None }
-        else Some(verified)
+        // doc-id bounds of the touched index docs: pushed below the
+        // wide `hs` (and the census's `side`) scans, where parquet
+        // page/row-group stats on the doc_id-sorted merged dir skip
+        // decoding everything outside the touched range — the second
+        // measured corpus-linear term of r18 (duplicate pressure is
+        // recency-skewed in practice, so the bound is usually tight;
+        // an adversarial uniform-age probe degrades to the old full
+        // decode, never to wrong answers)
+        val bounds = timed("bounds")(
+          candPairs.agg(min(col("i_id")), max(col("i_id"))).head())
+        if (bounds.isNullAt(0)) {
+          // bloom FPs only — no real band-key match anywhere in the
+          // index; downgrade to the all-fresh census without touching
+          // the wide columns at all
+          candPairs.unpersist(false)
+          None
+        } else {
+          val (idLo, idHi) = (bounds.getLong(0), bounds.getLong(1))
+          val touched = col("doc_id").between(idLo, idHi)
+          val ihs = index.filter(touched)
+            .select(col("doc_id").as("i_id"), col("hs").as("i_hs"))
+            .join(candPairs.select(col("i_id")).distinct(), Seq("i_id"),
+              "left_semi")
+          val verified = candPairs
+            .join(bsig.select(col("doc_id"), col("hs")), Seq("doc_id"))
+            .join(ihs, Seq("i_id"))
+            .filter(T.jaccard(col("hs"), col("i_hs")) >= threshold)
+            .select(col("doc_id"), col("i_id"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // a bloom FALSE POSITIVE on a band key can still send the
+          // batch here (the key exists, Jaccard disproves) — downgrade
+          // to the cheap all-fresh census instead of dragging the
+          // landed-side outer join through an empty pair set (the
+          // isEmpty action warms the persist, so a true-positive batch
+          // pays one no-op job, not recomputation). Equivalent by
+          // construction: with no verified pair, nodes = batch only
+          // and every landed-side lookup would be null anyway (landed
+          // ids were anti-joined out of `fresh` above).
+          val noPairs = timed("verify")(verified.isEmpty)
+          candPairs.unpersist(false)
+          if (noPairs) {
+            verified.unpersist(false); None
+          } else Some((verified, idLo, idHi))
+        }
       }
     }
     // components over batch ∪ touched index nodes; census from landed
     // sides ('quarantined' poisons both flags)
     val nodes = biOpt match {
-      case Some(bi) => bsig.select(col("doc_id"))
+      case Some((bi, _, _)) => bsig.select(col("doc_id"))
         .union(bi.select(col("i_id").as("doc_id"))).distinct()
       case None => bsig.select(col("doc_id")).distinct()
     }
     val edges = biOpt match {
-      case Some(bi) =>
+      case Some((bi, _, _)) =>
         bb.union(bi.select(col("doc_id").as("id_a"), col("i_id").as("id_b")))
       case None => bb
     }
     val cc = graft.operators.Dedup.connectedComponents(nodes, "doc_id", edges)
       .select(col("doc_id"), col("keep_id").as("cluster_root"))
     val census = biOpt match {
-      case Some(_) => cc
-        // semi-filter the landed-side lookup to the touched nodes
-        // BEFORE the outer join: `nodes` is batch-plus-neighborhood
-        // sized, so the index side becomes a map-side filtered scan
-        // instead of a corpus-sized shuffle partner (r18, same
-        // measurement as above)
-        .join(index.select(col("doc_id"), col("side").as("_ls"))
+      case Some((_, idLo, idHi)) => cc
+        // the landed-side lookup is range-pruned to the touched docs'
+        // doc_id bounds (pushed to parquet stats on the sorted merged
+        // dir) AND semi-filtered to the touched nodes BEFORE the outer
+        // join: `nodes` is batch-plus-neighborhood sized, so the index
+        // side becomes a pruned map-side filtered scan instead of a
+        // corpus-sized shuffle partner (r18/r19 measurements). Sound:
+        // only touched i_ids can have landed rows (batch ids were
+        // anti-joined out of `fresh`), and every i_id is within
+        // [idLo, idHi] by construction.
+        .join(index.filter(col("doc_id").between(idLo, idHi))
+          .select(col("doc_id"), col("side").as("_ls"))
           .join(nodes, Seq("doc_id"), "left_semi"), Seq("doc_id"), "left")
         .groupBy(col("cluster_root"))
         .agg(
@@ -569,19 +630,37 @@ object StreamPipeline {
     // live plan: `sided`'s DAG (components + census) would otherwise
     // evaluate twice per batch — once for the output write, once for
     // the index append (measured as ~2x the per-batch cost).
-    IdempotentSink.writeBatch(outBase)(sided, batchId)
-    IndexState.append(
+    // one file per batch-bounded output dir (the 32-shuffle-partition
+    // plan otherwise lands ~32 KB-sized files per batch — a growing
+    // listing/read tax on every downstream consumer and the append's
+    // own read-back)
+    timed("ccWrite")(
+      IdempotentSink.writeBatch(outBase)(sided.repartition(1), batchId))
+    timed("append")(IndexState.append(
       spark.read.parquet(s"$outBase/batch=$batchId")
         .select(col("doc_id"), col("side"))
         .join(bsig, Seq("doc_id"))
         .select(col("doc_id"), col("side"), col("hs"), col("bands")),
       batchId, indexBase, IndexState.splitElems,
-      bloomItems, bloomBits)
-    if (IndexState.shouldCompact(spark, indexBase, maxIndexDirs))
-      IndexState.compact(spark, indexBase, IndexState.splitElems,
-        bloomItems, bloomBits)
-    biOpt.foreach(_.unpersist(false))
+      bloomItems, bloomBits))
+    timed("compact")(
+      if (IndexState.shouldCompact(spark, indexBase, maxIndexDirs))
+        IndexState.compact(spark, indexBase, IndexState.splitElems,
+          bloomItems, bloomBits,
+          // merged dir doc_id-SORTED in size-targeted files (parquet
+          // page/row-group stats then serve the probe's doc-id range
+          // pruning) and carrying the bucket-partitioned `_postings`
+          // sidecar the candidate probe partition-prunes
+          shape = (df, bytes) => df
+            .repartitionByRange(IndexState.sizedFileCount(bytes),
+              col("doc_id"))
+            .sortWithinPartitions(col("doc_id")),
+          extraMergedWrite = (s, dir) => IndexState.writePostings(s, dir)))
+    biOpt.foreach(_._1.unpersist(false))
     bsig.unpersist(false)
+    if (sys.env.contains("SPARK_GRAFT_TWIN_PHASES"))
+      println(s"split-phases b=$batchId " + phases.map {
+        case (n, s) => f"$n=$s%.2f" }.mkString(" "))
   }
 
   /** Streaming MinHash-LSH near-dup candidates — the incremental twin
@@ -1062,6 +1141,13 @@ object StreamPipeline {
         org.apache.hadoop.fs.Path, Seq[String]) => Unit): Unit = {
     require(attempts > 0, s"compaction of $stateBase lost the race to a " +
       "concurrent writer on every attempt; quiesce the stream and re-run")
+    val phases = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      phases += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
     val gen = resolveGen(spark, stateBase)
     val committed = IdempotentSink.committedDirs(spark, gen)
     if (committed.size <= 1) return
@@ -1080,10 +1166,11 @@ object StreamPipeline {
         .filter(_.matches("gen-\\d+")).map(_.stripPrefix("gen-").toLong)
     val genN = if (onDisk.isEmpty) 1L else onDisk.max + 1L
     val newGen = s"gen-$genN"
-    IdempotentSink.writeBatch(s"$stateBase/$newGen")(merged, ids.max)
-    postWrite(fs,
+    timed("mergeWrite")(
+      IdempotentSink.writeBatch(s"$stateBase/$newGen")(merged, ids.max))
+    timed("postWrite")(postWrite(fs,
       new org.apache.hadoop.fs.Path(s"$stateBase/$newGen/batch=${ids.max}"),
-      committed)
+      committed))
     // replay suppression for the folded ids: ONE manifest of coalesced
     // ranges, carrying the OLD generation's manifest forward — not one
     // marker dir per id, whose count grew with total batches ever and
@@ -1120,6 +1207,9 @@ object StreamPipeline {
       .map(_.replaceAll(".*batch=", "").toLong)
       .filterNot(idSet)
       .foreach(id => foldBatchDir(fs, gen, s"$stateBase/$newGen", id))
+    if (sys.env.contains("SPARK_GRAFT_TWIN_PHASES"))
+      println(s"compact-steps base=$stateBase dirs=${committed.size} " +
+        phases.map { case (n, s) => f"$n=$s%.2f" }.mkString(" "))
   }
 
   /** Read-side resolve for supersede-per-batch state/output layouts

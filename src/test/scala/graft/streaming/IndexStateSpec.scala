@@ -260,4 +260,124 @@ class IndexStateSpec extends SparkSpec {
     assert(Set("train", "test").contains(eager(500L)), s"fresh doc: $eager")
     assert(nEager == 5 && nLazy == 5, s"index rows: $nEager/$nLazy")
   }
+
+  test("postings sidecar: compaction writes it bucket-partitioned; pruned probes are sound") {
+    import graft.functions.{TextFunctions => T}
+    val idx = tmp("post") + "/index"
+    def docsOf(ids: Range) = ids.map { i =>
+      (i.toLong, (0 until 40).map(j => s"p${i}w$j").mkString(" "), "train")
+    }.toDF("doc_id", "text", "side")
+      .select(col("doc_id"), col("side"),
+        T.shingleHashes(col("text"), 3).as("hs"))
+      .withColumn("bands", T.bandHashes(T.minhashSignature(col("hs"), 32), 32, 8))
+      .select("doc_id", "side", "hs", "bands")
+    IndexState.append(docsOf(0 until 30), 0L, idx,
+      IndexState.splitElems, 1000L, 1L << 16)
+    IndexState.append(docsOf(30 until 60), 1L, idx,
+      IndexState.splitElems, 1000L, 1L << 16)
+    IndexState.compact(spark, idx, IndexState.splitElems, 1000L, 1L << 16,
+      shape = (df, bytes) => df
+        .repartitionByRange(IndexState.sizedFileCount(bytes), col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      extraMergedWrite = (s, dir) => IndexState.writePostings(s, dir))
+    val dataDirs = IndexState.committedData(spark, idx)
+    assert(dataDirs.size == 1, s"expected one merged dir: $dataDirs")
+    val postDir = new java.io.File(
+      new java.net.URI(dataDirs.head).getPath, "_postings")
+    assert(postDir.isDirectory &&
+      postDir.listFiles().exists(_.getName.startsWith("bucket=")),
+      s"merged dir must carry a bucket-partitioned _postings sidecar: $postDir")
+    // full bucket list == the direct explode of the docs, row for row
+    val docs = IndexState.read(spark, idx,
+      "doc_id BIGINT, side STRING, hs ARRAY<BIGINT>, bands ARRAY<BIGINT>")
+    val direct = IndexState.postingsOf(docs)
+      .select("b", "k", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val all = IndexState.prunedPostings(spark, idx,
+        0 until IndexState.PostingsBuckets)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all == direct, s"full probe must equal the explode: ${all.size} vs ${direct.size}")
+    // pruning soundness: a subset probe returns EVERY row of the keys
+    // that hash into the requested buckets, and nothing else
+    val subset = Seq(0, 1, 2, 3)
+    val pruned = IndexState.prunedPostings(spark, idx, subset)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val bucketOf = IndexState.postingsOf(docs)
+      .select(col("b"), col("k"), col("doc_id"), col("bucket"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) -> r.getInt(3)).toMap
+    val want = direct.filter(t => subset.contains(bucketOf(t)))
+    assert(pruned == want,
+      s"bucket-pruned probe must be exact: got ${pruned.size}, want ${want.size}")
+    assert(pruned.size < direct.size,
+      "fixture must actually prune (subset buckets hold a strict subset)")
+  }
+
+  test("a merged dir WITHOUT _postings (pre-r19 layout) degrades to the inline explode") {
+    import graft.functions.{TextFunctions => T}
+    def toks = (0 until 40).map(i => s"lgw$i")
+    val out = tmp("leg-out") + "/out"
+    val idx = tmp("leg-idx") + "/index"
+    val planted = Seq((100L, toks.updated(5, "lga5").mkString(" "), "train"))
+      .toDF("doc_id", "text", "side")
+      .select(col("doc_id"), col("side"),
+        T.shingleHashes(col("text"), 3).as("hs"))
+      .withColumn("bands", T.bandHashes(T.minhashSignature(col("hs"), 32), 32, 8))
+      .select("doc_id", "side", "hs", "bands")
+    IdempotentSink.writeBatch(idx)(planted, 0L)
+    // batch 1 compacts (maxDirs=2) → merged dir gains _postings; delete
+    // it to simulate the pre-r19 merged layout
+    StreamPipeline.splitIndexBatch(
+      Seq((200L, (0 until 40).map(i => s"x$i").mkString(" ")))
+        .toDF("doc_id", "text"), 1L, "doc_id", "text", out, idx,
+      maxIndexDirs = 2)
+    val dataDirs = IndexState.committedData(spark, idx)
+    assert(dataDirs.size == 1)
+    val postDir = new java.io.File(
+      new java.net.URI(dataDirs.head).getPath, "_postings")
+    assert(postDir.isDirectory, "fixture expects the sidecar to delete")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(postDir)
+    // a near-dup of the planted doc must still adopt its side — the
+    // probe explodes the sidecar-less merged dir inline
+    StreamPipeline.splitIndexBatch(
+      Seq((300L, toks.updated(1, "lgy1").mkString(" ")))
+        .toDF("doc_id", "text"), 2L, "doc_id", "text", out, idx,
+      maxIndexDirs = 10000)
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("side")).toMap
+    assert(got(300L) == "train", s"legacy merged dir must still match: $got")
+  }
+
+  test("compacted-id manifest: v1 sentinel detects truncation; legacy header-less accepted") {
+    val dir = new org.apache.hadoop.fs.Path(tmp("man") + "/gen")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    IdempotentSink.writeCompactedRanges(fs, dir, Seq((0L, 5L), (9L, 12L)))
+    assert(IdempotentSink.compactedRanges(fs, dir) == Seq((0L, 5L), (9L, 12L)))
+    val manifest = new java.io.File(new java.net.URI(
+      new org.apache.hadoop.fs.Path(dir, "_COMPACTED").toString).getPath)
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8").split("\n")
+    assert(lines.head.startsWith("v1 "), s"header: ${lines.head}")
+    // the local fs keeps its own .crc sidecar; drop it so the test
+    // exercises THE MANIFEST's sentinel, not hadoop's checksum layer
+    // (object stores have no such layer — the sentinel is the defense)
+    def rewrite(text: String): Unit = {
+      java.nio.file.Files.write(manifest.toPath, text.getBytes("UTF-8"))
+      new java.io.File(manifest.getParentFile, "._COMPACTED.crc").delete()
+    }
+    // truncation that stays PARSEABLE (the ADVICE r18 threat: the lost
+    // tail silently un-covers ids) — must fail stop, not skip
+    rewrite(lines.head + "\n" + lines(1))
+    val e = intercept[IllegalStateException] {
+      IdempotentSink.compactedRanges(fs, dir)
+    }
+    assert(e.getMessage.contains("integrity"), e.getMessage)
+    // a pre-r19 header-less manifest still reads (accepted with a WARN)
+    rewrite("0-5\n9-12")
+    assert(IdempotentSink.compactedRanges(fs, dir) == Seq((0L, 5L), (9L, 12L)))
+  }
 }
