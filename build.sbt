@@ -44,4 +44,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // killed a whole bench run). The box has 128 GiB; in a real
   // deployment this is the executor-memory deploy knob, not code.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The ContextCleaner's periodic System.gc() (spark.cleaner
+  // .periodicGC.interval — set by Bench/StreamStateBench to reclaim
+  // shuffle files within a run) is otherwise a STOP-THE-WORLD full GC
+  // of the 24g heap: measured r19 as 4-6 s pauses landing inside timed
+  // batches, growing with heap fill and eventually hitting every
+  // micro-batch. Concurrent explicit GC keeps the cleaner's weak-ref
+  // processing without the pause.
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

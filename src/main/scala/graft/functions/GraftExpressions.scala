@@ -645,3 +645,73 @@ object CdcChunks {
   val B = 31L
   val M = 1000003L
 }
+
+/** Bloom-membership probe of a BIGINT column against a driver-built
+  * filter — the streaming twins' per-batch gate.
+  *
+  * Spark's own `BloomFilterMightContain` takes the SERIALIZED filter as
+  * a child expression, and the twins fed it a ~1 MB byte-array Literal.
+  * `Literal.hashCode` overrides (and so bypasses) TreeNode's cached
+  * hash, so every parent-node rehash during analysis / optimization /
+  * AQE re-ran `Arrays.hashCode` over the megabyte — measured r19 as
+  * multi-second, corpus-independent driver stalls that grew with plan
+  * size (jstack: the main thread pinned in Literal.hashCode inside
+  * TreeNode hashing), and every stage's task binary re-shipped the
+  * megabyte. Here the DESERIALIZED filter rides in a SECOND (curried)
+  * constructor list — outside the case-class fields, so tree
+  * equality/hash touch only (probeId, child) — and codegen references
+  * the filter object through the references array. `probeId` is a
+  * JVM-unique id standing in for the filter's identity: two probes are
+  * semantically equal iff they hold the same filter instance, which is
+  * exactly the per-batch fold-reuse case.
+  *
+  * The filter object is immutable once built (fold/aggregate completes
+  * before any plan that probes it runs), and BloomFilterImpl is
+  * java-Serializable, so the reference ships in the task binary ONCE
+  * per stage on a real cluster. */
+case class BloomProbe(probeId: Long, child: Expression)(
+    val filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_probe"
+
+  // makeCopy/withNewChildInternal must re-supply the curried argument
+  override def otherCopyArgs: Seq[AnyRef] = filter :: Nil
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val bf = ctx.addReferenceObj("graftBloom", filter,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$bf.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomProbe =
+    copy(child = newChild)(filter)
+}
+
+object BloomProbe {
+  private val ids = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Probe column over a deserialized filter (deserialize ONCE per
+    * batch and reuse the returned object across every probe site —
+    * each call mints a distinct semantic identity). */
+  def apply(filter: org.apache.spark.util.sketch.BloomFilter,
+      elem: Column): Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.column(BloomProbe(ids.incrementAndGet(), shim.expression(elem))(filter))
+  }
+
+  def deserialize(bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+}

@@ -166,9 +166,12 @@ object Dedup {
         .head().getAs[Array[Byte]]("_bf")
     }
     if (bloomBytes == null) return batchKept // empty index: batch dedup only
-    def mightContain(h: org.apache.spark.sql.Column) = shim.column(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        shim.expression(lit(bloomBytes)), shim.expression(xxhash64(h))))
+    // reference-held probe, ONE deserialize for both probe sites — a
+    // bloom-bytes Literal makes every plan rehash the megabyte through
+    // analysis/AQE (see graft.functions.BloomProbe)
+    val bloomF = graft.functions.BloomProbe.deserialize(bloomBytes)
+    def mightContain(h: org.apache.spark.sql.Column) =
+      graft.functions.BloomProbe(bloomF, xxhash64(h))
     // zero-positive fast path: when NO batch hash is bloom-positive —
     // the overwhelmingly common fresh-crawl batch — the index is
     // provably disjoint and the anti-join (whose right side would scan
@@ -244,9 +247,9 @@ object Dedup {
         .head().getAs[Array[Byte]]("_bf")
     }
     if (bloomBytes == null) return batchKept
+    val bloomF = graft.functions.BloomProbe.deserialize(bloomBytes)
     def mightContain(c: org.apache.spark.sql.Column, cv: org.apache.spark.sql.Column) =
-      shim.column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        shim.expression(lit(bloomBytes)), shim.expression(xxhash64(c, cv))))
+      graft.functions.BloomProbe(bloomF, xxhash64(c, cv))
     val banded = batchKept.select(col(idCol), col(hashCol),
         posexplode(array(chunkCols(col(hashCol)): _*)))
       .select(col(idCol), col(hashCol), col("pos").as("_c"), col("col").as("_cv"))
@@ -524,6 +527,15 @@ object Dedup {
         }
         labels
       }
+    // labelMap no longer depends on the edges lineage (driver regime:
+    // a driver-built frame; distributed: localCheckpointed), so release
+    // the persist NOW — a long-lived caller (the streaming split twin
+    // runs this every micro-batch) otherwise leaks one CacheManager
+    // entry per batch, and every later action's plan-cache lookup walks
+    // all of them (measured r19 as a growing, batch-wide slowdown in
+    // StreamStateBench's split mode — the blocks are tiny, the PLANS
+    // are not)
+    edges.unpersist(false)
     // AQE broadcasts the label map when it is small (the common case)
     df.join(labelMap.select(col("node").as(idCol), col("label")), Seq(idCol), "left")
       .select(
@@ -730,9 +742,9 @@ object Dedup {
           .toAggregateExpression()).as("_bf"))
       .head().getAs[Array[Byte]]("_bf")
     if (bloomBytes == null) return corpus // empty blocklist: nothing to drop
-    def mightContain(h: org.apache.spark.sql.Column) = shim.column(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        shim.expression(lit(bloomBytes)), shim.expression(xxhash64(h))))
+    val bloomF = graft.functions.BloomProbe.deserialize(bloomBytes)
+    def mightContain(h: org.apache.spark.sql.Column) =
+      graft.functions.BloomProbe(bloomF, xxhash64(h))
     val hashed = Fanout.forKernel(corpus)
       .withColumn("_block_hash", md5(T.normalizeText(col(textCol))))
     hashed.filter(!mightContain(col("_block_hash")))
@@ -1298,7 +1310,8 @@ object Dedup {
     * [[graft.functions.TextFunctions.tokens]] grain the fingerprints
     * are computed over): (idCol, text_scrubbed, n_tokens, n_removed).
     * Documents shorter than `window` tokens pass through verbatim
-    * (normalized); within-keeper repeats are q198's docChunkDedup job.
+    * (normalized); within-keeper repeats are [[exactSubstrScrubAll]]'s
+    * (q215) unified census, or q198's chunk-grid docChunkDedup.
     *
     * Scale shape: identical to [[exactSubstrSpans]] — token-grain
     * postings, two-phase distinct census (plus a min(doc) riding the
@@ -1311,8 +1324,59 @@ object Dedup {
     * → DuckDB-replayable end to end (q214). */
   def exactSubstrScrub(df: DataFrame, idCol: String, textCol: String,
       window: Int = 50, minDocs: Int = 2): DataFrame = {
-    import graft.functions.{TextFunctions => T}
     require(window >= 1 && minDocs >= 2)
+    val (toks, wins) = substrWindows(df, idCol, textCol, window)
+    val dupH = wins.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_nd"), min(col(idCol)).as("_keep"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_h"), col("_keep"))
+    val flagged = wins.join(dupH, Seq("_h"))
+      .filter(col(idCol) =!= col("_keep"))
+      .select(col(idCol), col("_p"))
+    scrubFlagged(toks, flagged, idCol, window)
+  }
+
+  /** [[exactSubstrScrub]] extended to WITHIN-document repeats — the
+    * full Lee et al. 2022 semantic: a suffix array finds ANY repeated
+    * ≥-length substring, including a document repeating its own
+    * boilerplate, and keeps only the FIRST occurrence in suffix order.
+    * Here the census flags every `window`-token fingerprint occurring
+    * ≥ `minCopies` times ANYWHERE (same doc or across docs) and keeps
+    * the single occurrence with the minimum (doc id, position) — the
+    * deterministic relational analogue of first-in-suffix-order; every
+    * other occurrence's flagged positions merge into maximal runs and
+    * their tokens are cut. [[exactSubstrScrub]] (q214) remains the
+    * cross-doc-only form (its keeper keeps ALL its copies — the
+    * `minDocs` distinct-doc census cannot see within-doc repeats); this
+    * variant (q215) is what [[graft.pipeline.CurationChain
+    * .curateSubstr]]'s `withinDoc` flag composes, closing the r18
+    * verdict note that a doc repeating its own boilerplate shipped it
+    * N times in the substr export.
+    *
+    * Scale shape: identical to [[exactSubstrScrub]] — the census
+    * aggregate carries a min(struct(doc, pos)) instead of min(doc),
+    * same single hash exchange, no pair emission. */
+  def exactSubstrScrubAll(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 50, minCopies: Int = 2): DataFrame = {
+    require(window >= 1 && minCopies >= 2)
+    val (toks, wins) = substrWindows(df, idCol, textCol, window)
+    val dupH = wins.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_n"),
+        min(struct(col(idCol).as("_kd"), col("_p").as("_kp"))).as("_first"))
+      .filter(col("_n") >= minCopies)
+      .select(col("_h"), col("_first"))
+    val flagged = wins.join(dupH, Seq("_h"))
+      .filter(!(col(idCol) === col("_first").getField("_kd") &&
+        col("_p") === col("_first").getField("_kp")))
+      .select(col(idCol), col("_p"))
+    scrubFlagged(toks, flagged, idCol, window)
+  }
+
+  /** Shared fingerprint grid of the ExactSubstr scrubs: (normalized
+    * token arrays, one md5-window row per position). */
+  private def substrWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int): (DataFrame, DataFrame) = {
+    import graft.functions.{TextFunctions => T}
     val toks = Fanout.forKernel(df)
       .select(col(idCol), T.tokens(col(textCol)).as("_t"))
     val wins = toks.filter(size(col("_t")) >= window)
@@ -1320,15 +1384,17 @@ object Dedup {
         transform(sequence(lit(1), size(col("_t")) - window + 1),
           i => T.md5Hash64(concat_ws(" ", slice(col("_t"), i, lit(window)))))))
       .select(col(idCol), (col("pos") + 1).as("_p"), col("col").as("_h"))
-    val dupH = wins.groupBy(col("_h"))
-      .agg(countDistinct(col(idCol)).as("_nd"), min(col(idCol)).as("_keep"))
-      .filter(col("_nd") >= minDocs)
-      .select(col("_h"), col("_keep"))
+    (toks, wins)
+  }
+
+  /** Shared scrub tail: merge flagged positions into maximal runs per
+    * doc, widen each run by the window length, and cut the covered
+    * tokens with an array HOF riding the reconstruction scan. */
+  private def scrubFlagged(toks: DataFrame, flagged: DataFrame,
+      idCol: String, window: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_p"))
-    val spans = wins.join(dupH, Seq("_h"))
-      .filter(col(idCol) =!= col("_keep"))
-      .select(col(idCol), col("_p"))
+    val spans = flagged
       .withColumn("_run", col("_p") - row_number().over(byDoc))
       .groupBy(col(idCol), col("_run"))
       .agg(min(col("_p")).as("_s"), (max(col("_p")) + window - 1).as("_e"))

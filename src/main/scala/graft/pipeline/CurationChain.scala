@@ -77,7 +77,15 @@ object CurationChain {
     * a duplicate straddling the chunk grid passes chunkScrub and
     * shipped in the q203 export; here it is cut from every doc but the
     * keeper (CurationChainSpec plants exactly that corpus). Output is
-    * token-space: (idCol, text_scrubbed, n_tokens, n_removed). */
+    * token-space: (idCol, text_scrubbed, n_tokens, n_removed).
+    *
+    * `withinDoc = true` switches the scrub stage to
+    * [[graft.operators.Dedup.exactSubstrScrubAll]] (q215): the census
+    * then also catches a document repeating its OWN boilerplate — the
+    * r18 verdict's residual gap, where the cross-doc-only census
+    * shipped a keeper's internal repeats N times — keeping one
+    * first-occurrence copy of every ≥ `window`-token repeat anywhere
+    * in the corpus. */
   def curateSubstr(
       docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
@@ -85,12 +93,18 @@ object CurationChain {
       shingleHasher: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
         graft.functions.TextFunctions.md5ShingleHashes,
       ngram: Int = 3, maxDfShare: Int = 15, minContainmentFp: Long = 13108L,
-      window: Int = 16, minDocs: Int = 2): DataFrame = {
+      window: Int = 16, minDocs: Int = 2,
+      withinDoc: Boolean = false): DataFrame = {
     val finalKept = prunedKeepers(docs, idCol, textCol, shingleSize,
       numHashes, bands, threshold, shingleHasher, ngram, maxDfShare,
       minContainmentFp)
-    graft.operators.Dedup.exactSubstrScrub(docs.join(finalKept, idCol),
-      idCol, textCol, window = window, minDocs = minDocs)
+    val pruned = docs.join(finalKept, idCol)
+    if (withinDoc)
+      graft.operators.Dedup.exactSubstrScrubAll(pruned,
+        idCol, textCol, window = window, minCopies = minDocs)
+    else
+      graft.operators.Dedup.exactSubstrScrub(pruned,
+        idCol, textCol, window = window, minDocs = minDocs)
   }
 
   /** Streaming-twin batch half: containment + scrub over the committed

@@ -1391,6 +1391,71 @@ object Curation {
         FROM toks t LEFT JOIN keptagg k USING (doc_id)"""),
       (s, dir) => graft.operators.Dedup.exactSubstrScrub(
         graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents")),
-        "doc_id", "text", window = 16, minDocs = 2))
+        "doc_id", "text", window = 16, minDocs = 2)),
+
+    // ---- q215: exact-substring scrub over ALL repeats (round 19) —
+    // the full Lee et al. semantic: the census counts every occurrence
+    // of a 16-token window (within-doc repeats included, the gap q214's
+    // distinct-doc census cannot see), and exactly ONE first-occurrence
+    // copy — min (doc_id, position) — survives of each duplicated
+    // window. The oracle replays tokenization, window hashes, the
+    // occurrence census with its (doc, pos) keeper election, run
+    // assembly, and token-level reconstruction. ----
+    QuerySpec(
+      "q215_exact_substr_scrub_all",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, CASE WHEN nrm = '' THEN [] ELSE string_split(nrm, ' ') END AS t
+          FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm
+                FROM documents)
+        ), wins AS (
+          SELECT doc_id, p,
+                 CAST(CASE WHEN hu >= 9223372036854775808
+                           THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS h
+          FROM (
+            SELECT doc_id, i AS p,
+                   list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                     list_transform(range(1, 17),
+                       k -> CAST(strpos('0123456789abcdef', m[k]) - 1 AS HUGEINT))),
+                     (acc, d) -> acc * 16 + d) AS hu
+            FROM (
+              SELECT doc_id, i, md5(array_to_string(t[i:i+15], ' ')) AS m
+              FROM toks, UNNEST(range(1, len(t) - 16 + 2)) AS ti(i)))
+        ), flagged AS (
+          SELECT doc_id, p,
+                 p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS run
+          FROM (
+            SELECT doc_id, p,
+                   ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn,
+                   COUNT(*) OVER (PARTITION BY h) AS n
+            FROM wins)
+          WHERE n >= 2 AND rn > 1
+        ), spans AS (
+          SELECT doc_id, MIN(p) AS s, MAX(p) + 16 - 1 AS e
+          FROM flagged GROUP BY doc_id, run
+        ), removed AS (
+          SELECT DISTINCT doc_id, i
+          FROM spans, UNNEST(range(s, e + 1)) AS ti(i)
+        ), tokrows AS (
+          SELECT doc_id, i, t[i] AS tok
+          FROM toks, UNNEST(range(1, len(t) + 1)) AS ti(i)
+        ), keptagg AS (
+          SELECT tr.doc_id,
+                 string_agg(tr.tok, ' ' ORDER BY tr.i)
+                   FILTER (WHERE r.i IS NULL) AS txt,
+                 COUNT(*) AS n_toks,
+                 COUNT(r.i) AS n_rm
+          FROM tokrows tr
+          LEFT JOIN removed r ON r.doc_id = tr.doc_id AND r.i = tr.i
+          GROUP BY tr.doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(k.txt, '') AS text_scrubbed,
+               COALESCE(k.n_toks, 0) AS n_tokens,
+               COALESCE(k.n_rm, 0) AS n_removed
+        FROM toks t LEFT JOIN keptagg k USING (doc_id)"""),
+      (s, dir) => graft.operators.Dedup.exactSubstrScrubAll(
+        graft.operators.Fanout.forKernel(Tables.load(s, dir, "documents")),
+        "doc_id", "text", window = 16, minCopies = 2))
   )
 }

@@ -22,7 +22,7 @@ import org.apache.spark.sql.SparkSession
   *                 job: near-dedup → containment → span scrub
   *                 ([[graft.pipeline.CurationChain]]).
   *
-  *   PipelineMain curate-substr <corpusDir> <outDir>
+  *   PipelineMain curate-substr <corpusDir> <outDir> [within-doc]
   *     the same chain with the all-alignment exact-substring scrub
   *     ([[graft.operators.Dedup.exactSubstrScrub]], q214) as the final
   *     stage — keep-one-copy removal of boundary-straddling repeats
@@ -69,10 +69,14 @@ object PipelineMain {
           CurationChain.curate(docs, "doc_id", "text"), outDir)
       case Some("curate-substr") =>
         val Array(_, corpusDir, outDir) = args.take(3)
+        // optional trailing "within-doc": unified occurrence census
+        // (q215) — a doc's own internal repeats ship once too
+        val withinDoc = args.lift(3).contains("within-doc")
         val docs = graft.operators.Fanout.forKernel(
           graft.Tables.load(spark, corpusDir, "documents"))
         runCurate(spark, docs.count(),
-          CurationChain.curateSubstr(docs, "doc_id", "text"), outDir)
+          CurationChain.curateSubstr(docs, "doc_id", "text",
+            withinDoc = withinDoc), outDir)
       case Some("curate-landed") =>
         val Array(_, landedBase, outDir) = args.take(3)
         val nInput = graft.streaming.IdempotentSink

@@ -61,7 +61,8 @@ object StreamStateBench {
       // ContextCleaner GCs their RDDs (hourly by default — never
       // within a run); without this the late batches measure
       // accumulated-state pressure, not the operator
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_GC", "1min"))
       // split-size floor matching Bench.scala: a freshly compacted
       // index is ONE ~tens-of-MB dir — at the default 128 MiB
       // maxPartitionBytes it scans on a single core and every
@@ -94,8 +95,14 @@ object StreamStateBench {
       spark.range(perBatch).select((col("id") + lit(base)).as("doc_id"),
         concat_ws(" ", toks: _*).as("text"))
     }
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     val rows = (0 until nBatches).map { b =>
       val docs = docsFor(b)
+      val gc0 = gcMs
       val t0 = System.nanoTime()
       mode match {
         case "dedup" =>
@@ -120,7 +127,7 @@ object StreamStateBench {
       // exported saturation metric (VERDICT r18 item 6): the expected FP
       // rate of the batch's folded filter — -1 before the first fold
       val fpp = graft.streaming.IndexState.lastSaturation(idx).getOrElse(-1.0)
-      (b, sec, dirs, fpp)
+      (b, sec, dirs, fpp, gcMs - gc0)
     }
     def mean(xs: Seq[Double]): Double =
       if (xs.isEmpty) Double.NaN else xs.sum / xs.size
@@ -141,8 +148,8 @@ object StreamStateBench {
       mean(secs.slice(nBatches / 2 - 2, nBatches / 2 + 3)) else Double.NaN
     val ratio = tail / head
     val plateau = tail / mid
-    val batchesJson = rows.map { case (b, s, d, f) =>
-      f"""{"b":$b,"sec":$s%.4f,"dirs":$d,"fpp":$f%.4f}"""
+    val batchesJson = rows.map { case (b, s, d, f, g) =>
+      f"""{"b":$b,"sec":$s%.4f,"dirs":$d,"fpp":$f%.4f,"gc_ms":$g}"""
     }.mkString("[", ",", "]")
     println(
       f"""{"metric":"stream_state","mode":"$mode","n_batches":$nBatches,""" +

@@ -170,13 +170,15 @@ object IndexState {
 
   /** The probe side of a folded sidecar: true iff `elem` (the same
     * 64-bit expression a derivation above produced) might be in the
-    * committed index. */
-  def mightContain(bloomBytes: Array[Byte], elem: Column): Column = {
-    import org.apache.spark.sql.graft.shim
-    shim.column(org.apache.spark.sql.catalyst.expressions
-      .BloomFilterMightContain(
-        shim.expression(lit(bloomBytes)), shim.expression(elem)))
-  }
+    * committed index. Deserializes per call — a caller probing several
+    * expressions against ONE fold should deserialize once
+    * ([[graft.functions.BloomProbe.deserialize]]) and build its probes
+    * with [[graft.functions.BloomProbe.apply]] directly; see that
+    * expression's doc for why the bytes must never ride the plan as a
+    * Literal. */
+  def mightContain(bloomBytes: Array[Byte], elem: Column): Column =
+    graft.functions.BloomProbe(
+      graft.functions.BloomProbe.deserialize(bloomBytes), elem)
 
   // ---- committed-state readers ----
 

@@ -453,10 +453,14 @@ object StreamPipeline {
     // adopt/quarantine identically.
     val b0 = batch.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("_text"))
-    val fresh = bloom match {
+    // ONE deserialized filter per batch, reused by every probe site —
+    // the BloomProbe reference form (see its doc: a 1 MB bloom Literal
+    // made every plan rehash the megabyte through analysis/AQE)
+    val bloomF = bloom.map(graft.functions.BloomProbe.deserialize)
+    val fresh = bloomF match {
       case None => b0
-      case Some(bytes) =>
-        val probe = IndexState.mightContain(bytes,
+      case Some(f) =>
+        val probe = graft.functions.BloomProbe(f,
           xxhash64(lit(-1), col("doc_id")))
         val maybeLanded = b0.filter(probe)
         if (timed("sticky")(maybeLanded.isEmpty)) b0
@@ -488,8 +492,8 @@ object StreamPipeline {
     // warms the bsig persist (bband and the index append both reuse it)
     // and bounds the candidate side for the broadcast-size gate below
     val batchRows = timed("bsigCount")(bsig.count())
-    val biOpt: Option[(DataFrame, Long, Long)] = bloom.flatMap { bytes =>
-      val cand = bband.filter(IndexState.mightContain(bytes,
+    val biOpt: Option[(DataFrame, Long, Long)] = bloomF.flatMap { f =>
+      val cand = bband.filter(graft.functions.BloomProbe(f,
         xxhash64(col("b"), col("k"))))
       if (timed("candProbe")(cand.isEmpty)) None
       else {
@@ -778,9 +782,9 @@ object StreamPipeline {
           .toAggregateExpression()).as("_bf"))
       .head().getAs[Array[Byte]]("_bf")
     if (bloomBytes == null) return corpus // empty blocklist: nothing to drop
-    def mightContain(h: org.apache.spark.sql.Column) = shim.column(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        shim.expression(lit(bloomBytes)), shim.expression(xxhash64(h))))
+    val bloomF = graft.functions.BloomProbe.deserialize(bloomBytes)
+    def mightContain(h: org.apache.spark.sql.Column) =
+      graft.functions.BloomProbe(bloomF, xxhash64(h))
     val hashed = corpus.withColumn("_block_hash", md5(T.normalizeText(col(textCol))))
     hashed.filter(!mightContain(col("_block_hash")))
       .unionByName(

@@ -391,6 +391,42 @@ class DedupSpec extends SparkSpec {
     assert(out3 == Map(3L -> 0L, 5L -> 16L, 9L -> 16L, 7L -> 0L), s"got $out3")
   }
 
+  test("exactSubstrScrubAll cuts within-doc repeats too, keeping the first occurrence") {
+    val shared = (0 until 16).map(i => s"dup$i")
+    val own = (0 until 16).map(i => s"own$i")
+    val docs = Seq(
+      (1L, ((0 until 5).map(i => s"a$i") ++ shared).mkString(" ")),
+      (2L, (shared ++ (0 until 3).map(i => s"b$i")).mkString(" ")),
+      (3L, (own ++ own).mkString(" ")), // repeats its OWN phrase
+      (7L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrScrubAll(docs, "doc_id", "text", window = 16)
+      .select("doc_id", "text_scrubbed", "n_tokens", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // cross-doc: first occurrence is (doc 1, p 6) → doc 1 intact
+    assert(out(1L)._3 == 0L && out(1L)._1.endsWith(shared.mkString(" ")),
+      s"first-occurrence doc intact: ${out(1L)}")
+    assert(out(2L) == (((0 until 3).map(i => s"b$i").mkString(" "), 19L, 16L)),
+      s"cross-doc later occurrence cut: ${out(2L)}")
+    // within-doc: the q214 census cannot see this (one distinct doc);
+    // the unified census cuts the second copy, keeps the first
+    assert(out(3L) == ((own.mkString(" "), 32L, 16L)),
+      s"within-doc repeat cut: ${out(3L)}")
+    assert(out(7L)._3 == 0L, s"short doc passes: ${out(7L)}")
+    // q214 on the same corpus ships doc 3's repeat twice — the exact
+    // residual q215 exists to close
+    val crossOnly = Dedup.exactSubstrScrub(docs, "doc_id", "text", window = 16)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    assert(crossOnly(3L) == 0L,
+      s"fixture: the cross-doc census must miss the within-doc repeat: $crossOnly")
+    // on a corpus with NO within-doc repeats the two scrubs agree
+    val noWithin = docs.filter(col("doc_id") =!= 3L)
+    assertSameRows(
+      Dedup.exactSubstrScrubAll(noWithin, "doc_id", "text", window = 16),
+      Dedup.exactSubstrScrub(noWithin, "doc_id", "text", window = 16),
+      "scrubAll == scrub without within-doc repeats")
+  }
+
   test("exactSubstrSpans: runs merge, within-doc repeats don't self-flag, partition-invariant") {
     // 20 shared tokens at window 16 → 5 flagged positions merging into
     // one span of 20 tokens; a doc repeating ITS OWN phrase is not

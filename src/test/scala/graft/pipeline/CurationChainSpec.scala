@@ -75,6 +75,37 @@ class CurationChainSpec extends SparkSpec {
     assert(stats.getAs[Long]("n_exported") == 6L)
   }
 
+  test("curateSubstr withinDoc=true stops a keeper shipping its own internal repeats") {
+    // r18 verdict residual: a doc that repeats its own boilerplate
+    // internally survives stages 1+2 alone (no near-dup, no
+    // containment partner) and the cross-doc-only scrub ships the
+    // repeat N times in the export. withinDoc=true swaps in the
+    // unified occurrence census (q215) and exactly one copy ships.
+    val own = (0 until 16).map(i => s"boiler$i")
+    val selfRep = (own ++ (0 until 6).map(i => s"mid$i") ++ own).mkString(" ")
+    val fillers = (0 until 4).map(k =>
+      (10L + k, (0 until 30).map(i => s"fil${k}x$i").mkString(" ")))
+    val docs = (Seq((1L, selfRep)) ++ fillers).toDF("doc_id", "text")
+    val crossOnly = CurationChain.curateSubstr(docs, "doc_id", "text")
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    assert(crossOnly(1L) == 0L,
+      s"fixture: cross-doc census must ship the internal repeat twice: $crossOnly")
+    val unified = CurationChain.curateSubstr(docs, "doc_id", "text",
+        withinDoc = true)
+      .select("doc_id", "text_scrubbed", "n_removed")
+      .as[(Long, String, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(unified.keySet == crossOnly.keySet, "same survivors")
+    assert(unified(1L)._2 == 16L &&
+      unified(1L)._1 == (own ++ (0 until 6).map(i => s"mid$i")).mkString(" "),
+      s"one first-occurrence copy ships: ${unified(1L)}")
+    // the stats artifact names its grain (ADVICE r18)
+    val stats = CurationChain.stats(docs.count(),
+      CurationChain.curateSubstr(docs, "doc_id", "text", withinDoc = true))
+      .collect().head
+    assert(stats.getAs[String]("grain") == "tokens", s"grain: $stats")
+  }
+
   test("streaming ingest + nightly curate-landed converges to the batch chain") {
     // duplicates are EXACT and first arrivals carry the minimum id, so
     // the online exact-dedup stage elects the same keepers the batch
