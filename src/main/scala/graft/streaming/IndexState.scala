@@ -149,16 +149,20 @@ object IndexState {
       val p = new org.apache.hadoop.fs.Path(d, PostingsDir)
       p.getFileSystem(conf).exists(p)
     }
-    val bucketFilter = col("bucket").isin(buckets: _*)
+    // all-buckets probe (steady duplicate pressure hits every bucket):
+    // a 64-literal IN is a no-op filter — dropping it keeps the plan
+    // IDENTICAL across such batches, so codegen and exchange caches hit
+    // instead of recompiling per batch
+    val allBuckets = buckets.toSet.size >= PostingsBuckets
+    def pruned(df: DataFrame): DataFrame =
+      if (allBuckets) df else df.filter(col("bucket").isin(buckets: _*))
     val parts = Seq(
       if (withSidecar.nonEmpty)
-        Some(spark.read.parquet(withSidecar.map(_ + "/" + PostingsDir): _*)
-          .filter(bucketFilter)
+        Some(pruned(spark.read.parquet(withSidecar.map(_ + "/" + PostingsDir): _*))
           .select(col("b"), col("k"), col("doc_id")))
       else None,
       if (without.nonEmpty)
-        Some(postingsOf(spark.read.parquet(without: _*))
-          .filter(bucketFilter)
+        Some(pruned(postingsOf(spark.read.parquet(without: _*)))
           .select(col("b"), col("k"), col("doc_id")))
       else None).flatten
     parts.reduceOption(_ unionAll _).getOrElse(
