@@ -29,8 +29,24 @@ def load(path):
     """Accept either the Bench JSON line ({"queries": {...}}) or the
     driver's round wrapper ({"tail": "<truncated output>"}) — in the
     latter case scrape whatever per-query timings survive truncation.
-    Returns (queries, sentinel_or_None)."""
-    d = json.load(open(path))
+    Returns (queries, sentinel_or_None). Round artifacts hold the 3
+    final Bench stdout lines — pick the first line that parses and
+    carries per-query data."""
+    d = None
+    for line in open(path):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            cand = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if d is None or ("queries" in cand and "queries" not in d):
+            d = cand
+        if "queries" in d:
+            break
+    if d is None:
+        raise SystemExit(f"no parseable JSON line in {path}")
     sent = None
     s = d.get("sentinel")
     if isinstance(s, dict):
