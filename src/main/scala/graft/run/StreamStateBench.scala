@@ -127,7 +127,12 @@ object StreamStateBench {
       // exported saturation metric (VERDICT r18 item 6): the expected FP
       // rate of the batch's folded filter — -1 before the first fold
       val fpp = graft.streaming.IndexState.lastSaturation(idx).getOrElse(-1.0)
-      (b, sec, dirs, fpp, gcMs - gc0)
+      // per-batch phase attribution from the twin's own clocks (VERDICT
+      // r19 items 2/6): rides in the artifact rows so the next residual
+      // is attributable without re-instrumenting; empty for legacy mode
+      val phases = graft.streaming.StreamPipeline.lastPhases(idx)
+        .getOrElse(Nil)
+      (b, sec, dirs, fpp, gcMs - gc0, phases)
     }
     def mean(xs: Seq[Double]): Double =
       if (xs.isEmpty) Double.NaN else xs.sum / xs.size
@@ -148,8 +153,11 @@ object StreamStateBench {
       mean(secs.slice(nBatches / 2 - 2, nBatches / 2 + 3)) else Double.NaN
     val ratio = tail / head
     val plateau = tail / mid
-    val batchesJson = rows.map { case (b, s, d, f, g) =>
-      f"""{"b":$b,"sec":$s%.4f,"dirs":$d,"fpp":$f%.4f,"gc_ms":$g}"""
+    val batchesJson = rows.map { case (b, s, d, f, g, ph) =>
+      val phJson = ph.map { case (n, v) => f""""$n":$v%.4f""" }
+        .mkString("{", ",", "}")
+      f"""{"b":$b,"sec":$s%.4f,"dirs":$d,"fpp":$f%.4f,"gc_ms":$g,""" +
+        s""""phases":$phJson}"""
     }.mkString("[", ",", "]")
     println(
       f"""{"metric":"stream_state","mode":"$mode","n_batches":$nBatches,""" +

@@ -86,7 +86,20 @@ object IdempotentSink {
         val rest = lines.tail
         h.split(" ") match {
           case Array(_, count, crcHex) =>
-            if (rest.size != count.toInt || crc32Hex(rest) != crcHex)
+            // a non-numeric count field is the same corruption class as
+            // a count/crc mismatch — raise the designed diagnostic, not
+            // a raw NumberFormatException that skips the crc check
+            // entirely (ADVICE r19)
+            val n = try count.toInt catch {
+              case _: NumberFormatException =>
+                throw new IllegalStateException(
+                  s"malformed compacted-id manifest header '$h' in $p — " +
+                    "non-numeric range count; the file is corrupt/" +
+                    "truncated and skipping it would silently un-cover " +
+                    "compacted batch ids. Restore the manifest from a " +
+                    "backup of the generation dir.")
+            }
+            if (rest.size != n || crc32Hex(rest) != crcHex)
               throw new IllegalStateException(
                 s"compacted-id manifest $p fails its integrity sentinel " +
                   s"(header '$h', body lines ${rest.size}, crc " +
@@ -106,10 +119,13 @@ object IdempotentSink {
       case None => Nil
     }
     body.map { line =>
-      line.split("-") match {
+      try line.split("-") match {
         case Array(lo, hi) => (lo.toLong, hi.toLong)
         case Array(lo)     => (lo.toLong, lo.toLong)
         case _ => throw new IllegalStateException(
+          s"malformed compacted-id manifest line '$line' in $p")
+      } catch {
+        case _: NumberFormatException => throw new IllegalStateException(
           s"malformed compacted-id manifest line '$line' in $p")
       }
     }

@@ -249,6 +249,39 @@ object StreamPipeline {
   val IndexBloomItems = 1000000L
   val IndexBloomBits = 1L << 23
 
+  /** Per-batch phase wall clocks around a twin's ACTIONS (everything
+    * else is lazy, so these attribute true cost) — the measurement
+    * loop that found the r18/r19 corpus-linear terms, kept so the next
+    * residual is attributable without re-instrumenting. Always
+    * registered per index base ([[lastPhases]] — StreamStateBench
+    * exports them into the artifact rows, VERDICT r19 item 6);
+    * printed per batch when SPARK_GRAFT_TWIN_PHASES is set. */
+  private final class PhaseClock(tag: String) {
+    val phases = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      phases += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
+    def publish(indexBase: String, batchId: Long): Unit = {
+      phaseReg.put(indexBase, phases.toList)
+      if (sys.env.contains("SPARK_GRAFT_TWIN_PHASES"))
+        println(s"$tag-phases b=$batchId " + phases.map {
+          case (n, s) => f"$n=$s%.2f" }.mkString(" "))
+    }
+  }
+
+  private val phaseReg =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
+
+  /** The phase clocks of the most recent index-twin batch for
+    * `indexBase` in THIS JVM — a metrics register (the
+    * [[IndexState.lastSaturation]] pattern) so a bench/operator can
+    * export per-batch phase attribution instead of scraping stdout. */
+  def lastPhases(indexBase: String): Option[Seq[(String, Double)]] =
+    Option(phaseReg.get(indexBase))
+
   /** One micro-batch of [[dedupStreamWithIndex]] — named so replay
     * scenarios (crash mid-write → foreachBatch redelivery) are directly
     * testable.
@@ -271,22 +304,28 @@ object StreamPipeline {
       bloomItems: Long = IndexBloomItems,
       bloomBits: Long = IndexBloomBits): Unit = {
     val spark = batch.sparkSession
+    val clock = new PhaseClock("dedup")
+    import clock.timed
     val index = IndexState.read(spark, indexBase, "h STRING")
-    val bloom = IndexState.currentBloom(spark, indexBase,
-      IndexState.dedupElems, bloomItems, bloomBits)
+    val bloom = timed("fold")(IndexState.currentBloom(spark, indexBase,
+      IndexState.dedupElems, bloomItems, bloomBits))
     val survivors = graft.operators.Dedup
       .dedupIncremental(batch, idCol, textCol, index, "h",
         bloomItems, bloomBits, precomputedBloom = bloom)
-    IdempotentSink.writeBatch(outBase)(survivors, batchId)
+    timed("write")(IdempotentSink.writeBatch(outBase)(survivors, batchId))
     // index rows from the COMMITTED output, not the live plan — the
-    // survivors DAG would otherwise evaluate twice per batch
-    IndexState.append(
-      spark.read.parquet(s"$outBase/batch=$batchId")
-        .select(col("content_hash").as("h")),
-      batchId, indexBase, IndexState.dedupElems, bloomItems, bloomBits)
-    if (IndexState.shouldCompact(spark, indexBase, maxIndexDirs))
-      IndexState.compact(spark, indexBase, IndexState.dedupElems,
-        bloomItems, bloomBits)
+    // survivors DAG would otherwise evaluate twice per batch; the
+    // committed dir's bytes bound the index append's file sizing
+    val outDir = s"$outBase/batch=$batchId"
+    timed("append")(IndexState.append(
+      spark.read.parquet(outDir).select(col("content_hash").as("h")),
+      batchId, indexBase, IndexState.dedupElems, bloomItems, bloomBits,
+      estBytes = IndexState.dataBytes(spark, outDir)))
+    timed("compact")(
+      if (IndexState.shouldCompact(spark, indexBase, maxIndexDirs))
+        IndexState.compact(spark, indexBase, IndexState.dedupElems,
+          bloomItems, bloomBits))
+    clock.publish(indexBase, batchId)
   }
 
   /** Streaming IMAGE ingest dedup against an at-rest signature index —
@@ -336,25 +375,31 @@ object StreamPipeline {
       bloomItems: Long = IndexBloomItems,
       bloomBits: Long = IndexBloomBits): Unit = {
     val spark = batch.sparkSession
+    val clock = new PhaseClock("dhash")
+    import clock.timed
     val index = IndexState.read(spark, indexBase, "h BIGINT")
-    val bloom = IndexState.currentBloom(spark, indexBase,
-      IndexState.dhashElems(maxHamming), bloomItems, bloomBits)
+    val bloom = timed("fold")(IndexState.currentBloom(spark, indexBase,
+      IndexState.dhashElems(maxHamming), bloomItems, bloomBits))
     val sigs = hasher(batch, idCol)
     val survivors = graft.operators.Dedup.dedupIncrementalHamming(
       sigs, idCol, "dhash", index, "h", maxHamming,
       bloomItems, bloomBits, precomputedBloom = bloom)
-    IdempotentSink.writeBatch(outBase)(survivors, batchId)
+    timed("write")(IdempotentSink.writeBatch(outBase)(survivors, batchId))
     // index rows from the COMMITTED output, not the live plan — the
     // survivors DAG (decode + hash + banded join) would otherwise
-    // evaluate twice per batch
-    IndexState.append(
-      spark.read.parquet(s"$outBase/batch=$batchId")
-        .select(col("dhash").as("h")),
+    // evaluate twice per batch; the committed dir's bytes bound the
+    // index append's file sizing
+    val outDir = s"$outBase/batch=$batchId"
+    timed("append")(IndexState.append(
+      spark.read.parquet(outDir).select(col("dhash").as("h")),
       batchId, indexBase, IndexState.dhashElems(maxHamming),
-      bloomItems, bloomBits)
-    if (IndexState.shouldCompact(spark, indexBase, maxIndexDirs))
-      IndexState.compact(spark, indexBase, IndexState.dhashElems(maxHamming),
-        bloomItems, bloomBits)
+      bloomItems, bloomBits,
+      estBytes = IndexState.dataBytes(spark, outDir)))
+    timed("compact")(
+      if (IndexState.shouldCompact(spark, indexBase, maxIndexDirs))
+        IndexState.compact(spark, indexBase, IndexState.dhashElems(maxHamming),
+          bloomItems, bloomBits))
+    clock.publish(indexBase, batchId)
   }
 
   /** Streaming ingest twin of [[graft.operators.CorpusPrep
@@ -423,18 +468,8 @@ object StreamPipeline {
       bloomBits: Long = IndexBloomBits): Unit = {
     import graft.functions.{TextFunctions => T}
     val spark = batch.sparkSession
-    // per-phase wall clocks around the batch's ACTIONS (everything else
-    // is lazy, so these attribute true cost); printed per batch when
-    // SPARK_GRAFT_TWIN_PHASES is set — the measurement loop that found
-    // the r18/r19 corpus-linear terms, kept so the next residual is
-    // attributable without re-instrumenting
-    val phases = scala.collection.mutable.ListBuffer.empty[(String, Double)]
-    def timed[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      phases += name -> (System.nanoTime() - t0) / 1e9
-      r
-    }
+    val clock = new PhaseClock("split")
+    import clock.timed
     lazy val index = IndexState.read(spark, indexBase,
       "doc_id BIGINT, side STRING, hs ARRAY<BIGINT>, bands ARRAY<BIGINT>")
     val bloom = timed("fold")(IndexState.currentBloom(spark, indexBase,
@@ -525,11 +560,15 @@ object StreamPipeline {
         // batch. GATED on the bound's estimated bytes vs the session
         // broadcast threshold (ADVICE r18): an oversized micro-batch
         // falls back to the shuffle join (slower, never an OOM-failed
-        // batch).
+        // batch). ADVICE r19 refinements: a session that DISABLED
+        // broadcasting (threshold ≤ 0, e.g. protecting a small driver)
+        // is honored — no forced hint; and the per-row estimate is
+        // 128 B (3 longs serialize ~32 B, but the in-memory
+        // HashedRelation footprint is 2–4× row bytes).
+        val bcThreshold = spark.sessionState.conf.autoBroadcastJoinThreshold
         val candSide =
-          if (batchRows * bands * 32L <=
-              math.max(spark.sessionState.conf.autoBroadcastJoinThreshold,
-                10L * 1024 * 1024))
+          if (bcThreshold > 0 && batchRows * bands * 128L <=
+              math.max(bcThreshold, 10L * 1024 * 1024))
             broadcast(candNarrow)
           else candNarrow
         val candPairs = iband.join(candSide, Seq("b", "k"))
@@ -634,19 +673,22 @@ object StreamPipeline {
     // live plan: `sided`'s DAG (components + census) would otherwise
     // evaluate twice per batch — once for the output write, once for
     // the index append (measured as ~2x the per-batch cost).
-    // one file per batch-bounded output dir (the 32-shuffle-partition
-    // plan otherwise lands ~32 KB-sized files per batch — a growing
-    // listing/read tax on every downstream consumer and the append's
-    // own read-back)
-    timed("ccWrite")(
-      IdempotentSink.writeBatch(outBase)(sided.repartition(1), batchId))
+    // SIZE-AWARE file counts (ADVICE r19 — a hard repartition(1)
+    // serialized a large micro-batch through one task): batchRows is
+    // already counted, so the output sizes at ~64 B/row (id, root,
+    // side) and the index append at ~400 B/row (wide hs + bands
+    // arrays); at bench scale both resolve to the one-file-per-batch
+    // layout that ended the r19 small-files storm.
+    timed("ccWrite")(IdempotentSink.writeBatch(outBase)(
+      sided.repartition(IndexState.sizedFileCount(batchRows * 64L)),
+      batchId))
     timed("append")(IndexState.append(
       spark.read.parquet(s"$outBase/batch=$batchId")
         .select(col("doc_id"), col("side"))
         .join(bsig, Seq("doc_id"))
         .select(col("doc_id"), col("side"), col("hs"), col("bands")),
       batchId, indexBase, IndexState.splitElems,
-      bloomItems, bloomBits))
+      bloomItems, bloomBits, estBytes = batchRows * 400L))
     timed("compact")(
       if (IndexState.shouldCompact(spark, indexBase, maxIndexDirs))
         IndexState.compact(spark, indexBase, IndexState.splitElems,
@@ -654,17 +696,18 @@ object StreamPipeline {
           // merged dir doc_id-SORTED in size-targeted files (parquet
           // page/row-group stats then serve the probe's doc-id range
           // pruning) and carrying the bucket-partitioned `_postings`
-          // sidecar the candidate probe partition-prunes
+          // sidecar the candidate probe partition-prunes; the sidecar
+          // write is clocked apart so the artifact rows attribute the
+          // compaction's data-vs-postings split (VERDICT r19 item 2)
           shape = (df, bytes) => df
             .repartitionByRange(IndexState.sizedFileCount(bytes),
               col("doc_id"))
             .sortWithinPartitions(col("doc_id")),
-          extraMergedWrite = (s, dir) => IndexState.writePostings(s, dir)))
+          extraMergedWrite = (s, dir) =>
+            timed("postings")(IndexState.writePostings(s, dir))))
     biOpt.foreach(_._1.unpersist(false))
     bsig.unpersist(false)
-    if (sys.env.contains("SPARK_GRAFT_TWIN_PHASES"))
-      println(s"split-phases b=$batchId " + phases.map {
-        case (n, s) => f"$n=$s%.2f" }.mkString(" "))
+    clock.publish(indexBase, batchId)
   }
 
   /** Streaming MinHash-LSH near-dup candidates — the incremental twin
