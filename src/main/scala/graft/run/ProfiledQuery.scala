@@ -78,6 +78,25 @@ object ProfiledQuery {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // host CPU accounting from /proc/stat (user/nice/system/idle/iowait/
+    // irq/softirq/steal jiffies): the steal delta is the decisive
+    // discriminator for a VM host regime — tasks at low cpu/run
+    // efficiency WITH high steal = hypervisor co-tenant stealing cycles;
+    // low efficiency with near-zero steal = memory-bandwidth stalls or
+    // in-guest contention; iowait = disk
+    def hostCpu(): Array[Long] =
+      try {
+        val l = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        l.padTo(8, 0L).take(8)
+      } catch { case _: Throwable => Array.fill(8)(0L) }
+    def hostDeltaJson(a: Array[Long], b: Array[Long]): String = {
+      val d = a.zip(b).map { case (x, y) => y - x }
+      val names = Seq("user", "nice", "system", "idle", "iowait", "irq",
+        "softirq", "steal")
+      names.zip(d).map { case (n, v) => s""""$n":$v""" }
+        .mkString("{", ",", "}")
+    }
     // the Bench sentinel verbatim (pinned zero-I/O generate+agg+sort,
     // min-of-3 after a warm rep) — stamps the host regime per rep so a
     // slow wall is separable into "sentinel slow too" (host) vs
@@ -108,14 +127,17 @@ object ProfiledQuery {
         .foreach(_.unpersist(blocking = false))
       stages.clear()
       val gc0 = procGcMs
+      val host0 = hostCpu()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       val wall = (System.nanoTime() - t0) / 1e9
+      val hostD = hostDeltaJson(host0, hostCpu())
       Thread.sleep(500) // let the listener bus drain this rep's stages
       import scala.jdk.CollectionConverters._
       val st = stages.asScala.toList
       println(f"""{"profiled":{"q":"$name","rep":$rep,"wall":$wall%.3f,""" +
         s""""proc_gc_ms":${procGcMs - gc0},"sentinel_pre":$sentPre,""" +
+        s""""host_jiffies":$hostD,""" +
         s""""n_stages":${st.size},"sf":"$sfDir",""" +
         s""""stages":${st.mkString("[", ",", "]")}}}""")
       System.out.flush()

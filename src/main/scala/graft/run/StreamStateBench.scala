@@ -132,7 +132,35 @@ object StreamStateBench {
       // is attributable without re-instrumenting; empty for legacy mode
       val phases = graft.streaming.StreamPipeline.lastPhases(idx)
         .getOrElse(Nil)
-      (b, sec, dirs, fpp, gcMs - gc0, phases)
+      // JVM-state counters for session-age drift attribution (r20: the
+      // split long run showed batch-LOCAL phases inflating ~3.6x over
+      // 500 batches — these separate leaked-persist / class-load /
+      // heap-growth hypotheses from the artifact alone)
+      val rdds = spark.sparkContext.getPersistentRDDs.size
+      val classes = java.lang.management.ManagementFactory
+        .getClassLoadingMXBean.getLoadedClassCount
+      val heapMb = (java.lang.Runtime.getRuntime.totalMemory() -
+        java.lang.Runtime.getRuntime.freeMemory()) / (1024 * 1024)
+      // pinned per-batch driver sentinel: a FIXED tiny action whose
+      // plan never changes — if ITS wall time drifts with session age,
+      // the drift is generic per-job driver/JVM overhead; if it stays
+      // flat while batch phases inflate, the drift is specific to the
+      // twin's growing plan/state
+      val s0 = System.nanoTime()
+      spark.range(0, 100000, 1, 4).selectExpr("sum(id)").collect()
+      val sentMs = (System.nanoTime() - s0) / 1000000
+      // pinned COMPUTE sentinel (r20: the tiny sentinel above stayed
+      // flat through a drift that inflated every compute-heavy phase —
+      // its compute share is too small to see a compute-RATE regime;
+      // this one is ~1 s of pure codegen'd hashing on a fixed cached
+      // plan, so host/JVM compute-rate drift moves it proportionally
+      // while twin-specific state growth does not)
+      val c0 = System.nanoTime()
+      spark.range(0, 4000000, 1, 8)
+        .selectExpr("max(xxhash64(id, id+1, id+2))").collect()
+      val cmpMs = (System.nanoTime() - c0) / 1000000
+      (b, sec, dirs, fpp, gcMs - gc0, phases, rdds, classes, heapMb,
+        sentMs, cmpMs)
     }
     def mean(xs: Seq[Double]): Double =
       if (xs.isEmpty) Double.NaN else xs.sum / xs.size
@@ -153,11 +181,13 @@ object StreamStateBench {
       mean(secs.slice(nBatches / 2 - 2, nBatches / 2 + 3)) else Double.NaN
     val ratio = tail / head
     val plateau = tail / mid
-    val batchesJson = rows.map { case (b, s, d, f, g, ph) =>
-      val phJson = ph.map { case (n, v) => f""""$n":$v%.4f""" }
-        .mkString("{", ",", "}")
-      f"""{"b":$b,"sec":$s%.4f,"dirs":$d,"fpp":$f%.4f,"gc_ms":$g,""" +
-        s""""phases":$phJson}"""
+    val batchesJson = rows.map {
+      case (b, s, d, f, g, ph, rd, cl, hp, sm, cm) =>
+        val phJson = ph.map { case (n, v) => f""""$n":$v%.4f""" }
+          .mkString("{", ",", "}")
+        f"""{"b":$b,"sec":$s%.4f,"dirs":$d,"fpp":$f%.4f,"gc_ms":$g,""" +
+          s""""phases":$phJson,"rdds":$rd,"classes":$cl,"heap_mb":$hp,""" +
+          s""""sent_ms":$sm,"cmp_ms":$cm}"""
     }.mkString("[", ",", "]")
     println(
       f"""{"metric":"stream_state","mode":"$mode","n_batches":$nBatches,""" +
