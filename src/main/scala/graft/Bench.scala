@@ -1,5 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** SPARK_GRAFT_CONF="key=value;key=value" overlay for session-level
+  * tuning experiments — the r20 optimization round's A/B harness.
+  * Applied by the measurement mains (Bench, ProfiledQuery) AFTER their
+  * pinned configs so an experiment can override any of them; unset, a
+  * no-op. */
+object ExtraConf {
+  implicit final class BuilderOps(val b: SparkSession.Builder) extends AnyVal {
+    def applyExtraConf(): SparkSession.Builder = {
+      sys.env.get("SPARK_GRAFT_CONF").toSeq
+        .flatMap(_.split(";").toSeq).map(_.trim).filter(_.nonEmpty)
+        .foldLeft(b) { (acc, kv) =>
+          kv.split("=", 2) match {
+            case Array(k, v) => acc.config(k.trim, v.trim)
+            case _ => acc
+          }
+        }
+    }
+  }
+}
+import ExtraConf._
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,6 +65,11 @@ object Bench {
       // files are bigger (sf1: 512k keeps text-heavy scans wide).
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", s"${4 * 1024 * 1024}"))
+      // A/B harness for session-level tuning experiments (r20
+      // optimization round): SPARK_GRAFT_CONF="k=v;k=v" overlays extra
+      // confs. Unset (the driver's case) it is a no-op, so the bench
+      // contract and round-over-round comparability are untouched.
+      .applyExtraConf()
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup pass at the smallest sf: JIT + whole-stage-codegen compile

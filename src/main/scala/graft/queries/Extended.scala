@@ -2506,41 +2506,81 @@ object Extended {
         }: _*)).as("s")
         val sub = corpus.select(col("vec_id"), subspaces("v"))
           .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-        val wMin = Window.partitionBy(col("vec_id"), col("m"))
-          .orderBy(col("dist"), col("cb_id"))
-        val l2 = expr(
-          "aggregate(zip_with(sv, centv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
-        def assignTo(cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = sub
-          .join(broadcast(cents), Seq("m"))
-          .withColumn("dist", l2)
-          .withColumn("r", row_number().over(wMin)).filter(col("r") === 1)
+        // Codebooks live DRIVER-SIDE between Lloyd rounds (r20 guide
+        // §2.4 — remove shuffles outright): a PQ codebook is 4×8
+        // centroids of 16 ints at ANY corpus size, so assignment
+        // becomes a pure projection (argmin over 8 literal centroids,
+        // folded into the row — no broadcast join, no per-round
+        // corpus×8 candidate explode, no argmin window with its
+        // exchange + two sorts), and each Lloyd update is one
+        // map-side-combined 128-group aggregate whose result is
+        // collected back (bounded: 8×16 longs per subspace — the
+        // [[graft.operators.Similarity]] driver-side-Lloyd /
+        // broadcast-LUT ADC regime, and how FAISS itself trains).
+        // Selection semantics are the window form's (dist ASC, cb_id
+        // ASC) argmin verbatim: candidates carry (dist, cb_id) structs
+        // and array_min picks the least — bit-identical assignments,
+        // centroids, codes and recall (the DuckDB oracle replays every
+        // round unchanged).
+        // cents: per subspace m, (cb_id → centroid) sorted by cb_id.
+        type Cents = Map[Int, Seq[(Long, Seq[Long])]]
+        def distTo(cv: Seq[Long]) = expr(
+          s"aggregate(zip_with(sv, array(${cv.mkString(",")}L), " +
+            "(a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+        def assignExpr(cents: Cents): org.apache.spark.sql.Column = {
+          // per subspace: argmin over the literal candidate structs
+          val perM = (0 until 4).map { m =>
+            val cands = cents(m).map { case (cb, cv) =>
+              struct(distTo(cv).as("dist"), lit(cb).as("cb_id")) }
+            (m, array_min(array(cands: _*)).getField("cb_id"))
+          }
+          perM.tail.foldLeft(when(col("m") === perM.head._1, perM.head._2)) {
+            case (acc, (m, e)) => acc.when(col("m") === m, e)
+          }
+        }
+        def assignTo(cents: Cents): org.apache.spark.sql.DataFrame =
+          sub.withColumn("cb_id", assignExpr(cents))
         // integer Lloyd update: per-dim floor mean via the +4096 shift
         // (truncating div == floor on non-negative numerators), empty
-        // clusters keep their previous centroid
-        def update(cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        // clusters keep their previous centroid. One job per round:
+        // a 4·8·16-group aggregate, collected bounded.
+        def update(cents: Cents): Cents = {
           val upd = assignTo(cents)
             .select(col("m"), col("cb_id"), posexplode(col("sv")))
             .groupBy(col("m"), col("cb_id"), col("pos"))
             .agg(expr("sum(col + 4096) div count(1) - 4096").as("cv"))
-            .groupBy(col("m"), col("cb_id"))
-            .agg(expr(
-              "transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
-              .as("newv"))
-          cents.join(upd, Seq("m", "cb_id"), "left")
-            .select(col("m"), col("cb_id"),
-              coalesce(col("newv"), col("centv")).as("centv"))
+            .collect()
+            .groupBy(r => (r.getInt(0), r.getLong(1)))
+            .map { case ((m, cb), rows) =>
+              (m, cb) -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq }
+          cents.map { case (m, cbs) =>
+            m -> cbs.map { case (cb, cv) =>
+              cb -> upd.getOrElse((m, cb), cv) }
+          }
         }
-        val cents0 = corpus.orderBy("vec_id").limit(8)
+        val cents0: Cents = corpus.orderBy("vec_id").limit(8)
           .select(col("vec_id").as("cb_id"), subspaces("v"))
           .select(col("cb_id"), col("s.m").as("m"), col("s.sv").as("centv"))
+          .collect()
+          .groupBy(_.getInt(1))
+          .map { case (m, rows) =>
+            m -> rows.sortBy(_.getLong(0))
+              .map(r => r.getLong(0) -> r.getSeq[Long](2).toSeq).toSeq }
         val cents2 = update(update(cents0))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val codes = assignTo(cents2)
           .select(col("vec_id"), col("m"), col("cb_id").as("code"))
+        // the trained codebook as a LocalRelation for the LUT join —
+        // 32 rows at any scale
+        val cents2Df = {
+          import s.implicits._
+          cents2.toSeq.flatMap { case (m, cbs) =>
+            cbs.map { case (cb, cv) => (m, cb, cv) } }
+            .toDF("m", "cb_id", "centv")
+        }
         val qlut = queries
           .select(col("query_id"), subspaces("qv"))
           .select(col("query_id"), col("s.m").as("m"), col("s.sv").as("qsv"))
-          .join(broadcast(cents2), Seq("m"))
+          .join(broadcast(cents2Df), Seq("m"))
           .select(col("query_id"), col("m"), col("cb_id"),
             graft.functions.VectorFunctions.longDot(col("qsv"), col("centv")).as("pdot"))
         val wPq = Window.partitionBy(col("query_id"))

@@ -1,5 +1,6 @@
 package graft.run
 
+import graft.ExtraConf._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
@@ -25,13 +26,17 @@ import org.apache.spark.sql.SparkSession
   *  - page-cache loss: `input_bytes` identical but the scan stages'
   *    `run_ms` inflates with cold reads (`fetch_wait_ms` flat).
   *
-  * Usage: runMain graft.run.ProfiledQuery [queryName] [reps]
+  * Usage: runMain graft.run.ProfiledQuery [queryNameCsv] [reps]
+  * (comma-separated names profile several queries in ONE JVM — the
+  * r20 optimization round's per-stage attribution sweep)
   * Env: SPARK_GRAFT_SF_DIR (default /root/repo/target/sf1),
   *      SPARK_GRAFT_CPUS, SPARK_GRAFT_MAX_PART_BYTES (sf1: 524288).
   */
 object ProfiledQuery {
   def main(args: Array[String]): Unit = {
-    val name = if (args.length > 0) args(0) else "q182_containment_pairs"
+    val names =
+      (if (args.length > 0) args(0) else "q182_containment_pairs")
+        .split(",").toSeq
     val reps = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,6 +51,7 @@ object ProfiledQuery {
         sys.env.getOrElse("SPARK_GRAFT_GC", "10min"))
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", s"${4 * 1024 * 1024}"))
+      .applyExtraConf() // SPARK_GRAFT_CONF A/B overlay (see graft.ExtraConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -113,15 +119,17 @@ object ProfiledQuery {
     }
     def sentinel(): Double = { sentinelOnce(); (1 to 3).map(_ => sentinelOnce()).min }
 
-    val fn = graft.SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query $name"))
+    val fns = names.map(name => name -> graft.SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query $name")))
     // warmup at the smallest sf so rep 1 measures the engine, not JIT
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      fns.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
     val sentPre = sentinel()
-    (1 to reps).foreach { rep =>
+    for ((name, fn) <- fns; rep <- 1 to reps) {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
