@@ -817,24 +817,23 @@ object Extended {
         def dot(a: String, b: String) =
           graft.functions.VectorFunctions.longDot(col(a), col(b))
         val corpus = emb.select(col("vec_id"), quant.as("cv"))
-        val cents = corpus.orderBy("vec_id").limit(16)
-          .select(col("vec_id").as("list_id"), col("cv").as("centv"))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d").desc, col("list_id"))
-        val assigned = corpus.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cv"), col("list_id"),
-            dot("cv", "centv").as("d"))
-          .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+        // literal-codebook IVF (see [[LitCodebook]]): assignment is a
+        // per-row argmax projection; the 6-probe selection sorts the 16
+        // literal candidate structs INSIDE the query row (array_sort +
+        // slice + explode) — same (d DESC, list_id ASC) order as the
+        // former windows, zero exchanges for either step
+        val centsL = LitCodebook.collect(
+          corpus.orderBy("vec_id").limit(16), "vec_id", "cv")
+        val assigned = corpus
+          .withColumn("list_id",
+            LitCodebook.argmaxDot(col("cv"), centsL).getField("id"))
           .select(col("vec_id"), col("cv"), col("list_id"))
         val queries = corpus.filter(col("vec_id") < 20)
           .select(col("vec_id").as("query_id"), col("cv").as("qv"))
-        val wProbe = Window.partitionBy(col("query_id"))
-          .orderBy(col("d").desc, col("list_id"))
-        val probes = queries.crossJoin(broadcast(cents))
-          .select(col("query_id"), col("qv"), col("list_id"),
-            dot("qv", "centv").as("d"))
-          .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 6)
-          .select(col("query_id"), col("qv"), col("list_id"))
+        val probes = queries
+          .select(col("query_id"), col("qv"),
+            explode(LitCodebook.topKDot(col("qv"), centsL, 6)).as("p"))
+          .select(col("query_id"), col("qv"), col("p.id").as("list_id"))
         val wTop = Window.partitionBy(col("query_id"))
           .orderBy(col("dot").desc, col("vec_id"))
         assigned.join(broadcast(probes), Seq("list_id"))
@@ -994,14 +993,16 @@ object Extended {
           graft.functions.VectorFunctions.longDot(col(a), col(b))
         val base = emb.select(col("vec_id").cast("long").as("vec_id"), quant.as("v"))
           .withColumn("nn", graft.functions.VectorFunctions.longDot(col("v"), col("v")))
-        val cents = base.orderBy("vec_id").limit(12)
-          .select(col("vec_id").as("list_id"), col("v").as("centv"))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d").desc, col("list_id"))
-        val assigned = base.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("v"), col("nn"), col("list_id"),
-            dotOf("v", "centv").as("d"))
-          .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+        // literal-codebook assignment (see [[LitCodebook]]): 12 fixed
+        // centroids fold into a per-row argmax projection — same
+        // (d DESC, list_id ASC) selection as the former crossJoin +
+        // row_number window, minus the corpus×12 explode, the exchange
+        // and two sorts
+        val centsL = LitCodebook.collect(
+          base.orderBy("vec_id").limit(12), "vec_id", "v")
+        val assigned = base
+          .withColumn("list_id",
+            LitCodebook.argmaxDot(col("v"), centsL).getField("id"))
           .select(col("vec_id"), col("v"), col("nn"), col("list_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = graft.operators.Dedup.clusterPairs(
@@ -1095,14 +1096,12 @@ object Extended {
           graft.functions.VectorFunctions.longDot(col(a), col(b))
         val base = emb.select(col("vec_id").cast("long").as("vec_id"), quant.as("v"))
           .withColumn("nn", graft.functions.VectorFunctions.longDot(col("v"), col("v")))
-        val cents = base.orderBy("vec_id").limit(12)
-          .select(col("vec_id").as("list_id"), col("v").as("centv"))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d").desc, col("list_id"))
-        val assigned = base.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("v"), col("nn"), col("list_id"),
-            dotOf("v", "centv").as("d"))
-          .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+        // literal-codebook assignment — see q153 / [[LitCodebook]]
+        val centsL = LitCodebook.collect(
+          base.orderBy("vec_id").limit(12), "vec_id", "v")
+        val assigned = base
+          .withColumn("list_id",
+            LitCodebook.argmaxDot(col("v"), centsL).getField("id"))
           .select(col("vec_id"), col("v"), col("nn"), col("list_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // THE production path: hot clusters (n > 40) emit a star to
@@ -1988,25 +1987,32 @@ object Extended {
         def subspaces(vCol: String) = explode(array((0 until 4).map { m =>
           struct(lit(m).as("m"), expr(s"slice($vCol, ${m * 16 + 1}, 16)").as("sv"))
         }: _*)).as("s")
-        val cbRows = corpus.orderBy("vec_id").limit(8)
-          .select(col("vec_id").as("cb_id"), subspaces("v"))
-          .select(col("cb_id"), col("s.m").as("m"), col("s.sv").as("centv"))
-        // encode: argmin integer L2 per (vector, subspace), code-id tiebreak
-        val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-          .orderBy(col("dist"), col("cb_id"))
+        // literal sub-quantizer codebooks (see [[LitCodebook]]): the 8
+        // lowest-id vectors collect bounded and the per-(vector,
+        // subspace) argmin L2 encode folds into the scan — same
+        // (dist ASC, cb_id ASC) selection as the former broadcast join
+        // + row_number window, minus the corpus×8 explode, exchange and
+        // two sorts
+        val cb = LitCodebook.subCodebooks(LitCodebook.collect(
+          corpus.orderBy("vec_id").limit(8), "vec_id", "v"), 4, 16)
         val codes = corpus
           .select(col("vec_id"), subspaces("v"))
           .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-          .join(broadcast(cbRows), Seq("m"))
-          .withColumn("dist", expr(
-            "aggregate(zip_with(sv, centv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .withColumn("r", row_number().over(wEnc)).filter(col("r") === 1)
-          .select(col("vec_id"), col("m"), col("cb_id").as("code"))
-        // per-query ADC lookup tables: (query, m, code) -> partial dot
+          .withColumn("code", LitCodebook.perSubspace(col("m"),
+            (0 until 4).map(m =>
+              m -> LitCodebook.argminL2(col("sv"), cb(m)).getField("id"))))
+          .select(col("vec_id"), col("m"), col("code"))
+        // per-query ADC lookup tables: (query, m, code) -> partial dot;
+        // the codebook joins as a 32-row LocalRelation
+        val cbDf = {
+          import s.implicits._
+          (0 until 4).flatMap(m => cb(m).map { case (id, cv) => (m, id, cv) })
+            .toDF("m", "cb_id", "centv")
+        }
         val qlut = corpus.filter(col("vec_id") < 20)
           .select(col("vec_id").as("query_id"), subspaces("v"))
           .select(col("query_id"), col("s.m").as("m"), col("s.sv").as("qsv"))
-          .join(broadcast(cbRows), Seq("m"))
+          .join(broadcast(cbDf), Seq("m"))
           .select(col("query_id"), col("m"), col("cb_id"),
             graft.functions.VectorFunctions.longDot(col("qsv"), col("centv")).as("pdot"))
         val wTop = Window.partitionBy(col("query_id"))
@@ -2108,48 +2114,52 @@ object Extended {
         def dotOf(a: String, b: String) =
           graft.functions.VectorFunctions.longDot(col(a), col(b))
         val corpus = emb.select(col("vec_id").cast("long").as("vec_id"), quant.as("v"))
-        val cents = corpus.orderBy("vec_id").limit(16)
-          .select(col("vec_id").as("list_id"), col("v").as("centv"))
-        // coarse assignment (q90), keeping the RESIDUAL v - centroid
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d").desc, col("list_id"))
-        val assigned = corpus.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("v"), col("list_id"), col("centv"),
-            dotOf("v", "centv").as("d"))
-          .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
-          .select(col("vec_id"), col("list_id"),
-            expr("zip_with(v, centv, (a, b) -> a - b)").as("rv"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // literal coarse codebook (see [[LitCodebook]]): assignment —
+        // keeping the RESIDUAL v − centroid, the winning centroid rides
+        // the argmax struct — and the 6-probe selection both fold into
+        // projections; the residual sub-quantizer codebooks derive
+        // DRIVER-SIDE from the same 16 collected rows (the 8 lowest ids
+        // are among the 16 lowest, and the local argmax twin runs the
+        // identical Long arithmetic), so the former corpus-grain
+        // assigned persist + two argmin windows disappear outright
+        val centsL = LitCodebook.collect(
+          corpus.orderBy("vec_id").limit(16), "vec_id", "v")
+        val assigned = corpus
+          .withColumn("_a", LitCodebook.argmaxDotCentv(col("v"), centsL))
+          .select(col("vec_id"), col("_a.id").as("list_id"),
+            expr("zip_with(v, _a.centv, (a, b) -> a - b)").as("rv"))
         def subspaces(vCol: String) = explode(array((0 until 4).map { m =>
           struct(lit(m).as("m"), expr(s"slice($vCol, ${m * 16 + 1}, 16)").as("sv"))
         }: _*)).as("s")
         // residual codebooks: the 8 lowest-id vectors' residual subvectors
-        val cbRows = assigned.orderBy("vec_id").limit(8)
-          .select(col("vec_id").as("cb_id"), subspaces("rv"))
-          .select(col("cb_id"), col("s.m").as("m"), col("s.sv").as("centv"))
-        val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-          .orderBy(col("dist"), col("cb_id"))
+        val cbResid = LitCodebook.subCodebooks(
+          centsL.take(8).map { case (id, v) =>
+            val (_, cv) = LitCodebook.argmaxDotLocal(v, centsL)
+            id -> v.zip(cv).map { case (a, b) => a - b }
+          }, 4, 16)
         val codes = assigned
           .select(col("vec_id"), col("list_id"), subspaces("rv"))
           .select(col("vec_id"), col("list_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-          .join(broadcast(cbRows), Seq("m"))
-          .withColumn("dist", expr(
-            "aggregate(zip_with(sv, centv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .withColumn("r", row_number().over(wEnc)).filter(col("r") === 1)
-          .select(col("vec_id"), col("list_id"), col("m"), col("cb_id").as("code"))
+          .withColumn("code", LitCodebook.perSubspace(col("m"),
+            (0 until 4).map(m =>
+              m -> LitCodebook.argminL2(col("sv"), cbResid(m)).getField("id"))))
+          .select(col("vec_id"), col("list_id"), col("m"), col("code"))
         val queries = corpus.filter(col("vec_id") < 20)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        val wProbe = Window.partitionBy(col("query_id"))
-          .orderBy(col("qcdot").desc, col("list_id"))
-        val probes = queries.crossJoin(broadcast(cents))
-          .select(col("query_id"), col("qv"), col("list_id"),
-            dotOf("qv", "centv").as("qcdot"))
-          .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 6)
-          .select(col("query_id"), col("qv"), col("list_id"), col("qcdot"))
+        val probes = queries
+          .select(col("query_id"), col("qv"),
+            explode(LitCodebook.topKDot(col("qv"), centsL, 6)).as("p"))
+          .select(col("query_id"), col("qv"), col("p.id").as("list_id"),
+            (-col("p.nd")).as("qcdot"))
+        val cbResidDf = {
+          import s.implicits._
+          (0 until 4).flatMap(m => cbResid(m).map { case (id, cv) => (m, id, cv) })
+            .toDF("m", "cb_id", "centv")
+        }
         val qlut = queries
           .select(col("query_id"), subspaces("qv"))
           .select(col("query_id"), col("s.m").as("m"), col("s.sv").as("qsv"))
-          .join(broadcast(cbRows), Seq("m"))
+          .join(broadcast(cbResidDf), Seq("m"))
           .select(col("query_id").as("lq"), col("m"), col("cb_id"),
             graft.functions.VectorFunctions.longDot(col("qsv"), col("centv")).as("pdot"))
         val wTop = Window.partitionBy(col("query_id"))
@@ -2333,27 +2343,29 @@ object Extended {
             graft.functions.VectorFunctions.longDot(col("v"), col("qv")).as("dot"))
           .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= 5)
           .select(col("query_id"), col("vec_id"))
-        // PQ top-5: the q166 codes + ADC pipeline
+        // PQ top-5: the q166 codes + ADC pipeline — literal
+        // sub-quantizer codebooks as in q166 (see [[LitCodebook]])
         def subspaces(vCol: String) = explode(array((0 until 4).map { m =>
           struct(lit(m).as("m"), expr(s"slice($vCol, ${m * 16 + 1}, 16)").as("sv"))
         }: _*)).as("s")
-        val cbRows = corpus.orderBy("vec_id").limit(8)
-          .select(col("vec_id").as("cb_id"), subspaces("v"))
-          .select(col("cb_id"), col("s.m").as("m"), col("s.sv").as("centv"))
-        val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-          .orderBy(col("dist"), col("cb_id"))
+        val cb = LitCodebook.subCodebooks(LitCodebook.collect(
+          corpus.orderBy("vec_id").limit(8), "vec_id", "v"), 4, 16)
         val codes = corpus
           .select(col("vec_id"), subspaces("v"))
           .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-          .join(broadcast(cbRows), Seq("m"))
-          .withColumn("dist", expr(
-            "aggregate(zip_with(sv, centv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .withColumn("r", row_number().over(wEnc)).filter(col("r") === 1)
-          .select(col("vec_id"), col("m"), col("cb_id").as("code"))
+          .withColumn("code", LitCodebook.perSubspace(col("m"),
+            (0 until 4).map(m =>
+              m -> LitCodebook.argminL2(col("sv"), cb(m)).getField("id"))))
+          .select(col("vec_id"), col("m"), col("code"))
+        val cbDf = {
+          import s.implicits._
+          (0 until 4).flatMap(m => cb(m).map { case (id, cv) => (m, id, cv) })
+            .toDF("m", "cb_id", "centv")
+        }
         val qlut = queries
           .select(col("query_id"), subspaces("qv"))
           .select(col("query_id"), col("s.m").as("m"), col("s.sv").as("qsv"))
-          .join(broadcast(cbRows), Seq("m"))
+          .join(broadcast(cbDf), Seq("m"))
           .select(col("query_id"), col("m"), col("cb_id"),
             graft.functions.VectorFunctions.longDot(col("qsv"), col("centv")).as("pdot"))
         val wPq = Window.partitionBy(col("query_id"))
@@ -2885,19 +2897,18 @@ object Extended {
         val quant = expr(
           "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
         val corpus = emb.select(col("vec_id").cast("long").as("vec_id"), quant.as("v"))
-        val cents = corpus.orderBy("vec_id").limit(16)
-          .select(col("vec_id").as("list_id"), col("v").as("centv"))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d").desc, col("list_id"))
-        // frozen-centroid assignment (the q90 broadcast-scan shape);
-        // each side is consumed twice (component sums + list counts)
+        // frozen-centroid assignment as a literal-codebook projection
+        // (see [[LitCodebook]]): no crossJoin, no argmax window, and no
+        // corpus-grain persist — the two consumers per side (component
+        // sums + list counts) share the scan via ReuseExchange, and a
+        // 16-dot projection re-runs cheaper than a corpus-grain
+        // array<long> cache writes at every scale
+        val centsL = LitCodebook.collect(
+          corpus.orderBy("vec_id").limit(16), "vec_id", "v")
         def assign(side: org.apache.spark.sql.DataFrame) = side
-          .crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("v"), col("list_id"),
-            graft.functions.VectorFunctions.longDot(col("v"), col("centv")).as("d"))
-          .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+          .withColumn("list_id",
+            LitCodebook.argmaxDot(col("v"), centsL).getField("id"))
           .select(col("vec_id"), col("v"), col("list_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val aBase = assign(corpus.filter(col("vec_id") % 10 =!= 0))
         val aDelta = assign(corpus.filter(col("vec_id") % 10 === 0))
         // mergeable sufficient statistics: (list, dim) component sums
@@ -2916,10 +2927,14 @@ object Extended {
             coalesce(col("n_base"), lit(0L)).as("n_base"),
             coalesce(col("n_delta"), lit(0L)).as("n_delta"))
           .withColumn("n_total", col("n_base") + col("n_delta"))
-        // one k-means step from the merged stats; L1 drift vs frozen
-        val centComp = cents
-          .select(col("list_id"), posexplode(col("centv")).as(Seq("pos0", "cx")))
-          .select(col("list_id"), (col("pos0") + 1).as("pos"), col("cx"))
+        // one k-means step from the merged stats; L1 drift vs frozen —
+        // the frozen centroids join as a LocalRelation of 16×64 rows
+        val centComp = {
+          import s.implicits._
+          centsL.flatMap { case (id, cv) =>
+            cv.zipWithIndex.map { case (cx, i) => (id, i + 1, cx) }
+          }.toDF("list_id", "pos", "cx")
+        }
         val drift = sums
           .join(broadcast(counts), "list_id")
           .join(broadcast(centComp), Seq("list_id", "pos"))
