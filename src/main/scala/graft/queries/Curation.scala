@@ -1020,16 +1020,16 @@ object Curation {
         val quant = expr(
           "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
         val corpus = emb.select(col("vec_id"), quant.as("cv"))
-        val cents = corpus.orderBy("vec_id").limit(16)
-          .select(col("vec_id").as("list_id"), col("cv").as("centv"))
-        val wAssign = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("d").desc, col("list_id"))
-        val assigned = corpus.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("list_id"),
-            graft.functions.VectorFunctions.longDot(col("cv"), col("centv"))
-              .as("d"))
-          .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
-          .select(col("list_id"), col("vec_id"))
+        // literal-codebook assignment (see [[LitCodebook]]): the 16
+        // fixed centroids fold into a per-row argmax projection — same
+        // (d DESC, list_id ASC) selection, no crossJoin/window
+        val centsL = LitCodebook.collect(
+          corpus.orderBy("vec_id").limit(16), "vec_id", "cv")
+        val assigned = corpus
+          .select(
+            LitCodebook.argmaxDot(col("cv"), centsL).getField("id")
+              .as("list_id"),
+            col("vec_id"))
         graft.operators.CorpusPrep.capByDomain(
             assigned.withColumnRenamed("list_id", "domain"), "vec_id", 20)
           .select(col("domain").as("list_id"), col("vec_id"))
@@ -1135,25 +1135,24 @@ object Curation {
         def dot(a: String, b: String) =
           graft.functions.VectorFunctions.longDot(col(a), col(b))
         val corpus = emb.select(col("vec_id"), quant.as("cv"))
-        val cents = graft.operators.Similarity.kmeansCentroidsQuantized(
+        // the trained codebook is k=8 rows — collect it bounded and run
+        // assignment/probing as literal-codebook projections (see
+        // [[LitCodebook]]; same (d DESC, list_id ASC) selection)
+        val centsL = LitCodebook.collect(
+          graft.operators.Similarity.kmeansCentroidsQuantized(
             corpus, "vec_id", "cv", k = 8, iters = 2, sampleSize = 256)
-          .select(col("_list").as("list_id"), col("_centroid").as("centv"))
-        val wAssign = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("d").desc, col("list_id"))
-        val assigned = corpus.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cv"), col("list_id"),
-            dot("cv", "centv").as("d"))
-          .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+            .select(col("_list").as("list_id"), col("_centroid").as("centv")),
+          "list_id", "centv")
+        val assigned = corpus
+          .withColumn("list_id",
+            LitCodebook.argmaxDot(col("cv"), centsL).getField("id"))
           .select(col("vec_id"), col("cv"), col("list_id"))
         val queries = corpus.filter(col("vec_id") < 20)
           .select(col("vec_id").as("query_id"), col("cv").as("qv"))
-        val wProbe = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id")).orderBy(col("d").desc, col("list_id"))
-        val probes = queries.crossJoin(broadcast(cents))
-          .select(col("query_id"), col("qv"), col("list_id"),
-            dot("qv", "centv").as("d"))
-          .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 3)
-          .select(col("query_id"), col("qv"), col("list_id"))
+        val probes = queries
+          .select(col("query_id"), col("qv"),
+            explode(LitCodebook.topKDot(col("qv"), centsL, 3)).as("p"))
+          .select(col("query_id"), col("qv"), col("p.id").as("list_id"))
         val wTop = org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id")).orderBy(col("dot").desc, col("vec_id"))
         assigned.join(broadcast(probes), Seq("list_id"))
