@@ -15,6 +15,13 @@ object Verify {
       // reference parity: cast('bad' AS INT) → null, not error (SURVEY §7.4)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE re-plan (coalesce/skew-split) the plans that build
+      // CACHED frames too (default false pins cached output at the raw
+      // shuffle partition count, so every cache consumer inherits it):
+      // persist-heavy catalog entries measured 0.5-0.9x with this on
+      // at sf0.1, and at scale it simply byte-sizes cached partitions
+      // like any other AQE stage (r20 optimization round, guide 2.2)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
