@@ -335,7 +335,19 @@ object CorpusPrep {
     * seen-buckets-only table would do. Over the model's own corpus the
     * extra rows are unreachable, so results are unchanged. */
   def dsirLambda(stats: DataFrame, buckets: Int): DataFrame = {
-    val tot = stats.agg(sum("cr").as("cr_tot"), sum("ct").as("ct_tot"))
+    // λ references the stats TWICE (domain join + cr_tot/ct_tot totals),
+    // and the stats input is typically an aggregation of the caller's
+    // corpus-grain feature stream: without truncation each reference
+    // re-aggregates that stream (q181 measured FIVE cache passes over
+    // the 3M-row feats cache at sf0.1 — score + 2×base + 2×delta; r21
+    // profile). The stats table is bucket-grain (≤ `buckets` rows) by
+    // contract, so an eager localCheckpoint costs one bounded job,
+    // evaluates the corpus aggregation exactly once, and — running
+    // BEFORE the final action — populates the caller's feats cache
+    // serially instead of letting AQE's concurrently-submitted consumer
+    // stages race its population (guide §5 reuse, §2.4).
+    val statsM = stats.localCheckpoint()
+    val tot = statsM.agg(sum("cr").as("cr_tot"), sum("ct").as("ct_tot"))
     val domain = stats.sparkSession.range(buckets.toLong)
       .select(col("id").as("b"))
     // FULL join, not left: a stats row whose bucket falls outside
@@ -353,7 +365,7 @@ object CorpusPrep {
         lit(s" outside [0, $buckets) — buckets must equal the stats' hash domain")))
         .cast("long"))
       .otherwise(coalesce(col(c), lit(0L)))
-    domain.join(stats, Seq("b"), "full")
+    domain.join(statsM, Seq("b"), "full")
       .select(col("b"), guarded("cr").as("cr"), guarded("ct").as("ct"))
       .crossJoin(broadcast(tot)).selectExpr("b",
         s"""((${Search.log2FpExpr("ct + 1")}

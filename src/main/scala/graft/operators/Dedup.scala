@@ -425,6 +425,73 @@ object Dedup {
     out
   }
 
+  /** Incremental twin of [[minhashCandidatePairs]] for the sticky-split
+    * contract (q212): verified pair sets for BOTH a subset snapshot
+    * (rows passing `subsetPred`) and the full frame, from ONE evaluation
+    * of the signature+banding kernel (r21 optimization round, guide §5
+    * reuse). Signatures and band hashes are per-row functions of the
+    * text alone — corpus-independent — so the subset's banded frame IS
+    * the full banded frame filtered; only the hot-bucket CAPPING is
+    * corpus-dependent, and it runs separately per snapshot on the
+    * filtered/unfiltered views (bit-identical to two independent calls:
+    * the hot census, the cold/hot split and the verify see exactly the
+    * rows a from-scratch run over the subset would). The former shape —
+    * two independent calls — evaluated the corpus-grain shingle+
+    * signature kernel twice; this one persists the narrow banded frame
+    * (id, band, bh) once and both cappings read it.
+    * Returns (subsetPairs, fullPairs); both materialized small, no
+    * cache outlives the call. */
+  def minhashCandidatePairsWithSubset(
+      df: DataFrame, idCol: String, textCol: String,
+      subsetPred: org.apache.spark.sql.Column,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, hotBucketCap: Int = 4096,
+      shingleHasher: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+        defaultShingleHasher,
+      ophDensified: Boolean = false): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val src = Fanout.forKernel(df)
+    def hashed(rows: DataFrame): DataFrame = rows.select(
+      col(idCol), shingleHasher(col(textCol), shingleSize).as("sh"))
+    val sigExpr =
+      if (ophDensified) T.ophSignature(col("sh"), numHashes)
+      else T.minhashSignature(col("sh"), numHashes)
+    val sig = hashed(src).select(col(idCol), sigExpr.as("sig"))
+    val banded = sig.select(
+      col(idCol),
+      posexplode(T.bandHashes(col("sig"), numHashes, bands)))
+      .select(col(idCol), col("pos").as("band"), col("col").as("bh"))
+      .persist(MEMORY_AND_DISK)
+    // full-frame capping persists `banded` itself (same object — persist
+    // is idempotent), so its cleanup releases the shared kernel cache:
+    // sequence the subset's verify BEFORE cleanupAll.
+    val (candAll, cleanupAll) =
+      cappedBucketPairsLazy(banded, Seq("band", "bh"), idCol, hotBucketCap)
+    val (candSub, cleanupSub) = cappedBucketPairsLazy(
+      banded.filter(subsetPred), Seq("band", "bh"), idCol, hotBucketCap)
+    val sh = hashed(src)
+    def verify(cand: DataFrame): DataFrame = cand
+      .select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .join(sh, Seq(idCol))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        first(when(col(idCol) === col("id_a"), col("sh")),
+          ignoreNulls = true).as("sh_a"),
+        first(when(col(idCol) === col("id_b"), col("sh")),
+          ignoreNulls = true).as("sh_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        T.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val outSub = materializeSmall(verify(candSub))
+    cleanupSub()
+    val outAll = materializeSmall(verify(candAll))
+    cleanupAll()
+    banded.unpersist(false)
+    (outSub, outAll)
+  }
+
   /** Connected components over a verified duplicate-pair set: every row
     * gets the MINIMUM id reachable through any chain of pairs (a~b, b~c
     * ⇒ a,b,c share keeper min(a,b,c)) — full transitive closure, unlike

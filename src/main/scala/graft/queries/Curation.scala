@@ -185,8 +185,25 @@ object Curation {
         val feats = P.dsirFeatures(docs, "doc_id", "text",
             isTarget = col("lang") === "de", buckets = 256, ngram = 2)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val base = P.dsirBucketStats(feats.filter(col("doc_id") % 10 =!= 0))
-        val delta = P.dsirBucketStats(feats.filter(col("doc_id") % 10 === 0))
+        // base and delta tallied side by side in ONE pass over the
+        // feature stream (grouped by (bucket, is-delta) — ≤ 512 rows),
+        // then split at bucket grain and merged additively exactly as
+        // before: the incremental discipline (separate snapshot tallies,
+        // bucket-grain merge) is intact, but the corpus-grain cache is
+        // read once for the model instead of once per snapshot (r21;
+        // guide §2.3 aggregate-before-shuffle). Values are identical:
+        // each (b, snapshot) group's cr/ct is the same count the
+        // per-snapshot filters produced.
+        val tallies = feats
+          .groupBy(col("b"), (col("doc_id") % 10 === 0).as("_delta"))
+          .agg(count(lit(1)).as("cr"),
+            sum(when(col("_tgt"), lit(1L)).otherwise(lit(0L))).as("ct"))
+          // eager bounded checkpoint: base and delta both read this
+          // ≤512-row table, so the corpus pass behind it runs once even
+          // if ReuseExchange declines the union's twin subtrees
+          .localCheckpoint()
+        val base = tallies.filter(!col("_delta")).select("b", "cr", "ct")
+        val delta = tallies.filter(col("_delta")).select("b", "cr", "ct")
         val lam = P.dsirLambda(P.mergeDsirStats(base, delta), buckets = 256)
         P.dsirScore(feats, lam)
           .orderBy(col("weight_fp").desc, col("doc_id"))
@@ -1270,17 +1287,23 @@ object Curation {
       (s, dir) => {
         val docs = graft.operators.Fanout.forKernel(
           Tables.load(s, dir, "documents"))
-        def pairs(d: org.apache.spark.sql.DataFrame) =
-          graft.operators.Dedup.minhashCandidatePairs(
-            d, "doc_id", "text", shingleSize = 3, numHashes = 32,
-            bands = 8, threshold = 0.5,
-            shingleHasher = graft.functions.TextFunctions.md5ShingleHashes)
+        // ONE signature+banding kernel evaluation serves BOTH snapshots
+        // (r21: signatures are per-row text functions, so the old
+        // snapshot's banded frame is the union's filtered; hot-bucket
+        // capping still runs independently per snapshot — the published-
+        // split capping contract is untouched). The former shape ran the
+        // corpus-grain md5 kernel twice.
         val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)
+        val (oldPairs, allPairs) =
+          graft.operators.Dedup.minhashCandidatePairsWithSubset(
+            docs, "doc_id", "text", col("doc_id") % 3 =!= 0,
+            shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5,
+            shingleHasher = graft.functions.TextFunctions.md5ShingleHashes)
         val assigned = graft.operators.CorpusPrep.leakageSafeSplit(
-          oldDocs, "doc_id", pairs(oldDocs), testPct = 10)
+          oldDocs, "doc_id", oldPairs, testPct = 10)
           .select(col("doc_id"), col("side"))
         graft.operators.CorpusPrep.leakageSafeSplitIncremental(
-          assigned, docs, "doc_id", pairs(docs), testPct = 10)
+          assigned, docs, "doc_id", allPairs, testPct = 10)
       }),
 
     // ---- q213: cross-doc EXACT-SUBSTRING spans at every token
