@@ -202,6 +202,72 @@ case class LongDotProduct(left: Expression, right: Expression)
       : LongDotProduct = copy(left = l, right = r)
 }
 
+/** Exact integer squared L2 distance Σ(a−b)² over two `array<bigint>`
+  * columns, one fused pass, whole-stage-codegen'd — the PQ
+  * sub-quantizer distance kernel (r21: the zip_with+aggregate HOF form
+  * ran interpreted and allocated a difference array per (row,
+  * candidate); the v·v+c·c−2·v·c expansion via [[LongDotProduct]]
+  * measured WORSE because codegen subexpression elimination skips
+  * conditional branches, re-evaluating v·v per candidate). Mismatched
+  * lengths → null, like [[LongDotProduct]]. */
+case class LongL2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_long_l2"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> args, got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+        |final int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  long $acc = 0L;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    final long $d = $a.getLong($i) - $b.getLong($i);
+        |    $acc += $d * $d;
+        |  }
+        |  ${ev.value} = $acc;
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : LongL2Distance = copy(left = l, right = r)
+}
+
 /** `planes`-bit deterministic hyperplane LSH signature in one pass.
   * Weight w(p,d) = ±1 from a splitmix64 mix of (p,d) — position-seeded,
   * identical on every executor, no plane matrix to broadcast. */

@@ -33,6 +33,12 @@ object VectorFunctions {
   def longDot(a: Column, b: Column): Column =
     shim.column(LongDotProduct(shim.expression(a), shim.expression(b)))
 
+  /** Exact int64 squared L2 distance Σ(a−b)² ([[LongL2Distance]]
+    * kernel — codegen'd, one fused pass; the PQ sub-quantizer
+    * distance). */
+  def longL2(a: Column, b: Column): Column =
+    shim.column(LongL2Distance(shim.expression(a), shim.expression(b)))
+
   /** Deterministic pseudo-random hyperplane signature for LSH bucketing
     * (`planes` ≤ 63 sign bits as a long). Position-seeded weights — every
     * executor computes identical planes, nothing broadcast. */

@@ -2142,7 +2142,7 @@ object Extended {
           .select(col("vec_id"), col("list_id"), col("s.m").as("m"), col("s.sv").as("sv"))
           .withColumn("code", LitCodebook.perSubspace(col("m"),
             (0 until 4).map(m =>
-              m -> LitCodebook.argminL2(col("sv"), cbResid(m)).getField("id"))))
+              m -> LitCodebook.argminL2Hof(col("sv"), cbResid(m)).getField("id"))))
           .select(col("vec_id"), col("list_id"), col("m"), col("code"))
         val queries = corpus.filter(col("vec_id") < 20)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -2536,9 +2536,10 @@ object Extended {
         // round unchanged).
         // cents: per subspace m, (cb_id → centroid) sorted by cb_id.
         type Cents = Map[Int, Seq[(Long, Seq[Long])]]
-        def distTo(cv: Seq[Long]) = expr(
-          s"aggregate(zip_with(sv, array(${cv.mkString(",")}L), " +
-            "(a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+        // codegen'd exact expansion v·v + c·c − 2·v·c (see
+        // [[LitCodebook.l2Lit]]) — the former zip_with+aggregate HOF
+        // ran interpreted per (row, candidate)
+        def distTo(cv: Seq[Long]) = LitCodebook.l2Lit(col("sv"), cv)
         def assignExpr(cents: Cents): org.apache.spark.sql.Column = {
           // per subspace: argmin over the literal candidate structs
           val perM = (0 until 4).map { m =>

@@ -64,11 +64,16 @@ private[queries] object LitCodebook {
       ((-d, id), (id, cv))
     }.minBy(_._1)._2
 
-  /** Integer L2 distance ||vCol − cv||² against a literal centroid. */
+  /** Integer L2 distance ||vCol − cv||² against a literal centroid —
+    * one fused codegen'd pass ([[VectorFunctions.longL2]]; guide §4).
+    * The former zip_with+aggregate form ran INTERPRETED (higher-order
+    * functions are CodegenFallback) and allocated a difference array
+    * per (row, candidate); the v·v+c·c−2·v·c expansion over two
+    * [[VectorFunctions.longDot]] calls measured WORSE (codegen
+    * subexpression elimination skips conditional branches, so v·v
+    * re-evaluated per candidate). Value-identical by definition. */
   def l2Lit(vCol: Column, cv: Seq[Long]): Column =
-    aggregate(
-      zip_with(vCol, lit64(cv), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    VectorFunctions.longL2(vCol, lit64(cv))
 
   /** argmin of integer L2 with min-id tiebreak — the PQ sub-quantizer
     * selection. `.getField("id")` is the code, `.getField("dist")` the
@@ -76,6 +81,24 @@ private[queries] object LitCodebook {
   def argminL2(vCol: Column, cands: Seq[(Long, Seq[Long])]): Column =
     array_min(array(cands.map { case (id, cv) =>
       struct(l2Lit(vCol, cv).as("dist"), lit(id).as("id"))
+    }: _*))
+
+  /** Interpreted-HOF twin of [[l2Lit]], value-identical. Kept for
+    * q167's residual-codes stage ONLY, on measurement: that stage
+    * already carries the 16×64-literal coarse argmax and the residual
+    * zip_with in one codegen span, and inlining 8 more L2 loops into it
+    * measured 1.25× SLOWER back-to-back (4 interleaved windows, r21),
+    * while the same fused kernel is 0.84–0.89× on q166/q172/q173.
+    * Empirical, not principled — the md records the A/B. */
+  def l2LitHof(vCol: Column, cv: Seq[Long]): Column =
+    aggregate(
+      zip_with(vCol, lit64(cv), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** [[argminL2]] over [[l2LitHof]] — see its caveat. */
+  def argminL2Hof(vCol: Column, cands: Seq[(Long, Seq[Long])]): Column =
+    array_min(array(cands.map { case (id, cv) =>
+      struct(l2LitHof(vCol, cv).as("dist"), lit(id).as("id"))
     }: _*))
 
   /** Top-k candidates by (dot DESC, id ASC), selected INSIDE the row:

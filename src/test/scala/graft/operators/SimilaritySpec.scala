@@ -69,6 +69,23 @@ class SimilaritySpec extends SparkSpec {
     assert(mm.isNullAt(0) && mm.isNullAt(1))
   }
 
+  test("longL2 kernel is value-identical to the interpreted HOF form incl. mismatch") {
+    val rng = new scala.util.Random(29L)
+    val rows = Seq.fill(200)((
+      Seq.fill(64)(rng.nextInt(4001).toLong - 2000L),
+      Seq.fill(64)(rng.nextInt(4001).toLong - 2000L)))
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+      (V.longL2(col("a"), col("b")) =!=
+        expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)")).as("ne"))
+      .filter(col("ne")).count()
+    assert(bad == 0, "longL2 must equal the HOF form on every row")
+    val mm = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(V.longL2(col("a"), col("b")).as("d"))
+      .head()
+    assert(mm.isNullAt(0))
+  }
+
   test("brute-force top-k: nearest neighbor of 0 is its perturbation 1") {
     val queries = corpus.filter(col("vec_id") === 0)
       .withColumnRenamed("vec_id", "query_id")
