@@ -195,6 +195,22 @@ object Bench {
       def r3(x: Double) = math.round(x * 1000) / 1000.0
       s"""{"metric":"total","value":${r3(total)},"total_min":${r3(totalMin)},"unit":"sec","n_queries":${named.size},"n_failed":${failed.size},"reps":$pass,"sf":"$sfDir"}"""
     }
+    // Compact PER-QUERY map (r20 verdict item 8): median milliseconds
+    // under short keys — the qNN prefix, unique across the catalog — so
+    // the complete 213-query map fits in ~2.6 KB and survives the
+    // driver's tail capture (the full summaryLine is ~17 KB and lands
+    // truncated, which left PERF_r20 with n_common=0). Printed BETWEEN
+    // the full summary and the final total/total_min lines; the final
+    // line's byte format is untouched.
+    def perQueryMsLine(pass: Int): String = {
+      val qs = named.map { case (name, _) =>
+        val v = samples(name)
+        val ms = if (failed(name) || v.isEmpty) -1L
+          else math.round(median(v) * 1000)
+        s"\"" + name.takeWhile(_ != '_') + "\":" + ms
+      }.mkString("{", ",", "}")
+      s"""{"metric":"per_query_ms","reps":$pass,"q":$qs}"""
+    }
     // Standalone total_min line, printed BEFORE the compact total line so
     // the process's final stdout line keeps "metric":"total" (the shape
     // the driver has parsed since r10) while a grep for total_min finds a
@@ -234,7 +250,7 @@ object Bench {
     // pass 1: every query gets one sample regardless of budget —
     // partial data beats no data
     for ((name, fn) <- named) sample(name, fn, 1)
-    println(summaryLine(1)); println(minLine(1)); println(compactLine(1)); System.out.flush()
+    println(summaryLine(1)); println(perQueryMsLine(1)); println(minLine(1)); println(compactLine(1)); System.out.flush()
     // passes 2..reps: most-expensive-first (by pass-1 time), so when the
     // budget trips, the queries losing reps are the cheapest ones.
     // Queries already in `failed` are skipped: their summary value is
@@ -244,7 +260,7 @@ object Bench {
       val order = named.filterNot { case (n, _) => failed(n) }
         .sortBy { case (n, _) => -samples(n).headOption.getOrElse(0.0) }
       for ((name, fn) <- order if spent < budgetSec) sample(name, fn, pass)
-      println(summaryLine(pass)); println(minLine(pass)); println(compactLine(pass)); System.out.flush()
+      println(summaryLine(pass)); println(perQueryMsLine(pass)); println(minLine(pass)); println(compactLine(pass)); System.out.flush()
     }
     sentinelEnd = sentinel()
     println(s"""{"bench_sentinel":{"when":"end","sec":$sentinelEnd}}""")
@@ -258,6 +274,6 @@ object Bench {
     // object, whatever the driver's tail-buffer size.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(summaryLine(reps)); println(minLine(reps)); println(compactLine(reps)); System.out.flush()
+    println(summaryLine(reps)); println(perQueryMsLine(reps)); println(minLine(reps)); println(compactLine(reps)); System.out.flush()
   }
 }
