@@ -14,7 +14,11 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
+      // codegen mode: debugCodegen cannot see through an un-executed
+      // AdaptiveSparkPlan wrapper ("Found 0 WholeStageCodegen
+      // subtrees"), so the codegen audit reads the static plan instead
+      .config("spark.sql.adaptive.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_MODE", "formatted") != "codegen").toString)
       // let AQE re-plan (coalesce/skew-split) the plans that build
       // CACHED frames too (default false pins cached output at the raw
       // shuffle partition count, so every cache consumer inherits it):
@@ -26,11 +30,15 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // SPARK_GRAFT_EXPLAIN_MODE: formatted (default) | codegen | extended
+    // — codegen answers "did this kernel stay inside whole-stage
+    // codegen?" (r20 verdict item 7, the dhash family audit)
+    val mode = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_MODE", "formatted")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .foreach { case (name, fn) =>
         println(s"\n========== $name ==========")
-        try fn(spark, sfDir).explain("formatted")
+        try fn(spark, sfDir).explain(mode)
         catch { case e: Throwable => println(s"[explain] failed: ${e.getMessage}") }
       }
     spark.stop()

@@ -268,6 +268,110 @@ case class LongL2Distance(left: Expression, right: Expression)
       : LongL2Distance = copy(left = l, right = r)
 }
 
+/** Fused codebook scan: the argmin candidate INDEX over a small
+  * driver-held codebook, one tight loop per row — the FAISS assignment
+  * kernel shape (r21). `l2 = false`: key = −(v·cᵢ) (i.e. argmax dot);
+  * `l2 = true`: key = Σ(v−cᵢ)². Strict `<` keeps the FIRST minimal
+  * index, so with codebook rows sorted by ascending id the selection is
+  * exactly the lexicographic (key ASC, id ASC) the r20 struct form and
+  * the oracle's ROW_NUMBER window both implement. Returns the 0-based
+  * index (int); null input or a row whose length differs from the
+  * codebook's dimension → null (the composed forms returned null keys
+  * there too). Why an expression and not composed built-ins: per-row
+  * K-candidate selection via array_min(array(structs)) allocates K
+  * structs and compares them through an interpreted ordering, and via
+  * packed longs still plans K separate dot kernels + a CreateArray —
+  * both measured SLOWER than the r19 broadcast-join+window at sf1
+  * (q90 1.4×, q167 2.5×). This kernel is one reference-held long[][]
+  * and one fused loop: no allocation, no per-candidate expression
+  * overhead, strictly less work per row than any alternative at any
+  * scale. */
+case class CodebookArgmin(child: Expression, codebook: Array[Array[Long]],
+    l2: Boolean) extends UnaryExpression {
+  require(codebook.nonEmpty && codebook.forall(_.length == codebook.head.length),
+    "codebook must be non-empty and rectangular")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String =
+    if (l2) "graft_codebook_argmin_l2" else "graft_codebook_argmax_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.sql}")
+  }
+
+  override def nullable: Boolean = true
+
+  // value-equality on the codebook contents, so plan/codegen caches and
+  // ReuseExchange treat equal-codebook instances as equal expressions
+  override def equals(other: Any): Boolean = other match {
+    case o: CodebookArgmin => child == o.child && l2 == o.l2 &&
+      java.util.Arrays.deepEquals(
+        codebook.asInstanceOf[Array[AnyRef]], o.codebook.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Boolean.box(l2),
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        codebook.asInstanceOf[Array[AnyRef]])))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dims = codebook.head.length
+    if (v.numElements() != dims) return null
+    var best = -1
+    var bestKey = Long.MaxValue
+    var c = 0
+    while (c < codebook.length) {
+      val cv = codebook(c)
+      var acc = 0L
+      var i = 0
+      if (l2) while (i < dims) { val d = v.getLong(i) - cv(i); acc += d * d; i += 1 }
+      else { while (i < dims) { acc += v.getLong(i) * cv(i); i += 1 }; acc = -acc }
+      if (acc < bestKey) { bestKey = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cb = ctx.addReferenceObj("codebook", codebook, "long[][]")
+    val dims = codebook.head.length
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val best = ctx.freshName("best")
+      val bestKey = ctx.freshName("bestKey"); val cv = ctx.freshName("cv")
+      val d = ctx.freshName("d")
+      val inner =
+        if (l2) s"final long $d = $v.getLong($i) - $cv[$i]; $acc += $d * $d;"
+        else s"$acc += $v.getLong($i) * $cv[$i];"
+      val flip = if (l2) "" else s"$acc = -$acc;"
+      s"""
+        |if ($v.numElements() != $dims) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  int $best = -1;
+        |  long $bestKey = Long.MAX_VALUE;
+        |  for (int $c = 0; $c < ${codebook.length}; $c++) {
+        |    final long[] $cv = $cb[$c];
+        |    long $acc = 0L;
+        |    for (int $i = 0; $i < $dims; $i++) { $inner }
+        |    $flip
+        |    if ($acc < $bestKey) { $bestKey = $acc; $best = $c; }
+        |  }
+        |  ${ev.value} = $best;
+        |}
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): CodebookArgmin =
+    copy(child = c)
+}
+
 /** `planes`-bit deterministic hyperplane LSH signature in one pass.
   * Weight w(p,d) = ±1 from a splitmix64 mix of (p,d) — position-seeded,
   * identical on every executor, no plane matrix to broadcast. */

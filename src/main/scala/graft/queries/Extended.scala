@@ -2142,7 +2142,7 @@ object Extended {
           .select(col("vec_id"), col("list_id"), col("s.m").as("m"), col("s.sv").as("sv"))
           .withColumn("code", LitCodebook.perSubspace(col("m"),
             (0 until 4).map(m =>
-              m -> LitCodebook.argminL2Hof(col("sv"), cbResid(m)).getField("id"))))
+              m -> LitCodebook.argminL2(col("sv"), cbResid(m)).getField("id"))))
           .select(col("vec_id"), col("list_id"), col("m"), col("code"))
         val queries = corpus.filter(col("vec_id") < 20)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -2536,16 +2536,12 @@ object Extended {
         // round unchanged).
         // cents: per subspace m, (cb_id → centroid) sorted by cb_id.
         type Cents = Map[Int, Seq[(Long, Seq[Long])]]
-        // codegen'd exact expansion v·v + c·c − 2·v·c (see
-        // [[LitCodebook.l2Lit]]) — the former zip_with+aggregate HOF
-        // ran interpreted per (row, candidate)
-        def distTo(cv: Seq[Long]) = LitCodebook.l2Lit(col("sv"), cv)
         def assignExpr(cents: Cents): org.apache.spark.sql.Column = {
-          // per subspace: argmin over the literal candidate structs
+          // per subspace: packed-primitive argmin over the literal
+          // candidates (see [[LitCodebook.argminL2]] — same (dist ASC,
+          // cb_id ASC) selection, no per-row structs)
           val perM = (0 until 4).map { m =>
-            val cands = cents(m).map { case (cb, cv) =>
-              struct(distTo(cv).as("dist"), lit(cb).as("cb_id")) }
-            (m, array_min(array(cands: _*)).getField("cb_id"))
+            (m, LitCodebook.argminL2(col("sv"), cents(m)).getField("id"))
           }
           perM.tail.foldLeft(when(col("m") === perM.head._1, perM.head._2)) {
             case (acc, (m, e)) => acc.when(col("m") === m, e)

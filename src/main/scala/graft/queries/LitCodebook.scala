@@ -14,12 +14,21 @@ import org.apache.spark.sql.functions._
   * folding the argmin/argmax into a per-row projection removes, per
   * assignment pass, one corpus×|codebook| candidate explode (broadcast
   * join or crossJoin), one corpus-grain exchange and two sorts (the
-  * row_number argmin window) — while producing the SAME selection bit
-  * for bit: candidates are (key, id) structs and `array_min` picks the
-  * lexicographic least, i.e. exactly the window form's
-  * (key ASC, id ASC) top-1 (argmax keys ride negated). The id is unique
-  * across candidates, so later struct fields can never influence the
-  * selection.
+  * row_number argmin window).
+  *
+  * r21 revision: the r20 projection built an array of (key, id) STRUCTS
+  * per row and took `array_min` — K struct allocations plus K−1
+  * interpreted struct comparisons per row. At sf0.1 the removed
+  * exchanges hid that; the r21 sf1 family run measured it 1.3–1.9×
+  * SLOWER than the r19 broadcast-join+window on the assignment-dominated
+  * queries (q90/q166/q172/q210) — per-row cost scales with the corpus,
+  * fixed job savings don't (guide §1.2). The selection now runs through
+  * [[graft.functions.CodebookArgmin]]: ONE fused codegen'd loop over a
+  * reference-held long[][] per row (the FAISS assignment kernel shape),
+  * returning the winning candidate INDEX. Candidates are pre-sorted by
+  * ascending id and the kernel keeps the FIRST minimal key (strict <),
+  * so the selection is still exactly the window form's
+  * (key ASC, id ASC) top-1, bit for bit.
   *
   * Scale note: this moves NO corpus data to the driver — only the
   * codebook (≤ 16×64 longs) crosses, the same rows the previous form
@@ -37,23 +46,39 @@ private[queries] object LitCodebook {
   /** A literal BIGINT array column. */
   def lit64(v: Seq[Long]): Column = expr(v.mkString("array(", "L,", "L)"))
 
-  /** argmax of dot(vCol, cand) with min-id tiebreak — the coarse-
-    * quantizer selection. Returns the winning struct: `.getField("id")`
-    * is the centroid id, `.getField("nd")` the NEGATED winning dot. */
-  def argmaxDot(vCol: Column, cands: Seq[(Long, Seq[Long])]): Column =
-    array_min(array(cands.map { case (id, cv) =>
-      struct((-VectorFunctions.longDot(vCol, lit64(cv))).as("nd"),
-        lit(id).as("id"))
-    }: _*))
+  private def sortedById(cands: Seq[(Long, Seq[Long])]): Seq[(Long, Seq[Long])] =
+    cands.sortBy(_._1)
 
-  /** [[argmaxDot]] carrying the winning centroid itself as a trailing
-    * `centv` field (selection is decided by (nd, id) before `centv` is
-    * ever compared — id is unique) — for residual computation. */
-  def argmaxDotCentv(vCol: Column, cands: Seq[(Long, Seq[Long])]): Column =
-    array_min(array(cands.map { case (id, cv) =>
-      struct((-VectorFunctions.longDot(vCol, lit64(cv))).as("nd"),
-        lit(id).as("id"), lit64(cv).as("centv"))
-    }: _*))
+  /** 0-based winning-candidate index from the fused
+    * [[graft.functions.CodebookArgmin]] kernel. */
+  private def argIdx(vCol: Column, cs: Seq[(Long, Seq[Long])], l2: Boolean): Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.column(graft.functions.CodebookArgmin(
+      shim.expression(vCol), cs.map(_._2.toArray).toArray, l2))
+  }
+
+  /** argmax of dot(vCol, cand) with min-id tiebreak — the coarse-
+    * quantizer selection. Returns a struct whose `id` field is the
+    * winning centroid id (no other field is consumed at corpus grain;
+    * `.getField("id")` simplifies to the bare expression). */
+  def argmaxDot(vCol: Column, cands: Seq[(Long, Seq[Long])]): Column = {
+    val cs = sortedById(cands)
+    struct(element_at(lit64(cs.map(_._1)),
+      argIdx(vCol, cs, l2 = false) + lit(1)).as("id"))
+  }
+
+  /** [[argmaxDot]] carrying the winning centroid itself as a `centv`
+    * field — for residual computation. Both fields derive from the one
+    * kernel index; the centv lookup is an element_at over a constant
+    * array of the codebook's rows. */
+  def argmaxDotCentv(vCol: Column, cands: Seq[(Long, Seq[Long])]): Column = {
+    val cs = sortedById(cands)
+    val idx = argIdx(vCol, cs, l2 = false)
+    struct(
+      element_at(lit64(cs.map(_._1)), idx + lit(1)).as("id"),
+      element_at(
+        array(cs.map { case (_, cv) => lit64(cv) }: _*), idx + lit(1)).as("centv"))
+  }
 
   /** Driver-side twin of [[argmaxDot]] — identical Long arithmetic and
     * (dot DESC, id ASC) selection, for deriving bounded codebooks from
@@ -64,46 +89,19 @@ private[queries] object LitCodebook {
       ((-d, id), (id, cv))
     }.minBy(_._1)._2
 
-  /** Integer L2 distance ||vCol − cv||² against a literal centroid —
-    * one fused codegen'd pass ([[VectorFunctions.longL2]]; guide §4).
-    * The former zip_with+aggregate form ran INTERPRETED (higher-order
-    * functions are CodegenFallback) and allocated a difference array
-    * per (row, candidate); the v·v+c·c−2·v·c expansion over two
-    * [[VectorFunctions.longDot]] calls measured WORSE (codegen
-    * subexpression elimination skips conditional branches, so v·v
-    * re-evaluated per candidate). Value-identical by definition. */
-  def l2Lit(vCol: Column, cv: Seq[Long]): Column =
-    VectorFunctions.longL2(vCol, lit64(cv))
-
   /** argmin of integer L2 with min-id tiebreak — the PQ sub-quantizer
-    * selection. `.getField("id")` is the code, `.getField("dist")` the
-    * winning distance. */
-  def argminL2(vCol: Column, cands: Seq[(Long, Seq[Long])]): Column =
-    array_min(array(cands.map { case (id, cv) =>
-      struct(l2Lit(vCol, cv).as("dist"), lit(id).as("id"))
-    }: _*))
-
-  /** Interpreted-HOF twin of [[l2Lit]], value-identical. Kept for
-    * q167's residual-codes stage ONLY, on measurement: that stage
-    * already carries the 16×64-literal coarse argmax and the residual
-    * zip_with in one codegen span, and inlining 8 more L2 loops into it
-    * measured 1.25× SLOWER back-to-back (4 interleaved windows, r21),
-    * while the same fused kernel is 0.84–0.89× on q166/q172/q173.
-    * Empirical, not principled — the md records the A/B. */
-  def l2LitHof(vCol: Column, cv: Seq[Long]): Column =
-    aggregate(
-      zip_with(vCol, lit64(cv), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-
-  /** [[argminL2]] over [[l2LitHof]] — see its caveat. */
-  def argminL2Hof(vCol: Column, cands: Seq[(Long, Seq[Long])]): Column =
-    array_min(array(cands.map { case (id, cv) =>
-      struct(l2LitHof(vCol, cv).as("dist"), lit(id).as("id"))
-    }: _*))
+    * selection; fused-kernel index, id via constant lookup. */
+  def argminL2(vCol: Column, cands: Seq[(Long, Seq[Long])]): Column = {
+    val cs = sortedById(cands)
+    struct(element_at(lit64(cs.map(_._1)),
+      argIdx(vCol, cs, l2 = true) + lit(1)).as("id"))
+  }
 
   /** Top-k candidates by (dot DESC, id ASC), selected INSIDE the row:
     * sort the literal candidate structs, slice k — the nprobe
-    * selection. Explode the result; fields: `nd` (negated dot), `id`. */
+    * selection. Explode the result; fields: `nd` (negated dot), `id`.
+    * Struct form is fine HERE: this runs on the bounded query frame
+    * (tens of rows), never the corpus. */
   def topKDot(vCol: Column, cands: Seq[(Long, Seq[Long])], k: Int): Column =
     slice(array_sort(array(cands.map { case (id, cv) =>
       struct((-VectorFunctions.longDot(vCol, lit64(cv))).as("nd"),
